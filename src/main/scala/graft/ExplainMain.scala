@@ -1,0 +1,12 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(args(1))(spark, args(0))
+    df.explain("formatted")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Embedding kernels for the ANN scale path: random-hyperplane (SimHash)
+  * LSH bucketing over float vectors. Hyperplane weights are derived from
+  * the deterministic splitmix64 mixer, so bucket assignment is reproducible
+  * across executors and runs — a requirement for LSH bucket equi-joins.
+  */
+object EmbedOps {
+
+  /** ±1 pseudo-random weight for (plane, dim). */
+  @inline private def weight(plane: Int, dim: Int): Double =
+    if ((TextHashOps.mix64(plane.toLong * 131 + dim) & 1L) == 0L) 1.0 else -1.0
+
+  /** Dot product of two float vectors, accumulated left-to-right in double
+    * — the exact op order of the DuckDB oracle's list_reduce fold, so both
+    * engines produce identical doubles. Codegen'd via StaticInvoke: a tight
+    * primitive loop instead of the interpreted, boxing `zip_with`+
+    * `aggregate` higher-order functions. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Number of agreeing positions of two equal-length long signatures. */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  /** `bits`-bit random-hyperplane signature of a float vector. Vectors with
+    * small cosine distance agree on most bits, so an equi-join on the
+    * bucket (or on band sub-keys) finds near neighbors without the n²
+    * brute-force pass. */
+  def lshBucket(vec: ArrayData, bits: Int): Int = lshBucketOffset(vec, bits, 0)
+
+  /** Multi-table variant: table t passes `offset = t * bits` so each table
+    * draws a disjoint hyperplane set. */
+  def lshBucketOffset(vec: ArrayData, bits: Int, offset: Int): Int = {
+    val n = vec.numElements()
+    var out = 0
+    var p = 0
+    while (p < bits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += vec.getFloat(i) * weight(offset + p, i)
+        i += 1
+      }
+      if (acc > 0) out |= (1 << p)
+      p += 1
+    }
+    out
+  }
+}

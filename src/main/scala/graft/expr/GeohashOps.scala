@@ -1,0 +1,68 @@
+package graft.expr
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Geohash encoder (public algorithm: interleaved-bit base-32 encoding of a
+  * lat/lon bisection path). The reference encodes at precision 7 (~153 m
+  * cells) per row at ingest (reference: etl/runtime/handler.py:118-127).
+  *
+  * Static method is invoked from codegen via `StaticInvoke` — pure function
+  * of (lat, lon, len), null handling done by the expression layer.
+  */
+object GeohashOps {
+  private final val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz".toCharArray
+
+  def encode(lat: Double, lon: Double, precision: Int): UTF8String = {
+    val out = new Array[Byte](precision)
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var evenBit = true // even bits encode longitude
+    var i = 0
+    while (i < precision) {
+      var ch = 0
+      var bit = 0
+      while (bit < 5) {
+        if (evenBit) {
+          val mid = (lonLo + lonHi) / 2
+          if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+          else { ch = ch << 1; lonHi = mid }
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+          else { ch = ch << 1; latHi = mid }
+        }
+        evenBit = !evenBit
+        bit += 1
+      }
+      out(i) = Base32(ch).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Decode to the cell-center point — used by tests (round-trip property)
+    * and by the geohash-bucketed spatial join (SURVEY.md §7.5). */
+  def decodeCenter(gh: String): (Double, Double) = {
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var evenBit = true
+    gh.foreach { c =>
+      val ch = Base32.indexOf(c.toLower)
+      require(ch >= 0, s"bad geohash char: $c")
+      var bit = 4
+      while (bit >= 0) {
+        val isSet = ((ch >> bit) & 1) == 1
+        if (evenBit) {
+          val mid = (lonLo + lonHi) / 2
+          if (isSet) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (isSet) latLo = mid else latHi = mid
+        }
+        evenBit = !evenBit
+        bit -= 1
+      }
+    }
+    ((latLo + latHi) / 2, (lonLo + lonHi) / 2)
+  }
+}

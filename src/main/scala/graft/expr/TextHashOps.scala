@@ -1,0 +1,138 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-hashing kernels for the training-data dedup/fingerprint operators:
+  * MinHash signatures, SimHash, and a rolling document fingerprint. All are
+  * pure functions of the input string — deterministic across JVMs and
+  * partitions, which is what makes LSH bucket joins reproducible.
+  *
+  * Hash primitives: FNV-1a 64 over UTF-8 bytes + a splitmix64-style finalizer
+  * (both public-domain algorithms).
+  */
+object TextHashOps {
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  def fnv1a64(s: String): Long = {
+    val b = s.getBytes("UTF-8")
+    fnv1a64(b, 0, b.length)
+  }
+
+  /** splitmix64 finalizer — avalanches a 64-bit value. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def tokenize(text: UTF8String): Array[String] =
+    text.toString.split(' ').filter(_.nonEmpty)
+
+  /** Distinct word `n`-gram shingles as strings (insertion order) — the
+    * single-pass kernel behind the Jaccard operator; the naive
+    * transform+element_at formulation re-splits the text per position
+    * (O(tokens²) allocation), this is O(tokens). */
+  def shingleStrings(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new StringBuilder
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Hashes of the word `n`-gram shingles of `text` (distinct). */
+  def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < n) return Array.empty
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new StringBuilder
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      out.add(fnv1a64(sb.toString))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator(); var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    arr
+  }
+
+  /** MinHash signature: for seed i in [0,k), min over shingles of
+    * mix64(shingleHash ^ seedMix(i)). Empty shingle set → all Long.MaxValue
+    * (never collides with a real signature band). */
+  def minhash(text: UTF8String, k: Int, shingle: Int): ArrayData = {
+    val hs = shingleHashes(text, shingle)
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val seed = mix64(i.toLong * 0x9e3779b97f4a7c15L + 0x85ebca6bL)
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val h = mix64(hs(j) ^ seed)
+        if (h < mn) mn = h
+        j += 1
+      }
+      sig(i) = mn
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over word 2-gram shingles (bit-majority of hashes). */
+  def simhash64(text: UTF8String, shingle: Int): Long = {
+    val hs = shingleHashes(text, shingle)
+    if (hs.isEmpty) return 0L
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Rolling polynomial fingerprint over UTF-8 bytes:
+    * acc = (acc * 31 + byte) mod 1_000_000_007 — exactly mirrorable in the
+    * DuckDB oracle via list_reduce over characters. */
+  def fingerprint(text: UTF8String): Long = {
+    val b = text.getBytes
+    var acc = 0L
+    var i = 0
+    while (i < b.length) {
+      acc = (acc * 31 + (b(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+}

@@ -1,0 +1,141 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+
+/** Column-level facade over the static kernels. Each function builds a
+  * Catalyst `StaticInvoke` expression — codegen-compatible (whole-stage
+  * codegen emits a direct static call; no UDF boxing / serialization) and
+  * null-propagating (`propagateNull = true`: any null argument → null
+  * result), mirroring the null-safety of builtin functions.
+  */
+object functions {
+  private def inv(clazz: Class[_], dt: DataType, name: String, args: Column*): Column =
+    GraftSqlBridge.column(invExpr(clazz, dt, name, args.map(GraftSqlBridge.expression)))
+
+  private def invExpr(clazz: Class[_], dt: DataType, name: String, args: Seq[Expression]): Expression =
+    StaticInvoke(clazz, dt, name, args)
+
+  // ---- geo (SURVEY.md §2 F3-F6) ----
+
+  /** Geohash of (lat, lon) at `precision` chars (reference precision: 7). */
+  def geohash(lat: Column, lon: Column, precision: Column): Column =
+    inv(GeohashOps.getClass, StringType, "encode", lat.cast("double"), lon.cast("double"), precision.cast("int"))
+
+  /** 21-byte little-endian WKB point from (lon, lat). */
+  def st_point(lon: Column, lat: Column): Column =
+    inv(GeoOps.getClass, BinaryType, "pointWkb", lon.cast("double"), lat.cast("double"))
+
+  def st_x(geom: Column): Column = inv(GeoOps.getClass, DoubleType, "wkbX", geom)
+  def st_y(geom: Column): Column = inv(GeoOps.getClass, DoubleType, "wkbY", geom)
+
+  /** Planar euclidean distance between two WKB points (degree units). */
+  def st_distance(a: Column, b: Column): Column =
+    inv(GeoOps.getClass, DoubleType, "distance", a, b)
+
+  /** Planar `ST_DWithin` — matches DuckDB-spatial on unprojected coords. */
+  def st_dwithin(a: Column, b: Column, d: Column): Column =
+    inv(GeoOps.getClass, BooleanType, "dwithin", a, b, d.cast("double"))
+
+  /** Uppercase hex WKB (reference: ST_AsHEXWKB) — pure builtin compose. */
+  def st_ashexwkb(geom: Column): Column =
+    org.apache.spark.sql.functions.upper(org.apache.spark.sql.functions.hex(geom))
+
+  // ---- stats (F11) ----
+
+  def erf(x: Column): Column =
+    inv(StatsOps.getClass, DoubleType, "erf", x.cast("double"))
+
+  def normal_cdf(z: Column): Column =
+    inv(StatsOps.getClass, DoubleType, "normalCdf", z.cast("double"))
+
+  /** P(N(mu, sigma) ∈ [lo, hi]) — the reference's reliability score. */
+  def reliability(mu: Column, sigma: Column, lo: Column, hi: Column): Column =
+    inv(StatsOps.getClass, DoubleType, "reliability",
+      mu.cast("double"), sigma.cast("double"), lo.cast("double"), hi.cast("double"))
+
+  // ---- text hashing (dedup / fingerprint extensions) ----
+
+  /** MinHash signature: array<long> of length k over word-`shingle`-grams. */
+  def minhash(text: Column, k: Column, shingle: Column): Column =
+    inv(TextHashOps.getClass, ArrayType(LongType, containsNull = false),
+      "minhash", text, k.cast("int"), shingle.cast("int"))
+
+  /** 64-bit SimHash over word-`shingle`-gram hashes. */
+  def simhash(text: Column, shingle: Column): Column =
+    inv(TextHashOps.getClass, LongType, "simhash64", text, shingle.cast("int"))
+
+  /** Rolling polynomial fingerprint (mod 1e9+7) over UTF-8 bytes. */
+  def fingerprint(text: Column): Column =
+    inv(TextHashOps.getClass, LongType, "fingerprint", text)
+
+  /** Distinct word n-gram shingles (single-pass kernel). */
+  def shingles(text: Column, n: Column): Column =
+    inv(TextHashOps.getClass, ArrayType(StringType, containsNull = false),
+      "shingleStrings", text, n.cast("int"))
+
+  /** Float-vector dot product, left-to-right double accumulation. */
+  def vec_dot(a: Column, b: Column): Column =
+    inv(EmbedOps.getClass, DoubleType, "dotF", a, b)
+
+  /** Count of agreeing positions between two long signatures. */
+  def sig_agree(a: Column, b: Column): Column =
+    inv(EmbedOps.getClass, IntegerType, "sigAgree", a, b)
+
+  /** Random-hyperplane LSH bucket of a float vector. */
+  def lsh_bucket(vec: Column, bits: Column): Column =
+    inv(EmbedOps.getClass, IntegerType, "lshBucket", vec, bits.cast("int"))
+
+  /** Multi-table LSH bucket: hyperplanes [offset, offset+bits). */
+  def lsh_bucket_offset(vec: Column, bits: Column, offset: Column): Column =
+    inv(EmbedOps.getClass, IntegerType, "lshBucketOffset", vec,
+      bits.cast("int"), offset.cast("int"))
+
+  // ---- SQL registration ----
+
+  private[graft] val sqlFunctions: Seq[(String, DataType, Class[_], String, Int)] = Seq(
+    ("graft_geohash", StringType, GeohashOps.getClass, "encode", 3),
+    ("st_point", BinaryType, GeoOps.getClass, "pointWkb", 2),
+    ("st_x", DoubleType, GeoOps.getClass, "wkbX", 1),
+    ("st_y", DoubleType, GeoOps.getClass, "wkbY", 1),
+    ("st_distance", DoubleType, GeoOps.getClass, "distance", 2),
+    ("st_dwithin", BooleanType, GeoOps.getClass, "dwithin", 3),
+    ("graft_erf", DoubleType, StatsOps.getClass, "erf", 1),
+    ("graft_normal_cdf", DoubleType, StatsOps.getClass, "normalCdf", 1),
+    ("graft_reliability", DoubleType, StatsOps.getClass, "reliability", 4),
+    ("graft_minhash", ArrayType(LongType, containsNull = false), TextHashOps.getClass, "minhash", 3),
+    ("graft_simhash", LongType, TextHashOps.getClass, "simhash64", 2),
+    ("graft_fingerprint", LongType, TextHashOps.getClass, "fingerprint", 1))
+
+  private def builder(dt: DataType, clazz: Class[_], method: String, arity: Int)(
+      args: Seq[Expression]): Expression = {
+    require(args.length == arity, s"expected $arity args, got ${args.length}")
+    invExpr(clazz, dt, method, args)
+  }
+
+  /** Register the SQL-callable names on an existing session (tests, REPL). */
+  def register(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, dt, clazz, method, arity) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder(dt, clazz, method, arity), "scala_udf")
+    }
+}
+
+/** Session extension wiring the function surface into SQL at session build
+  * time: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.expr.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    functions.sqlFunctions.foreach { case (name, dt, clazz, method, arity) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (args: Seq[Expression]) =>
+          StaticInvoke(clazz, dt, method, args)))
+    }
+}

@@ -1,0 +1,203 @@
+package graft.ops
+
+import graft.Tables
+import graft.expr.{functions => gf}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship analytics program — per-stop schedule deviation
+  * and reliability (notebooks/schedule_deviation.ipynb cell 63902a57 +
+  * f208d562) — mapped onto the driver testdata per FIXTURES.md §1:
+  * customer→routes (C6 IN filter), orders→trips (C5 regexp filter),
+  * lineitem→stop_times (scheduled time-of-day synthesized from exact integer
+  * arithmetic), events→realtime positions (F2 time-of-day), part→stops.
+  *
+  * Pipeline: dim join chain (D1) → time-of-day diff (F2) → ±600 s clamp (C7)
+  * → closest-ping-per-stop-event window dedup (E2) → COUNT/AVG/STDDEV agg
+  * (E1) → normal-CDF reliability in-engine (F11; the reference does this
+  * client-side in scipy).
+  *
+  * Scale shape: `customer` is broadcast; the events⋈orders⋈lineitem chain
+  * shuffles on its join keys and the window partitions on the dedup key —
+  * no driver-side collection anywhere.
+  */
+object Flagship {
+  import Num._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Deduped per-(stop-event) deviations, pre-aggregation. */
+  private def deviations(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")) // C6
+    val o = t(s, dir, "orders")
+      .filter(!col("o_orderpriority").rlike("^[45]-")) // C5
+    val l = t(s, dir, "lineitem").withColumn("sched_sec",
+      (col("l_partkey") * 37 + col("l_linenumber") * 601) % 86400)
+    val e = t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      (hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts")))
+        .cast("long").as("tod")) // F2
+
+    val w = Window.partitionBy("l_orderkey", "stop_id", "l_linenumber")
+      .orderBy(abs(col("diff")), col("event_id")) // E2 (F10 in ORDER BY)
+
+    e.join(o, e("user_id") === o("o_custkey")) // D1
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("stop_id"), col("l_orderkey"),
+        col("l_linenumber"), col("event_id"),
+        (col("tod") - col("sched_sec")).as("diff"))
+      .filter(col("diff").between(-600, 600)) // C7
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  private def aggregated(s: SparkSession, dir: String): DataFrame =
+    deviations(s, dir)
+      .groupBy("stop_id")
+      .agg(
+        count(lit(1)).as("n_obs"),
+        (sum(col("diff")).cast("double") / count(lit(1))).as("avg_diff"),
+        stddevFromSums(count(lit(1)), sum(col("diff")),
+          sum(col("diff") * col("diff"))).as("std_diff"))
+
+  def scheduleDeviation(s: SparkSession, dir: String): DataFrame =
+    aggregated(s, dir).orderBy("stop_id")
+
+  /** F11: reliability = P(deviation ∈ [−60 s, +300 s]) under N(μ, σ).
+    * Single-observation groups have NULL σ and are dropped (C9), exactly as
+    * the reference's client-side `dropna`. */
+  def reliability(s: SparkSession, dir: String): DataFrame =
+    aggregated(s, dir)
+      .filter(col("std_diff").isNotNull && col("std_diff") > 0) // C9
+      .select(col("stop_id"), col("n_obs"),
+        round(gf.reliability(col("avg_diff"), col("std_diff"),
+          lit(-60.0), lit(300.0)), 7).as("rel"))
+      .orderBy("stop_id")
+
+  // ---- oracle SQL ----
+
+  private val devCte =
+    """WITH ev AS (
+      |  SELECT event_id, user_id,
+      |    CAST(date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+      |      + date_part('second', ts) AS BIGINT) AS tod
+      |  FROM events),
+      |dev AS (
+      |  SELECT l.l_partkey AS stop_id, l.l_orderkey, l.l_linenumber,
+      |    ev.event_id,
+      |    ev.tod - ((l.l_partkey * 37 + l.l_linenumber * 601) % 86400) AS diff
+      |  FROM ev
+      |  JOIN orders o ON ev.user_id = o.o_custkey
+      |    AND NOT regexp_matches(o.o_orderpriority, '^[45]-')
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |    AND c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  WHERE ev.tod - ((l.l_partkey * 37 + l.l_linenumber * 601) % 86400)
+      |    BETWEEN -600 AND 600),
+      |dedup AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY l_orderkey, stop_id, l_linenumber
+      |    ORDER BY abs(diff), event_id) AS rn
+      |  FROM dev),
+      |agg AS (
+      |  SELECT stop_id, count(*) AS n_obs,
+      |    CAST(sum(diff) AS DOUBLE) / count(*) AS avg_diff,
+      |""".stripMargin +
+      s"    ${stddevSql("count(*)", "sum(diff)", "sum(diff * diff)")} AS std_diff\n" +
+      """  FROM dedup WHERE rn = 1 GROUP BY stop_id)
+      |""".stripMargin
+
+  val scheduleDeviationSql: String =
+    devCte + "SELECT stop_id, n_obs, avg_diff, std_diff FROM agg ORDER BY stop_id"
+
+  /** DuckDB mirror of StatsOps.erf — SAME operation order (A&S 7.1.26), so
+    * both engines produce identical doubles up to the exp() ulp. */
+  private def erfPosSql(x: String): String = {
+    val tt = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"(1.0 - (((((1.061405429 * $tt - 1.453152027) * $tt + 1.421413741) * $tt - 0.284496736) * $tt + 0.254829592) * $tt) * exp(-($x) * ($x)))"
+  }
+  private def erfSql(x: String): String =
+    s"(CASE WHEN $x >= 0 THEN ${erfPosSql(x)} ELSE -${erfPosSql(s"(-$x)")} END)"
+  private def cdfSql(z: String): String =
+    s"(0.5 * (1.0 + ${erfSql(s"(($z) * (1.0 / sqrt(2.0)))")}))"
+
+  val reliabilitySql: String =
+    devCte +
+      s"""SELECT stop_id, n_obs,
+         |  round(${cdfSql("(300.0 - avg_diff) / std_diff")}
+         |    - ${cdfSql("(-60.0 - avg_diff) / std_diff")}, 7) AS rel
+         |FROM agg
+         |WHERE std_diff IS NOT NULL AND std_diff > 0
+         |ORDER BY stop_id""".stripMargin
+
+  // ---- D2: hybrid equi + spatial-theta join (ST_DWithin) ----
+  // Point sets derived from exact integer arithmetic (both engines produce
+  // identical doubles); Spark side goes through real WKB geometry columns
+  // (F4) and the planar st_dwithin expression (F5); the oracle states the
+  // same semantics in plain SQL. Equi conjunct carries the hash join, the
+  // spatial predicate runs as a post-join filter — same physical shape
+  // Catalyst gives the reference query's trip_id + ST_DWithin condition.
+  private def lonOf(key: Column): Column = (key % 3600) / 10.0 - 180.0
+  private def latOf(key: Column): Column = (key % 1700) / 10.0 - 85.0
+
+  def spatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      col("c_custkey"),
+      (col("c_custkey") % 50).as("grp"),
+      gf.st_point(lonOf(col("c_custkey")), latOf(col("c_custkey"))).as("cgeom"))
+    val p = t(s, dir, "part").select(
+      col("p_partkey"),
+      (col("p_partkey") % 50).as("pgrp"),
+      gf.st_point(lonOf(col("p_partkey")), latOf(col("p_partkey"))).as("pgeom"))
+    c.join(p, col("grp") === col("pgrp")
+        && gf.st_dwithin(col("cgeom"), col("pgeom"), lit(0.15)))
+      .select(col("c_custkey"), col("p_partkey"),
+        gf.st_distance(col("cgeom"), col("pgeom")).as("dist"))
+      .orderBy("c_custkey", "p_partkey")
+  }
+
+  val spatialJoinSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_custkey % 50 AS grp,
+      |    (c_custkey % 3600) / 10.0 - 180.0 AS lon,
+      |    (c_custkey % 1700) / 10.0 - 85.0 AS lat
+      |  FROM customer),
+      |p AS (
+      |  SELECT p_partkey, p_partkey % 50 AS grp,
+      |    (p_partkey % 3600) / 10.0 - 180.0 AS lon,
+      |    (p_partkey % 1700) / 10.0 - 85.0 AS lat
+      |  FROM part)
+      |SELECT c.c_custkey, p.p_partkey,
+      |  sqrt((c.lon - p.lon) * (c.lon - p.lon)
+      |    + (c.lat - p.lat) * (c.lat - p.lat)) AS dist
+      |FROM c JOIN p ON c.grp = p.grp
+      |WHERE sqrt((c.lon - p.lon) * (c.lon - p.lon)
+      |    + (c.lat - p.lat) * (c.lat - p.lat)) <= 0.15
+      |ORDER BY c_custkey, p_partkey""".stripMargin
+
+  // F3/F4/F6: ingest-shaped geo enrichment — geohash + WKB hex. Not
+  // SQL-expressible in DuckDB (no IEEE754 byte access) → rows-only check;
+  // unit tests cover published geohash vectors and WKB byte layout.
+  def geoEnrich(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      gf.geohash(latOf(col("p_partkey")), lonOf(col("p_partkey")), lit(7))
+        .as("geohash"),
+      gf.st_ashexwkb(gf.st_point(lonOf(col("p_partkey")), latOf(col("p_partkey"))))
+        .as("wkb_hex"))
+      .orderBy("p_partkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "schedule_deviation" -> (scheduleDeviation _),
+    "reliability" -> (reliability _),
+    "spatial_join" -> (spatialJoin _),
+    "geo_enrich" -> (geoEnrich _))
+
+  val oracle: Map[String, String] = Map(
+    "schedule_deviation" -> scheduleDeviationSql,
+    "reliability" -> reliabilitySql,
+    "spatial_join" -> spatialJoinSql)
+}

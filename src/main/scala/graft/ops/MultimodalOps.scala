@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) modeled as opaque
+  * `binary` columns plus typed metadata, processed in partition-sized
+  * batches. The decode kernel itself is STUBBED (no media libs in this
+  * container — see the builder brief): `decodeStub` is a deterministic fake
+  * standing in for e.g. a JPEG decoder, while everything Spark-side —
+  * schema, batch iteration shape, partitioning — is real and tested.
+  */
+object MultimodalOps {
+
+  /** Typed result of "decoding" one media blob. */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      frames: Int, checksum: Long)
+
+  /** STUB decode: a real implementation would parse the container format;
+    * this derives deterministic pseudo-metadata from the bytes so the
+    * pipeline is testable end-to-end. */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum = sum * 131 + (bytes(i) & 0xff); i += 1 }
+    MediaMeta(id, bytes.length,
+      64 + (bytes.length % 577), 64 + (bytes.length * 31 % 449),
+      1 + (bytes.length % 7), sum)
+  }
+
+  /** Batch "decode" over a binary column — mapPartitions so a real decoder
+    * would amortize per-batch init (model load, codec context) exactly like
+    * a pandas-UDF batch would. */
+  def decodeBatch(spark: SparkSession, blobs: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("media").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, b) => decodeStub(id, b) } }
+  }
+
+  // Oracle-checkable slice of the pipeline: binary length + content hash +
+  // the deterministic fake dimensions, all SQL-expressible.
+  private def features(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"))
+      .select(col("doc_id"),
+        octet_length(col("media")).cast("long").as("n_bytes"), // DuckDB octet_length is BIGINT
+        sha2(col("media"), 256).as("sha"))
+      .withColumn("width", lit(64) + col("n_bytes") % 577)
+      .withColumn("height", lit(64) + (col("n_bytes") * 31) % 449)
+      .withColumn("frames", lit(1) + col("n_bytes") % 7)
+      .orderBy("doc_id")
+
+  private val featuresSql =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS sha,
+      |  64 + octet_length(encode(text)) % 577 AS width,
+      |  64 + (octet_length(encode(text)) * 31) % 449 AS height,
+      |  1 + octet_length(encode(text)) % 7 AS frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_features" -> (features _))
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_features" -> featuresSql)
+}

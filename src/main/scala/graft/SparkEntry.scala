@@ -21,14 +21,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Flagship.queries ++ TextOps.queries ++
-      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      IngestOps.queries
+    Relational.queries ++ Relational2.queries ++ Flagship.queries ++
+      TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      MultimodalOps.queries ++ IngestOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Flagship.oracle ++ TextOps.oracle ++
-      DedupOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle ++
-      IngestOps.oracle
+    Relational.oracle ++ Relational2.oracle ++ Flagship.oracle ++
+      TextOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
+      MultimodalOps.oracle ++ IngestOps.oracle
 }

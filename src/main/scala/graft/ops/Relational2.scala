@@ -1,0 +1,240 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational tranche — operators beyond the reference's own surface
+  * that a complete engine needs (SURVEY.md §2 D3/E4 call these out as
+  * absent in the reference): semi/anti joins, outer joins, set operations,
+  * rollup, distinct aggregation, general window functions, string and null
+  * handling. All oracle-checked.
+  */
+object Relational2 {
+  import Num._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // Semi/anti join: customers with vs without orders.
+  private def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
+    withO.unionByName(without).select("kind", "n").orderBy("kind")
+  }
+
+  private val semiAntiSql =
+    """SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY kind""".stripMargin
+
+  // Full outer join with key coalescing: parts vs lineitem usage.
+  private def outerJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_parts"))
+    val l = t(s, dir, "lineitem").groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"))
+    p.join(l, p("p_partkey") === l("l_partkey"), "full_outer")
+      .select(
+        coalesce(p("p_partkey"), l("l_partkey")).as("part_id"),
+        coalesce(col("n_parts"), lit(0L)).as("n_parts"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+      .orderBy("part_id")
+  }
+
+  private val outerJoinSql =
+    """SELECT coalesce(p.p_partkey, l.l_partkey) AS part_id,
+      |  coalesce(p.n_parts, 0) AS n_parts,
+      |  coalesce(l.n_lines, 0) AS n_lines
+      |FROM (SELECT p_partkey, count(*) AS n_parts FROM part GROUP BY 1) p
+      |FULL OUTER JOIN
+      |  (SELECT l_partkey, count(*) AS n_lines FROM lineitem GROUP BY 1) l
+      |  ON p.p_partkey = l.l_partkey
+      |ORDER BY part_id""".stripMargin
+
+  // Set operations: UNION (distinct), INTERSECT, EXCEPT.
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val small = t(s, dir, "part").filter(col("p_size") < 10)
+      .select(col("p_partkey").as("k"))
+    val heavy = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      .select(col("l_partkey").as("k"))
+    val u = small.union(heavy).distinct()
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("union"))
+    val i = small.intersect(heavy)
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+    val e = small.except(heavy)
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+    u.unionByName(i).unionByName(e).select("op", "n").orderBy("op")
+  }
+
+  private val setOpsSql =
+    """WITH small AS (SELECT p_partkey AS k FROM part WHERE p_size < 10),
+      |heavy AS (SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45)
+      |SELECT 'union' AS op, count(*) AS n
+      |  FROM (SELECT k FROM small UNION SELECT k FROM heavy)
+      |UNION ALL
+      |SELECT 'intersect' AS op, count(*) AS n
+      |  FROM (SELECT k FROM small INTERSECT SELECT k FROM heavy)
+      |UNION ALL
+      |SELECT 'except' AS op, count(*) AS n
+      |  FROM (SELECT k FROM small EXCEPT SELECT k FROM heavy)
+      |ORDER BY op""".stripMargin
+
+  // Rollup with subtotal rows; NULLS FIRST makes the orderings agree.
+  // The ROLLUP itself goes through spark.sql on a temp view: Spark 4.1's
+  // ambiguous-self-join detector misfires on Dataset-API rollup over a
+  // joined frame (Expand duplicates the grouping attributes).
+  private def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .select(col("n_name").as("nation"), col("l_returnflag").as("flag"),
+        col("l_quantity"))
+      .createOrReplaceTempView("graft_rollup_input")
+    s.sql(
+      s"""SELECT nation, flag, count(*) AS n,
+         |  ${dsumSql("l_quantity")} AS qty
+         |FROM graft_rollup_input
+         |GROUP BY ROLLUP (nation, flag)
+         |ORDER BY nation ASC NULLS FIRST, flag ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val rollupAggSql =
+    s"""SELECT n_name AS nation, l_returnflag AS flag, count(*) AS n,
+       |  ${dsumSql("l_quantity")} AS qty
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY ROLLUP (n_name, l_returnflag)
+       |ORDER BY nation NULLS FIRST, flag NULLS FIRST""".stripMargin
+
+  // Distinct aggregation (exact) + conditional (pivot-style) aggregation.
+  private def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_heavy"),
+        sum(when(col("l_discount") >= 0.05, 1L).otherwise(0L)).as("n_discounted"))
+      .orderBy("l_returnflag")
+
+  private val distinctAggSql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+      |  CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // General window functions: rank, dense_rank, lag, lead, running sum.
+  private def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"),
+      col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("running_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val windowFuncsSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(rank() OVER w AS INT) AS rnk,
+      |  CAST(dense_rank() OVER w AS INT) AS drnk,
+      |  lag(o_orderkey, 1) OVER w AS prev_order,
+      |  lead(o_orderkey, 1) OVER w AS next_order,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS running_cents
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // String function battery (1-based substr semantics match).
+  private def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("up"),
+        lower(col("p_type")).as("lo"),
+        substring(col("p_name"), 1, 8).as("sub"),
+        length(col("p_name")).cast("long").as("nlen"),
+        trim(lit("  pad  ")).as("trimmed"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("devoweled"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+      .orderBy("p_partkey")
+
+  private val stringFuncsSql =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS up,
+      |  lower(p_type) AS lo,
+      |  substr(p_name, 1, 8) AS sub,
+      |  CAST(length(p_name) AS BIGINT) AS nlen,
+      |  trim('  pad  ') AS trimmed,
+      |  lpad(p_brand, 12, '*') AS padded,
+      |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+      |  concat_ws('|', p_brand, p_type) AS joined
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // Null handling: coalesce / nullif / null-aware counts over an outer join.
+  private def nullHandling(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(nullif(col("c_mktsegment"), lit("BUILDING"))).as("n_nonbuilding"),
+        sum(coalesce(when(col("c_acctbal") > 0,
+          round(col("c_acctbal") * 100).cast("long")), lit(0L)))
+          .as("pos_bal_cents"))
+      .orderBy(col("n_name").asc_nulls_first)
+  }
+
+  private val nullHandlingSql =
+    """SELECT n_name, count(*) AS n_rows,
+      |  count(nullif(c_mktsegment, 'BUILDING')) AS n_nonbuilding,
+      |  CAST(sum(coalesce(CASE WHEN c_acctbal > 0
+      |    THEN CAST(round(c_acctbal * 100) AS BIGINT) END, 0)) AS BIGINT)
+      |    AS pos_bal_cents
+      |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name NULLS FIRST""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_semi_anti" -> (semiAnti _),
+    "join_outer" -> (outerJoin _),
+    "set_ops" -> (setOps _),
+    "rollup_agg" -> (rollupAgg _),
+    "distinct_agg" -> (distinctAgg _),
+    "window_funcs" -> (windowFuncs _),
+    "string_funcs" -> (stringFuncs _),
+    "null_handling" -> (nullHandling _))
+
+  val oracle: Map[String, String] = Map(
+    "join_semi_anti" -> semiAntiSql,
+    "join_outer" -> outerJoinSql,
+    "set_ops" -> setOpsSql,
+    "rollup_agg" -> rollupAggSql,
+    "distinct_agg" -> distinctAggSql,
+    "window_funcs" -> windowFuncsSql,
+    "string_funcs" -> stringFuncsSql,
+    "null_handling" -> nullHandlingSql)
+}

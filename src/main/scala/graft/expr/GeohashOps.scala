@@ -40,6 +40,33 @@ object GeohashOps {
     UTF8String.fromBytes(out)
   }
 
+  /** 3×3 neighborhood of a point's geohash cell (self included; cells
+    * falling outside the lat range are skipped, longitude handled
+    * planar — no antimeridian wrap, matching the engine's planar distance
+    * semantics). Kernel of the geohash-bucketed spatial join (SURVEY.md
+    * §7.5): explode one side to its neighborhood, equi-join on the cell. */
+  def neighborCells(lat: Double, lon: Double, precision: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val lonBits = math.ceil(precision * 5 / 2.0).toInt
+    val latBits = precision * 5 - lonBits
+    val cellW = 360.0 / (1L << lonBits)
+    val cellH = 180.0 / (1L << latBits)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](9)
+    var dy = -1
+    while (dy <= 1) {
+      var dx = -1
+      while (dx <= 1) {
+        val nLat = lat + dy * cellH
+        val nLon = lon + dx * cellW
+        if (nLat >= -90.0 && nLat <= 90.0 && nLon >= -180.0 && nLon < 180.0)
+          out += encode(nLat, nLon, precision)
+        dx += 1
+      }
+      dy += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Decode to the cell-center point — used by tests (round-trip property)
     * and by the geohash-bucketed spatial join (SURVEY.md §7.5). */
   def decodeCenter(gh: String): (Double, Double) = {

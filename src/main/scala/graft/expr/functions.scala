@@ -30,6 +30,12 @@ object functions {
   def st_point(lon: Column, lat: Column): Column =
     inv(GeoOps.getClass, BinaryType, "pointWkb", lon.cast("double"), lat.cast("double"))
 
+  /** 3×3 geohash cell neighborhood of a point (spatial-join bucketing). */
+  def geohash_neighbors(lat: Column, lon: Column, precision: Column): Column =
+    inv(GeohashOps.getClass, ArrayType(StringType, containsNull = false),
+      "neighborCells", lat.cast("double"), lon.cast("double"),
+      precision.cast("int"))
+
   def st_x(geom: Column): Column = inv(GeoOps.getClass, DoubleType, "wkbX", geom)
   def st_y(geom: Column): Column = inv(GeoOps.getClass, DoubleType, "wkbY", geom)
 

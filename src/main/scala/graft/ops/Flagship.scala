@@ -178,6 +178,54 @@ object Flagship {
       |    + (c.lat - p.lat) * (c.lat - p.lat)) <= 0.15
       |ORDER BY c_custkey, p_partkey""".stripMargin
 
+  // D2 at scale (SURVEY.md §7.5): the same spatial join WITHOUT an equi
+  // crutch — pure "all pairs within 0.15°" — made scalable by geohash
+  // bucketing: one side explodes to the 3×3 neighborhood of its
+  // precision-4 cell (cell ≥ 0.17° ≥ d in both axes, so the neighborhood
+  // provably covers the disk), the other side keeps its single cell, and
+  // the join is an equi-join on the cell key. Each candidate pair meets
+  // exactly once (the probe's own cell appears once in the neighborhood),
+  // so no dedup pass is needed. Result set is byte-identical to the
+  // brute-force oracle.
+  private val GhPrec = 4 // cell 0.35° × 0.176° ≥ d = 0.15°
+
+  def spatialJoinGeohash(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      col("c_custkey"),
+      gf.st_point(lonOf(col("c_custkey")), latOf(col("c_custkey"))).as("cgeom"),
+      explode(gf.geohash_neighbors(latOf(col("c_custkey")),
+        lonOf(col("c_custkey")), lit(GhPrec))).as("cell"))
+    val p = t(s, dir, "part").select(
+      col("p_partkey"),
+      gf.st_point(lonOf(col("p_partkey")), latOf(col("p_partkey"))).as("pgeom"),
+      gf.geohash(latOf(col("p_partkey")), lonOf(col("p_partkey")), lit(GhPrec))
+        .as("cell"))
+    c.join(p, Seq("cell"))
+      .filter(gf.st_dwithin(col("cgeom"), col("pgeom"), lit(0.15)))
+      .select(col("c_custkey"), col("p_partkey"),
+        gf.st_distance(col("cgeom"), col("pgeom")).as("dist"))
+      .orderBy("c_custkey", "p_partkey")
+  }
+
+  val spatialJoinGeohashSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |    (c_custkey % 3600) / 10.0 - 180.0 AS lon,
+      |    (c_custkey % 1700) / 10.0 - 85.0 AS lat
+      |  FROM customer),
+      |p AS (
+      |  SELECT p_partkey,
+      |    (p_partkey % 3600) / 10.0 - 180.0 AS lon,
+      |    (p_partkey % 1700) / 10.0 - 85.0 AS lat
+      |  FROM part)
+      |SELECT c.c_custkey, p.p_partkey,
+      |  sqrt((c.lon - p.lon) * (c.lon - p.lon)
+      |    + (c.lat - p.lat) * (c.lat - p.lat)) AS dist
+      |FROM c, p
+      |WHERE sqrt((c.lon - p.lon) * (c.lon - p.lon)
+      |    + (c.lat - p.lat) * (c.lat - p.lat)) <= 0.15
+      |ORDER BY c_custkey, p_partkey""".stripMargin
+
   // F3/F4/F6: ingest-shaped geo enrichment — geohash + WKB hex. Not
   // SQL-expressible in DuckDB (no IEEE754 byte access) → rows-only check;
   // unit tests cover published geohash vectors and WKB byte layout.
@@ -194,10 +242,12 @@ object Flagship {
     "schedule_deviation" -> (scheduleDeviation _),
     "reliability" -> (reliability _),
     "spatial_join" -> (spatialJoin _),
+    "spatial_join_geohash" -> (spatialJoinGeohash _),
     "geo_enrich" -> (geoEnrich _))
 
   val oracle: Map[String, String] = Map(
     "schedule_deviation" -> scheduleDeviationSql,
     "reliability" -> reliabilitySql,
-    "spatial_join" -> spatialJoinSql)
+    "spatial_join" -> spatialJoinSql,
+    "spatial_join_geohash" -> spatialJoinGeohashSql)
 }

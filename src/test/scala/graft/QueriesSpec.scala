@@ -65,6 +65,29 @@ class QueriesSpec extends SparkSpec {
     assert(r.filter(col("dist") > 0.15).count() == 0)
   }
 
+  test("geohash-bucketed spatial join equals the brute-force pair set") {
+    import org.apache.spark.sql.functions.{sqrt => fsqrt}
+    val got = q("spatial_join_geohash")
+      .select("c_custkey", "p_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force in-test: cross join on derived coords
+    val c = Tables(spark, sf0001, "customer")
+      .select(col("c_custkey"),
+        ((col("c_custkey") % 3600) / 10.0 - 180.0).as("clon"),
+        ((col("c_custkey") % 1700) / 10.0 - 85.0).as("clat"))
+    val p = Tables(spark, sf0001, "part")
+      .select(col("p_partkey"),
+        ((col("p_partkey") % 3600) / 10.0 - 180.0).as("plon"),
+        ((col("p_partkey") % 1700) / 10.0 - 85.0).as("plat"))
+    val expect = c.crossJoin(p)
+      .filter(fsqrt((col("clon") - col("plon")) * (col("clon") - col("plon"))
+        + (col("clat") - col("plat")) * (col("clat") - col("plat"))) <= 0.15)
+      .select("c_custkey", "p_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    assert(got.nonEmpty)
+  }
+
   test("geo_enrich emits 7-char geohashes and 21-byte WKB hex") {
     val r = q("geo_enrich")
     assert(r.filter(length(col("geohash")) =!= 7).count() == 0)

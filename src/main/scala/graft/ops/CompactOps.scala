@@ -19,6 +19,34 @@ object CompactOps {
   /** Zstd level the reference uses for the cold zone (:110-112). */
   val ZstdLevel = 15
 
+  /** Reference row-group bounds (compaction/runtime/handler.py:104-106). */
+  val MinRowsPerGroup = 61440
+  val MaxRowsPerGroup = 122880
+
+  /** A6: parquet footer introspection — (rows, compressed bytes, codec)
+    * per row group across all files of `path`. Mirrors the reference's
+    * pq.read_metadata schema/footer pin (compaction handler :86-95). */
+  def rowGroupStats(spark: SparkSession,
+      path: String): Seq[(Long, Long, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    files.toSeq.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.map { rg =>
+          val codec = rg.getColumns.asScala.headOption
+            .map(_.getCodec.toString).getOrElse("NONE")
+          (rg.getRowCount, rg.getCompressedSize, codec)
+        }.toSeq
+      } finally reader.close()
+    }
+  }
+
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFiles: Int = 1, sortCols: Seq[String] = Nil): Unit = {
     val df = spark.read.parquet(inPath)

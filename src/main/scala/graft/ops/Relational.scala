@@ -234,7 +234,38 @@ object Relational {
        |  event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
+  // F9: date-range generation (reference: relativedelta loop over n days,
+  // compaction/runtime/handler.py:150-167) — sequence + explode.
+  private def dateRange(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(col("n_nationkey"),
+        explode(sequence(
+          lit(java.sql.Date.valueOf("1995-01-01")),
+          lit(java.sql.Date.valueOf("1995-01-10")))).as("d"))
+      .select(col("n_nationkey"), date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .orderBy("n_nationkey", "day")
+
+  private val dateRangeSql =
+    """SELECT n_nationkey, strftime(d, '%Y-%m-%d') AS day
+      |FROM nation, generate_series(DATE '1995-01-01', DATE '1995-01-10',
+      |  INTERVAL 1 DAY) g(d)
+      |ORDER BY n_nationkey, day""".stripMargin
+
+  // E4: HLL approximate distinct count — rows-only driver check (Spark's
+  // HLL++ and DuckDB's HLL differ by design); exactness is bounded by the
+  // relative-error parameter and cross-checked against countDistinct in
+  // ScalaTest.
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "date_range" -> (dateRange _),
+    "approx_distinct" -> (approxDistinct _),
     "agg_stats" -> (aggStats _),
     "join_chain" -> (joinChain _),
     "window_dedup" -> (windowDedup _),
@@ -248,6 +279,7 @@ object Relational {
     "events_window" -> (eventsWindow _))
 
   val oracle: Map[String, String] = Map(
+    "date_range" -> dateRangeSql,
     "agg_stats" -> aggStatsSql,
     "join_chain" -> joinChainSql,
     "window_dedup" -> windowDedupSql,

@@ -52,6 +52,18 @@ class IngestCompactSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("compacted footers: zstd codec, row groups within the reference bound") {
+    val hot = Files.createTempDirectory("graft-hot2").toString
+    val cold = Files.createTempDirectory("graft-cold2").toString
+    enriched.drop("year", "month", "day").write.mode("overwrite").parquet(hot)
+    CompactOps.compact(spark, hot, cold)
+    val groups = CompactOps.rowGroupStats(spark, cold)
+    assert(groups.nonEmpty)
+    assert(groups.forall(_._3 == "ZSTD"), s"codec: ${groups.map(_._3).distinct}")
+    assert(groups.forall(_._1 <= CompactOps.MaxRowsPerGroup))
+    assert(groups.map(_._1).sum == enriched.count())
+  }
+
   test("decode populates direction_id from the direction field (bug fix vs reference)") {
     val vals = IngestOps.decode(Tables(spark, sf0001, "events"))
       .select("direction_id").distinct()

@@ -1,0 +1,78 @@
+package graft
+
+/** Physical-plan audits (the "is this the plan you'd want at 100 TB" check):
+  * filters/projections must reach the parquet scan, small dims must
+  * broadcast, and no LSH/bucketed operator may degenerate into a cartesian
+  * product. The brute-force baselines are asserted to BE nested-loop joins
+  * — that's their documented role.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan.toString
+
+  test("predicate and projection pushdown reach the parquet scan") {
+    val p = plan("filter_isin_between")
+    assert(p.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(p.contains("In(p_size"), s"p_size IN not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(p_retailprice"),
+      "retailprice range not pushed")
+  }
+
+  test("column pruning: geo_enrich reads only p_partkey") {
+    val p = plan("geo_enrich")
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint>"),
+      s"scan reads more than the projected column:\n$p")
+  }
+
+  test("dimension joins broadcast, not shuffle") {
+    val p = plan("join_chain")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3
+      || "BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("flagship broadcasts the customer dim") {
+    val p = plan("schedule_deviation")
+    assert(p.contains("BroadcastHashJoin"), "customer dim not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LSH/bucketed operators never degenerate into cross products") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+        "simsearch_lsh", "spatial_join_geohash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")
+    }
+  }
+
+  test("brute-force baselines are (intentionally) nested-loop joins") {
+    for (q <- Seq("simsearch_topk", "dedup_embedding")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+        s"$q no longer brute-force — update SCALE.md if intentional")
+    }
+  }
+
+  test("whole-stage codegen is active on the hot paths") {
+    val p = plan("agg_stats")
+    assert(p.contains("HashAggregate"), "no hash aggregation")
+    // custom StaticInvoke kernels must not force the plan out of codegen
+    val g = plan("geo_enrich")
+    assert(!g.contains("CodegenFallback"), "geo kernels fell back")
+  }
+
+  test("window dedup shuffles once on the key plus the presentation sort") {
+    // exchanges are inserted by EnsureRequirements → inspect executedPlan
+    val p = SparkEntry.queries("window_dedup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val hash = "hashpartitioning".r.findAllIn(p).size
+    val range = "rangepartitioning".r.findAllIn(p).size
+    assert(hash == 1, s"expected exactly one hash exchange, got $hash:\n$p")
+    assert(range == 1, s"expected exactly one range (orderBy) exchange, got $range")
+    // rank(1) pushes through WindowGroupLimit: partial top-1 before the shuffle
+    assert(p.contains("WindowGroupLimit"), "missing partial window group limit")
+  }
+}

@@ -101,6 +101,11 @@ object functions {
     inv(EmbedOps.getClass, IntegerType, "lshBucketOffset", vec,
       bits.cast("int"), offset.cast("int"))
 
+  /** A2: GTFS-Realtime FeedMessage decode — binary → array of vehicle
+    * rows; `explode` it to get one row per vehicle entity. */
+  def gtfsrt_decode(feed: Column): Column =
+    inv(GtfsRtOps.getClass, ArrayType(GtfsRtOps.vehicleSchema), "decodeFeed", feed)
+
   // ---- SQL registration ----
 
   private[graft] val sqlFunctions: Seq[(String, DataType, Class[_], String, Int)] = Seq(

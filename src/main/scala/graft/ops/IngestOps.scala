@@ -41,6 +41,17 @@ object IngestOps {
       (col("value") % 40.0).as("speed"),
       unix_timestamp(col("ts")).as("timestamp"))
 
+  /** A2 on real feeds: decode a binary GTFS-rt `FeedMessage` column into
+    * the same pre-enrichment schema `decode` produces from the stand-in —
+    * one row per vehicle entity, nulls for absent optional fields. Feed
+    * this to [[enrich]] exactly like the stand-in path. */
+  def decodeProtobuf(feeds: DataFrame, feedCol: String = "feed"): DataFrame =
+    feeds
+      .select(explode(gf.gtfsrt_decode(col(feedCol))).as("v"))
+      .select(col("v.trip_id"), col("v.route_id"), col("v.direction_id"),
+        col("v.vehicle_id"), col("v.latitude"), col("v.longitude"),
+        col("v.bearing"), col("v.speed"), col("v.timestamp"))
+
   /** Enrichment: epoch→timestamp, geohash, WKB geometry + bbox covering,
     * drop transient lat/lon, derive hive partition columns. */
   def enrich(decoded: DataFrame): DataFrame =

@@ -218,7 +218,32 @@ object Relational2 {
       |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name NULLS FIRST""".stripMargin
 
+  // Skew mitigation: two-phase salted aggregation over hot keys.
+  // `event_type` has only 5 values — an unsalted groupBy at 100 TB funnels
+  // everything through 5 reducers; the salt fans each hot key across 8
+  // partial groups (map-side), then the tiny (key, salt) partials combine.
+  // DECIMAL sums are associative, so the result is bit-identical to the
+  // direct aggregation the oracle states.
+  private val Salts = 8
+
+  private def skewSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val partials = t(s, dir, "events")
+      .groupBy(col("event_type"), (col("event_id") % Salts).as("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("ps"))
+    partials.groupBy("event_type")
+      .agg(sum(col("pn")).as("n"),
+        sum(col("ps")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val skewSaltedAggSql =
+    s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_agg" -> (skewSaltedAgg _),
     "join_semi_anti" -> (semiAnti _),
     "join_outer" -> (outerJoin _),
     "set_ops" -> (setOps _),
@@ -229,6 +254,7 @@ object Relational2 {
     "null_handling" -> (nullHandling _))
 
   val oracle: Map[String, String] = Map(
+    "skew_salted_agg" -> skewSaltedAggSql,
     "join_semi_anti" -> semiAntiSql,
     "join_outer" -> outerJoinSql,
     "set_ops" -> setOpsSql,

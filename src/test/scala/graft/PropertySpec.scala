@@ -1,0 +1,75 @@
+package graft
+
+import graft.expr.{GeoOps, GeohashOps, StatsOps, TextHashOps}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based kernel checks (SURVEY.md §5 item 3) — plain ScalaCheck
+  * `Properties` (run natively by sbt's test interface). */
+object PropertySpec extends Properties("graft.kernels") {
+
+  private val lat = Gen.chooseNum(-89.999, 89.999)
+  private val lon = Gen.chooseNum(-179.999, 179.999)
+
+  property("geohash prefix containment is monotone in precision") =
+    forAll(lat, lon) { (la, lo) =>
+      val g8 = GeohashOps.encode(la, lo, 8).toString
+      (1 to 7).forall(p => g8.startsWith(GeohashOps.encode(la, lo, p).toString))
+    }
+
+  property("geohash decodeCenter stays inside the encoded cell") =
+    forAll(lat, lon) { (la, lo) =>
+      val gh = GeohashOps.encode(la, lo, 7).toString
+      val (cla, clo) = GeohashOps.decodeCenter(gh)
+      GeohashOps.encode(cla, clo, 7).toString == gh
+    }
+
+  property("WKB encode∘decode is the identity on coordinates") =
+    forAll(lat, lon) { (la, lo) =>
+      val wkb = GeoOps.pointWkb(lo, la)
+      GeoOps.wkbX(wkb) == lo && GeoOps.wkbY(wkb) == la && wkb.length == 21
+    }
+
+  property("planar distance is symmetric; dwithin reflexive at 0") =
+    forAll(lat, lon, lat, lon) { (a, b, c, d) =>
+      val p = GeoOps.pointWkb(b, a)
+      val q = GeoOps.pointWkb(d, c)
+      GeoOps.dwithin(p, p, 0.0) &&
+        GeoOps.distance(p, q) == GeoOps.distance(q, p)
+    }
+
+  property("normal CDF is monotone and bounded on [-6,6]") =
+    forAll(Gen.chooseNum(-6.0, 6.0), Gen.chooseNum(-6.0, 6.0)) { (z1, z2) =>
+      val (lo, hi) = (math.min(z1, z2), math.max(z1, z2))
+      val (clo, chi) = (StatsOps.normalCdf(lo), StatsOps.normalCdf(hi))
+      clo <= chi + 1e-15 && clo >= -1e-9 && chi <= 1.0 + 1e-9
+    }
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta")
+  private val doc = Gen.listOfN(30, word).map(_.mkString(" "))
+
+  property("minhash agreement is 32/32 for identical docs, in [0,32] always") =
+    forAll(doc, doc) { (a, b) =>
+      val sa = TextHashOps.minhash(UTF8String.fromString(a), 32, 2)
+      val sb = TextHashOps.minhash(UTF8String.fromString(b), 32, 2)
+      val agree = (0 until 32).count(i => sa.getLong(i) == sb.getLong(i))
+      (if (a == b) agree == 32 else true) && agree >= 0 && agree <= 32
+    }
+
+  property("fingerprint is deterministic and within the modulus") =
+    forAll(doc) { a =>
+      val u = UTF8String.fromString(a)
+      val f = TextHashOps.fingerprint(u)
+      f == TextHashOps.fingerprint(u) && f >= 0 && f < 1000000007L
+    }
+
+  property("shingle count is tokens - n + 1 before dedup (distinct <= that)") =
+    forAll(doc) { a =>
+      val n = TextHashOps.shingleStrings(UTF8String.fromString(a), 3)
+        .numElements()
+      val toks = a.split(' ').count(_.nonEmpty)
+      n <= math.max(0, toks - 2)
+    }
+}

@@ -47,17 +47,25 @@ object Bench {
         pool.submit(new Runnable { def run(): Unit = runOne(name, fn, warmDir) })
       }.foreach(_.get())
     } finally pool.shutdown()
+    // Idle settle: the parallel warmup saturates the C2 compile queue;
+    // timing immediately would charge the drain to the first (alphabetical)
+    // queries. An idle pause lets the compiler threads finish.
+    Thread.sleep(20000)
     System.err.println(f"[bench] warmup done ${(System.nanoTime() - t0) / 1e9}%.1fs")
 
-    // Timed pass: min of two consecutive runs per query — the first run
-    // absorbs any residual JIT/GC lag from the parallel warmup, the min
-    // reports the plan's steady-state cost. Both runs execute the full
-    // plan through the noop sink.
-    val results = catalog.map { case (name, fn) =>
-      val s1 = runOne(name, fn, sfDir)
-      val s2 = runOne(name, fn, sfDir)
+    // Timed: two full passes over the catalog, per-query min across
+    // passes. Host-level noise arrives in windows of tens of seconds;
+    // consecutive reruns share a window, but the same query in two
+    // well-separated passes almost never does. Every run executes the
+    // full plan through the noop sink.
+    def pass(): Map[String, Double] =
+      catalog.map { case (name, fn) => name -> runOne(name, fn, sfDir) }.toMap
+    val p1 = pass()
+    val p2 = pass()
+    val results = catalog.map { case (name, _) =>
+      val (s1, s2) = (p1(name), p2(name))
       val sec = if (s1 < 0 || s2 < 0) -1.0 else math.min(s1, s2)
-      System.err.println(f"[bench] $name $sec%.2fs (runs $s1%.2f / $s2%.2f)")
+      System.err.println(f"[bench] $name $sec%.2fs (passes $s1%.2f / $s2%.2f)")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

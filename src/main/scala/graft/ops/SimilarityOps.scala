@@ -61,7 +61,7 @@ object SimilarityOps {
   // With per-bit agreement p = 1 − θ/π, recall@top-k ≈ 1 − (1 − p^Bits)^L.
   // Approximate — recall vs brute force is asserted in ScalaTest; driver
   // check is rows-only (bucketing not DuckDB-expressible).
-  private val NTables = 8
+  private val NTables = 16
   private val Bits = 6
 
   /** (table, bucket) pairs: table t uses hyperplanes [t*Bits, (t+1)*Bits). */

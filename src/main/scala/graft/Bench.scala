@@ -53,19 +53,51 @@ object Bench {
     Thread.sleep(20000)
     System.err.println(f"[bench] warmup done ${(System.nanoTime() - t0) / 1e9}%.1fs")
 
-    // Timed: two full passes over the catalog, per-query min across
-    // passes. Host-level noise arrives in windows of tens of seconds;
-    // consecutive reruns share a window, but the same query in two
-    // well-separated passes almost never does. Every run executes the
-    // full plan through the noop sink.
-    def pass(): Map[String, Double] =
-      catalog.map { case (name, fn) => name -> runOne(name, fn, sfDir) }.toMap
-    val p1 = pass()
-    val p2 = pass()
+    // Timed: two full passes over the catalog, then outlier-retry passes.
+    // Host-level noise arrives in windows of tens of seconds; consecutive
+    // reruns share a window, but the same query in well-separated passes
+    // almost never does. Noise only ever inflates a sample (a run can't
+    // beat its plan), so min is the estimator; a query is SUSPECT until
+    // its two best samples agree within 1.3x and its min is under an
+    // absolute ceiling (no catalog query legitimately exceeds ~15s at
+    // sf0.1 — if one did, retries cost a bounded ~1 min, not wrong data).
+    // Up to 3 extra passes re-run only the suspect queries, each pass
+    // preceded by a sleep long enough to escape the noise window.
+    val suspectCeiling =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CEILING_SEC", "15").toDouble
+    def pass(names: Seq[String]): Map[String, Double] =
+      catalog.filter(c => names.contains(c._1))
+        .map { case (name, fn) => name -> runOne(name, fn, sfDir) }.toMap
+    def suspect(samples: Seq[Double]): Boolean = {
+      val ok = samples.filter(_ >= 0).sorted
+      if (ok.isEmpty) false
+      else if (ok.size == 1) true
+      // sub-second jitter between the two best samples is not noise worth
+      // a retry pass — require both a ratio and an absolute gap
+      else (ok(1) / ok(0) > 1.3 && ok(1) - ok(0) > 0.5) || ok(0) > suspectCeiling
+    }
+    val all = catalog.map(_._1)
+    var samples: Map[String, Seq[Double]] =
+      all.map(n => n -> Seq.empty[Double]).toMap
+    def addPass(names: Seq[String]): Unit =
+      pass(names).foreach { case (n, s) => samples += n -> (samples(n) :+ s) }
+    addPass(all)
+    addPass(all)
+    var retry = all.filter(n => suspect(samples(n)))
+    var extra = 0
+    while (retry.nonEmpty && extra < 3) {
+      System.err.println(s"[bench] retry pass ${extra + 1} for: ${retry.mkString(", ")}")
+      Thread.sleep(30000) // escape the current noise window
+      addPass(retry)
+      retry = retry.filter(n => suspect(samples(n)))
+      extra += 1
+    }
     val results = catalog.map { case (name, _) =>
-      val (s1, s2) = (p1(name), p2(name))
-      val sec = if (s1 < 0 || s2 < 0) -1.0 else math.min(s1, s2)
-      System.err.println(f"[bench] $name $sec%.2fs (passes $s1%.2f / $s2%.2f)")
+      val ss = samples(name)
+      val ok = ss.filter(_ >= 0)
+      val sec = if (ok.isEmpty) -1.0 else ok.min
+      System.err.println(
+        f"[bench] $name $sec%.2fs (passes ${ss.map(s => f"$s%.2f").mkString(" / ")})")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -38,6 +38,44 @@ object EmbedOps {
     c
   }
 
+  /** Top-`top` IVF cell ids of a float vector against a flattened row-major
+    * K×`dim` centroid matrix (pre-normalized rows, so the dot product ranks
+    * by cosine). Returns cell ids ordered by descending similarity, ties to
+    * the lower id — deterministic across executors, which is what makes the
+    * downstream cell equi-join reproducible. One StaticInvoke over the
+    * literal matrix instead of K separate dot expressions. */
+  def topCells(vec: ArrayData, cents: ArrayData, dim: Int, top: Int): ArrayData = {
+    val n = math.min(vec.numElements(), dim)
+    val k = cents.numElements() / dim
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var i = 0
+      val base = c * dim
+      while (i < n) { acc += vec.getFloat(i).toDouble * cents.getDouble(base + i); i += 1 }
+      sims(c) = acc
+      c += 1
+    }
+    val t = math.min(top, k)
+    val out = new Array[Int](t)
+    val used = new Array[Boolean](k)
+    var j = 0
+    while (j < t) {
+      var best = -1
+      var bv = Double.NegativeInfinity
+      var cc = 0
+      while (cc < k) {
+        if (!used(cc) && sims(cc) > bv) { bv = sims(cc); best = cc }
+        cc += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** `bits`-bit random-hyperplane signature of a float vector. Vectors with
     * small cosine distance agree on most bits, so an equi-join on the
     * bucket (or on band sub-keys) finds near neighbors without the n²

@@ -96,6 +96,12 @@ object functions {
   def lsh_bucket(vec: Column, bits: Column): Column =
     inv(EmbedOps.getClass, IntegerType, "lshBucket", vec, bits.cast("int"))
 
+  /** Ordered top-`top` IVF cell ids of a float vector against a flattened
+    * row-major centroid-matrix literal (rows pre-normalized). */
+  def ivf_cells(vec: Column, centroids: Column, dim: Column, top: Column): Column =
+    inv(EmbedOps.getClass, ArrayType(IntegerType, containsNull = false),
+      "topCells", vec, centroids, dim.cast("int"), top.cast("int"))
+
   /** Multi-table LSH bucket: hyperplanes [offset, offset+bits). */
   def lsh_bucket_offset(vec: Column, bits: Column, offset: Column): Column =
     inv(EmbedOps.getClass, IntegerType, "lshBucketOffset", vec,

@@ -64,5 +64,65 @@ object CompactOps {
       .option("parquet.block.size", (12 * 1024 * 1024).toString)
       .mode("overwrite")
       .parquet(outPath)
+    // Compaction re-attaches the GeoParquet footer like the reference
+    // (compaction/runtime/handler.py:86-95); no-op for non-geo tables.
+    GeoParquetMeta.attach(spark, outPath)
+  }
+
+  // ---- G4: cron-compaction date-window orchestration ----
+  // Mirrors compaction/runtime/handler.py:150-189: the payload names a
+  // window (previous_days XOR previous_months + timezone + compact_to_now),
+  // the window expands to a date list, and each date's hive partition is
+  // compacted independently. `now` is an explicit parameter (the reference
+  // reads the wall clock) so tests and replays are deterministic.
+
+  /** handler.py:150-167 — `duration` periods back from now-in-`tz`, one
+    * date per period, plus the current period when `compactToNow`. */
+  def datesInRange(duration: Int, tz: String, period: String,
+      compactToNow: Boolean, now: java.time.Instant): Seq[java.time.LocalDate] = {
+    require(period == "days" || period == "months", s"bad period: $period")
+    val zNow = now.atZone(java.time.ZoneId.of(tz))
+    val start =
+      if (period == "days") zNow.minusDays(duration) else zNow.minusMonths(duration)
+    val n = if (compactToNow) duration + 1 else duration
+    (0 until n).map { i =>
+      (if (period == "days") start.plusDays(i) else start.plusMonths(i)).toLocalDate
+    }
+  }
+
+  /** handler.py:170-195 — expand the payload window and compact each
+    * date's partition from `inRoot` into the same relative path under
+    * `outRoot` (raw hot zone → compacted cold zone). Daily windows target
+    * `year=Y/month=M/day=D`; monthly windows target `year=Y/month=M`
+    * (recursive read — Spark partition discovery folds the `day=` level
+    * back in as a data column, so month files keep day granularity, unlike
+    * the reference whose month merge drops it from the schema). Dates with
+    * no data are skipped like the reference's "No objects found" path.
+    * Returns the (in, out) partition paths actually compacted. */
+  def compactWindow(spark: SparkSession, inRoot: String, outRoot: String,
+      previousDays: Option[Int] = None, previousMonths: Option[Int] = None,
+      timezone: String = "UTC", compactToNow: Boolean = false,
+      now: java.time.Instant = java.time.Instant.now(),
+      targetFiles: Int = 1, sortCols: Seq[String] = Nil): Seq[(String, String)] = {
+    val (duration, period) = (previousDays, previousMonths) match {
+      case (Some(d), None) => (d, "days")
+      case (None, Some(m)) => (m, "months")
+      case _ => throw new IllegalArgumentException(
+        "exactly one of previousDays / previousMonths required")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    datesInRange(duration, timezone, period, compactToNow, now).flatMap { d =>
+      val rel =
+        if (period == "days")
+          s"year=${d.getYear}/month=${d.getMonthValue}/day=${d.getDayOfMonth}"
+        else s"year=${d.getYear}/month=${d.getMonthValue}"
+      val in = new org.apache.hadoop.fs.Path(s"$inRoot/$rel")
+      if (!in.getFileSystem(conf).exists(in)) None
+      else {
+        val out = s"$outRoot/$rel"
+        compact(spark, in.toString, out, targetFiles, sortCols)
+        Some(in.toString -> out)
+      }
+    }
   }
 }

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** GeoParquet file-level metadata (B1). The reference stamps every written
+  * file with the `geo` footer key-value (etl/runtime/handler.py:144-156,
+  * `write_geoparquet(..., generate_covering=True)`) and compaction
+  * re-attaches it (compaction/runtime/handler.py:86-95); without it a
+  * GeoParquet-aware reader (geopandas, DuckDB-spatial) won't recognize the
+  * output as geo.
+  *
+  * Spark's parquet writer has no hook for user key-value metadata, so this
+  * stamps files post-write: `ParquetFileWriter.appendFile` raw-copies the
+  * row groups (no decode/re-encode — IO-bound, one sequential pass) and
+  * `end(extraMetadata)` writes a new footer carrying the original key-values
+  * plus `geo`. The per-file bbox comes from the footer's own column
+  * statistics for the covering struct — no data rescan. O(files),
+  * embarrassingly parallel across files (driver loop here; at cluster scale
+  * distribute the file list with `spark.parallelize(files).foreach`).
+  */
+object GeoParquetMeta {
+
+  val GeoKey = "geo"
+  val Version = "1.1.0"
+
+  /** GeoParquet `geo` JSON for a WKB point column with a bbox covering.
+    * `crs` omitted ⇒ OGC:CRS84 per the GeoParquet 1.1 spec — the
+    * reference's CRS (handler.py:150). */
+  private def geoJson(primary: String, bboxCol: Option[String],
+      bbox: Option[(Double, Double, Double, Double)]): String = {
+    val bboxPart = bbox.map { case (x0, y0, x1, y1) =>
+      s""","bbox":[$x0,$y0,$x1,$y1]"""
+    }.getOrElse("")
+    val covering = bboxCol.map { b =>
+      s""","covering":{"bbox":{"xmin":["$b","xmin"],"ymin":["$b","ymin"],"xmax":["$b","xmax"],"ymax":["$b","ymax"]}}"""
+    }.getOrElse("")
+    s"""{"version":"$Version","primary_column":"$primary","columns":{"$primary":{"encoding":"WKB","geometry_types":["Point"]$bboxPart$covering}}}"""
+  }
+
+  /** All `.parquet` files under `path`, recursing through hive partitions. */
+  private def parquetFiles(conf: Configuration, path: String): Seq[Path] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        out += f.getPath
+    }
+    out.result()
+  }
+
+  /** File bbox from the footer's min/max statistics of the covering
+    * struct's leaves — None when stats are absent. */
+  private def bboxFromStats(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      bboxCol: String): Option[(Double, Double, Double, Double)] = {
+    def agg(leaf: String, wantMin: Boolean): Option[Double] = {
+      val vals = footer.getBlocks.asScala.flatMap { rg =>
+        rg.getColumns.asScala
+          .filter(c => c.getPath.toArray.toSeq == Seq(bboxCol, leaf))
+          .flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else Some(if (wantMin) st.genericGetMin else st.genericGetMax)
+          }
+      }.collect { case d: java.lang.Double => d.doubleValue() }
+      if (vals.isEmpty) None else Some(if (wantMin) vals.min else vals.max)
+    }
+    for {
+      x0 <- agg("xmin", wantMin = true)
+      y0 <- agg("ymin", wantMin = true)
+      x1 <- agg("xmax", wantMin = false)
+      y1 <- agg("ymax", wantMin = false)
+    } yield (x0, y0, x1, y1)
+  }
+
+  /** Read the footer key-value metadata of one parquet file. */
+  def keyValueMeta(spark: SparkSession, file: String): Map[String, String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try reader.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap
+    finally reader.close()
+  }
+
+  /** Stamp every parquet file under `path` whose schema contains
+    * `primary` with the GeoParquet `geo` footer entry. Files already
+    * stamped (or without the geometry column — e.g. a non-geo table fed
+    * through compaction) are left untouched. */
+  def attach(spark: SparkSession, path: String,
+      primary: String = "geometry", bboxCol: String = "bbox"): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    parquetFiles(conf, path).foreach { file =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      val (footer, schema, kv) = try {
+        val f = reader.getFooter
+        (f, f.getFileMetaData.getSchema,
+          f.getFileMetaData.getKeyValueMetaData.asScala.toMap)
+      } finally reader.close()
+      val hasGeom = schema.getFields.asScala.exists(_.getName == primary)
+      if (hasGeom && !kv.contains(GeoKey)) {
+        val hasBbox = schema.getFields.asScala.exists(_.getName == bboxCol)
+        val json = geoJson(primary,
+          if (hasBbox) Some(bboxCol) else None,
+          if (hasBbox) bboxFromStats(footer, bboxCol) else None)
+        val tmp = new Path(file.getParent, s".${file.getName}.geo.tmp")
+        val fs = file.getFileSystem(conf)
+        val writer = new ParquetFileWriter(
+          HadoopOutputFile.fromPath(tmp, conf), schema,
+          ParquetFileWriter.Mode.OVERWRITE,
+          128L * 1024 * 1024, 0) // row-group size is moot: blocks raw-copied
+        writer.start()
+        writer.appendFile(HadoopInputFile.fromPath(file, conf))
+        writer.end((kv + (GeoKey -> json)).asJava)
+        if (!fs.delete(file, false) || !fs.rename(tmp, file))
+          throw new java.io.IOException(s"geo stamp rename failed for $file")
+      }
+    }
+  }
+}

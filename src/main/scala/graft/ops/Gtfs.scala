@@ -48,9 +48,17 @@ object Gtfs {
     hour(c) * 3600 + minute(c) * 60 + second(c)
 
   /** Per-stop deviation stats — cell 63902a57's query. `positions` needs
-    * (trip_id, timestamp, geometry WKB); dims are raw GTFS frames. */
+    * (trip_id, timestamp, geometry WKB); dims are raw GTFS frames.
+    *
+    * `timezone` is the agency timezone (etl/infrastructure/config.py:21-24;
+    * the notebook sets it as session tz in cell ede684f3): position
+    * instants are converted to agency wall-clock before the time-of-day
+    * diff against the schedule's local "HH:MM:SS" strings. Threaded as a
+    * parameter rather than ambient session state so one job can process
+    * many agencies. */
   def scheduleDeviation(routes: DataFrame, trips: DataFrame,
-      stopTimes: DataFrame, stops: DataFrame, positions: DataFrame): DataFrame = {
+      stopTimes: DataFrame, stops: DataFrame, positions: DataFrame,
+      timezone: String = "UTC"): DataFrame = {
     val dims = routes
       .filter(col("route_type").isin(700, 3)) // C6
       .join(trips, "route_id") // D1
@@ -64,7 +72,7 @@ object Gtfs {
         gf.st_dwithin(positions("geometry"), dims("stop_loc"), lit(0.0002)), // D2/F5
       "inner")
     val withDiff = joined.withColumn("diff",
-      (todSecondsTs(positions("timestamp")) -
+      (todSecondsTs(from_utc_timestamp(positions("timestamp"), timezone)) -
         todSecondsStr(col("arrival_time"))).cast("long")) // F2
       .filter(col("diff").between(-600, 600)) // C7
     val w = Window

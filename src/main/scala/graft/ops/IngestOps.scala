@@ -53,10 +53,17 @@ object IngestOps {
         col("v.bearing"), col("v.speed"), col("v.timestamp"))
 
   /** Enrichment: epoch→timestamp, geohash, WKB geometry + bbox covering,
-    * drop transient lat/lon, derive hive partition columns. */
-  def enrich(decoded: DataFrame): DataFrame =
+    * drop transient lat/lon, derive hive partition columns.
+    *
+    * `timezone` is the agency timezone (etl/infrastructure/config.py:21-24):
+    * `event_ts` becomes agency wall-clock and the year/month/day hive
+    * partitions follow the agency-local date, matching the reference's
+    * per-agency TIMEZONE env. A parameter, not ambient session tz, so one
+    * job can ingest many agencies. */
+  def enrich(decoded: DataFrame, timezone: String = "UTC"): DataFrame =
     decoded
-      .withColumn("event_ts", to_timestamp(from_unixtime(col("timestamp"))))
+      .withColumn("event_ts",
+        from_utc_timestamp(timestamp_seconds(col("timestamp")), timezone))
       .withColumn("geohash",
         gf.geohash(col("latitude"), col("longitude"), lit(7)))
       .withColumn("geometry",
@@ -69,13 +76,18 @@ object IngestOps {
       .withColumn("day", dayofmonth(col("event_ts")))
       .drop("latitude", "longitude", "timestamp")
 
-  /** B1/B2: hive-partitioned snappy append (hot zone). */
-  def writeHive(df: DataFrame, path: String): Unit =
+  /** B1/B2: hive-partitioned snappy append (hot zone), then GeoParquet
+    * `geo` footer stamping (reference writes it on every file,
+    * handler.py:144-156). `attach` skips files already stamped, so
+    * repeated appends only touch the new files. */
+  def writeHive(df: DataFrame, path: String): Unit = {
     df.write
       .partitionBy("year", "month", "day")
       .option("compression", "snappy")
       .mode("append")
       .parquet(path)
+    GeoParquetMeta.attach(df.sparkSession, path)
+  }
 
   // Oracle-checkable slice of the ingest pipeline (everything except the
   // binary geometry / geohash, which have no DuckDB-expressible encoding).
@@ -111,10 +123,51 @@ object IngestOps {
         col("year"), col("month"), col("day"))
       .orderBy("trip_id", "event_ts", "vehicle_id", "wkb_hex")
 
+  // B1 covering payoff: a bbox predicate that reaches the parquet scan as
+  // PushedFilters on the covering struct's leaves, so parquet min/max
+  // statistics skip whole row groups (the reason the reference writes the
+  // covering: handler.py:151 `generate_covering=True`). The enriched geo
+  // lake is materialized once per sf-dir (sorted by bbox.xmin so the
+  // row-group stats are selective), then the query proper is a
+  // pruned-scan → aggregate. The oracle computes the identical filter
+  // from the raw events arithmetic, so the match is exact.
+  private val geoLakeLock = new Object
+  private[ops] def geoLake(s: SparkSession, dir: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_geolake_${math.abs(dir.hashCode)}"
+    geoLakeLock.synchronized {
+      if (!new java.io.File(s"$root/_SUCCESS").exists()) {
+        enrich(decode(Tables(s, dir, "events")))
+          .sortWithinPartitions(col("bbox.xmin"))
+          .write.mode("overwrite").parquet(root)
+      }
+    }
+    root
+  }
+
+  private def bboxPrune(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(geoLake(s, dir))
+      .filter(col("bbox.xmin") >= -79.5 && col("bbox.xmax") <= -79.2 &&
+        col("bbox.ymin") >= 43.2 && col("bbox.ymax") <= 43.6)
+      .groupBy("route_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("route_id")
+
+  private val bboxPruneSql =
+    """WITH pos AS (
+      |  SELECT 'route_' || CAST(user_id % 10 AS VARCHAR) AS route_id,
+      |    43.0 + (event_id % 1000) / 1000.0 AS lat,
+      |    -79.7 + (event_id % 700) / 1000.0 AS lon
+      |  FROM events)
+      |SELECT route_id, count(*) AS n FROM pos
+      |WHERE lon >= -79.5 AND lon <= -79.2 AND lat >= 43.2 AND lat <= 43.6
+      |GROUP BY route_id ORDER BY route_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_schema" -> (ingestSchema _),
-    "ingest_enrich" -> (ingestEnrich _))
+    "ingest_enrich" -> (ingestEnrich _),
+    "bbox_prune" -> (bboxPrune _))
 
   val oracle: Map[String, String] = Map(
-    "ingest_schema" -> ingestSchemaSql)
+    "ingest_schema" -> ingestSchemaSql,
+    "bbox_prune" -> bboxPruneSql)
 }

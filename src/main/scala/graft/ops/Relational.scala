@@ -207,7 +207,7 @@ object Relational {
       .orderBy("event_id")
   }
 
-  private val asofJoinSql =
+  private[ops] val asofJoinSql =
     """SELECT event_id, user_id, o_orderkey,
       |  strftime(o_orderdate, '%Y-%m-%d') AS asof_date
       |FROM (

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -242,7 +242,63 @@ object Relational2 {
     s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // D3 at scale: range-bucketed as-of join. The plain as-of join's
+  // inequality conjunct fans out to ALL orders of a customer at or before
+  // the event — unbounded per key. Month-bucketing both sides bounds it:
+  //  (1) same-bucket candidates come from a (cust, bucket) equi-join with
+  //      the date≤ts predicate as a post-filter (fan-out ≤ orders per
+  //      customer-month);
+  //  (2) earlier buckets are pre-folded into a per-(cust, bucket) running
+  //      best ("carry") — one row per bucket on a densified grid, joined
+  //      by exact bucket id (the event's previous bucket, clamped to the
+  //      customer's last order bucket).
+  // max(struct(date, key)) over (1)∪(2) equals the inequality join's
+  // row_number pick exactly, so this reuses asof_join's oracle verbatim.
+  // Grid size is O(customers × months-of-history) — linear, broadcast-able
+  // bounds table, no unbounded fan-out anywhere.
+  private def monthBucket(c: Column): Column = year(c) * 12 + month(c) - 1
+
+  private def asofJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    def ordersBuckets() = t(s, dir, "orders").select(
+      col("o_custkey").as("cust"), monthBucket(col("o_orderdate")).as("b"),
+      col("o_orderdate"), col("o_orderkey"))
+    // fresh scan per use: the carry chain and the same-bucket join would
+    // otherwise share lineage and trip the ambiguous-self-join detector
+    val ob = ordersBuckets()
+    val perBucketBest = ordersBuckets().groupBy("cust", "b")
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+    val bounds = perBucketBest.groupBy("cust")
+      .agg(min("b").as("b0"), max("b").as("b1"))
+    val grid = bounds.select(col("cust"),
+      explode(sequence(col("b0"), col("b1"))).as("b"))
+    val wRun = Window.partitionBy("cust").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = grid.join(perBucketBest, Seq("cust", "b"), "left")
+      .withColumn("cbest", max(col("best")).over(wRun))
+      .select(col("cust"), col("b").as("carry_b"), col("cbest"))
+    val e = t(s, dir, "events").select(
+      col("event_id"), col("user_id").as("cust"), col("ts"),
+      monthBucket(col("ts")).as("eb"))
+      .join(bounds, "cust")
+      .withColumn("carry_b", least(col("eb") - 1, col("b1")))
+    val sameBucket = e.join(ob,
+        e("cust") === ob("cust") && e("eb") === ob("b") &&
+          ob("o_orderdate") <= e("ts"))
+      .select(e("event_id"), e("cust"),
+        struct(ob("o_orderdate"), ob("o_orderkey")).as("cand"))
+    val carried = e.join(carry, Seq("cust", "carry_b"))
+      .select(col("event_id"), col("cust"), col("cbest").as("cand"))
+    sameBucket.union(carried)
+      .groupBy("event_id", "cust")
+      .agg(max(col("cand")).as("best"))
+      .select(col("event_id"), col("cust").as("user_id"),
+        col("best.o_orderkey").as("o_orderkey"),
+        date_format(col("best.o_orderdate"), "yyyy-MM-dd").as("asof_date"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join_bucketed" -> (asofJoinBucketed _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_semi_anti" -> (semiAnti _),
     "join_outer" -> (outerJoin _),
@@ -254,6 +310,7 @@ object Relational2 {
     "null_handling" -> (nullHandling _))
 
   val oracle: Map[String, String] = Map(
+    "asof_join_bucketed" -> Relational.asofJoinSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "join_semi_anti" -> semiAntiSql,
     "join_outer" -> outerJoinSql,

@@ -95,9 +95,99 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  // IVF (inverted-file) ANN: k-means-lite coarse quantizer fit on a
+  // deterministic hash-ordered sample (the model is K×dim ≈ a few KB —
+  // like FAISS's sample-trained quantizer; fitting never scans full data),
+  // then candidate generation is a pure cell-id equi-join: each vector is
+  // indexed under its top-`IvfAssign` cells, each query probes its top-
+  // `IvfProbe` cells. On these near-uniform embeddings (mean cos to own
+  // cluster centroid ≈ 0.14) hyperplane LSH tops out at recall ≈ 0.3;
+  // IVF with multi-assignment measures recall@5 ≈ 0.9 at ~45% candidate
+  // fraction (asserted in SimilaritySpec). Rows-only driver check — the
+  // quantizer is not DuckDB-expressible.
+  private val IvfCells = 64
+  private val IvfAssign = 3
+  private val IvfProbe = 12
+  private val IvfIters = 5
+  private val IvfSample = 2048
+
+  /** Driver-side Lloyd iterations on a bounded deterministic sample.
+    * Returns (dim, flattened row-major K×dim matrix, rows L2-normalized so
+    * a dot product ranks cells by cosine). */
+  private[ops] def fitCentroids(s: SparkSession, dir: String): (Int, Array[Double]) = {
+    val sample = t(s, dir, "embeddings")
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(IvfSample)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    val k = math.min(IvfCells, sample.length)
+    var cents = Array.tabulate(k, dim)((c, i) => sample(c)(i).toDouble)
+    for (_ <- 0 until IvfIters) {
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Int](k)
+      val norms = cents.map { r =>
+        val n = math.sqrt(r.map(x => x * x).sum); if (n == 0) 1.0 else n
+      }
+      for (v <- sample) {
+        var best = 0
+        var bv = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var acc = 0.0
+          var i = 0
+          while (i < dim) { acc += v(i) * cents(c)(i); i += 1 }
+          acc /= norms(c)
+          if (acc > bv) { bv = acc; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k, dim)((c, i) =>
+        if (counts(c) > 0) sums(c)(i) / counts(c) else cents(c)(i))
+    }
+    val flat = cents.flatMap { r =>
+      val n = math.sqrt(r.map(x => x * x).sum)
+      r.map(x => if (n == 0) x else x / n)
+    }
+    (dim, flat)
+  }
+
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val (dim, cmat) = fitCentroids(s, dir)
+    val cLit = typedLit(cmat.toSeq)
+    val e = normed(s, dir)
+    val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"),
+      explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(IvfAssign)))
+        .as("cell"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"),
+        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(IvfProbe)))
+          .as("cell"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    q.join(cand, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"),
+        col("q_norm"), col("c_norm"))
+      .dropDuplicates("q_id", "c_id") // candidate set = union over cells
+      .select(col("q_id"), col("c_id"),
+        (vdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_topk" -> (bruteTopK _),
-    "simsearch_lsh" -> (lshTopK _))
+    "simsearch_lsh" -> (lshTopK _),
+    "simsearch_ivf" -> (ivfTopK _))
 
   val oracle: Map[String, String] = Map(
     "simsearch_topk" -> bruteTopKSql)

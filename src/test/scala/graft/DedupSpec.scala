@@ -46,6 +46,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L)) // unrelated doc
   }
 
+  test("ngram-Jaccard df-cap bounds a hot shingle's candidate fan-out") {
+    // 1000 docs share one boilerplate shingle; uncapped, the self-join
+    // would emit ~1000²/2 candidate rows from it. With the df-cap the hot
+    // shingle is dropped before the join and genuine near-dup pairs (which
+    // share only low-df shingles) still surface.
+    val dir = Files.createTempDirectory("graft-hotshingle").toString
+    import spark.implicits._
+    val hot = (0 until 1000).map(i =>
+      (i.toLong, s"hot boiler plate unique$i token$i word$i", "en", "src"))
+    val nearDup = Seq(
+      (2000L, "genuine pair alpha beta gamma delta epsilon zeta", "en", "src"),
+      (2001L, "genuine pair alpha beta gamma delta epsilon omega", "en", "src"))
+    (hot ++ nearDup).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id")))
+    assert(r.toSet == Set((2000L, 2001L)),
+      s"expected only the genuine pair, got ${r.length} pairs")
+  }
+
   test("dedup_minhash_lsh surfaces exact and near duplicates") {
     val r = SparkEntry.queries("dedup_minhash_lsh")(spark, fixtureDir)
       .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"),
@@ -53,6 +74,15 @@ class DedupSpec extends SparkSpec {
     val exact = r.find(p => p._1 == 0L && p._2 == 1L)
     assert(exact.isDefined && exact.get._3 == 1.0)
     assert(r.exists(p => p._1 == 0L && p._2 == 2L && p._3 >= 0.5))
+  }
+
+  test("dedup_resolve assigns one keep_id per connected dup cluster") {
+    val r = SparkEntry.queries("dedup_resolve")(spark, fixtureDir)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("keep_id"))
+      .toMap
+    // {0 exact 1, 0 near 2, 0 near 5} is one component kept at 0;
+    // 3 and 4 are singletons
+    assert(r == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 0L))
   }
 
   test("dedup_simhash pairs the near-duplicates, not the unrelated doc") {

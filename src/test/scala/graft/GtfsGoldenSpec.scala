@@ -104,6 +104,38 @@ class GtfsGoldenSpec extends SparkSpec {
     assert(rel > 0.84 && rel < 0.86) // sanity: Φ(3.18) − Φ(−1.06)
   }
 
+  test("golden: agency timezone reproduces the notebook's local-time semantics") {
+    // Same fixture, but position instants are true UTC epochs: 2024-03-05
+    // is EST (UTC-5), so 07:59:30 America/Toronto = 12:59:30Z. With
+    // timezone="America/Toronto" the deviation output must be identical to
+    // the session-UTC golden run.
+    val routes = Seq(("R1", "10", 3)).toDF("route_id", "route_short_name", "route_type")
+    val trips = Seq(("T1", "R1")).toDF("trip_id", "route_id")
+    val stopTimes = Seq(
+      ("T1", "S1", 1, "08:00:00"),
+      ("T1", "S1", 3, "08:02:00"),
+      ("T1", "S2", 2, "08:10:00"))
+      .toDF("trip_id", "stop_id", "stop_sequence", "arrival_time")
+    val stops = Seq(
+      ("S1", 43.65000, -79.38000),
+      ("S2", 43.66000, -79.39000))
+      .toDF("stop_id", "stop_lat", "stop_lon")
+    val positions = Seq(
+      ("T1", ts("12:59:30"), -79.38000, 43.65000), // 07:59:30 Toronto
+      ("T1", ts("13:01:30"), -79.38005, 43.65005), // 08:01:30 Toronto
+      ("T1", ts("13:09:00"), -79.39000, 43.66000)) // 08:09:00 Toronto
+      .toDF("trip_id", "ts", "lon", "lat")
+      .select(col("trip_id"), col("ts").as("timestamp"),
+        graft.expr.functions.st_point(col("lon"), col("lat")).as("geometry"))
+    val rows = Gtfs.scheduleDeviation(routes, trips, stopTimes, stops,
+      positions, timezone = "America/Toronto")
+      .collect().map(r => r.getAs[String]("stop_id") -> r).toMap
+    assert(rows.keySet == Set("S1", "S2"))
+    assert(rows("S1").getAs[Long]("count") == 2)
+    assert(rows("S1").getAs[Double]("avg_diff") == -30.0)
+    assert(rows("S2").getAs[Double]("avg_diff") == -60.0)
+  }
+
   test("A3: CSV load keeps numeric-looking stop_id a string") {
     val dir = Files.createTempDirectory("graft-gtfs").toString
     Seq(("10280", 43.6, -79.3), ("00042", 43.7, -79.4))

@@ -1,6 +1,5 @@
 package graft
 
-import java.io.ByteArrayOutputStream
 import graft.ops.IngestOps
 import org.apache.spark.sql.functions._
 
@@ -9,31 +8,7 @@ import org.apache.spark.sql.functions._
   * column pipeline (binary → explode → typed fields → enrich). */
 class GtfsRtSpec extends SparkSpec {
   import spark.implicits._
-
-  // --- tiny protobuf writer (wire format only) ---
-  private class W {
-    val out = new ByteArrayOutputStream()
-    def varint(v: Long): W = {
-      var x = v
-      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
-      out.write(x.toInt); this
-    }
-    def tag(field: Int, wire: Int): W = varint((field << 3) | wire)
-    def str(field: Int, s: String): W = {
-      val b = s.getBytes("UTF-8"); tag(field, 2).varint(b.length); out.write(b); this
-    }
-    def float32(field: Int, f: Float): W = {
-      tag(field, 5)
-      val bits = java.lang.Float.floatToIntBits(f)
-      (0 until 4).foreach(i => out.write((bits >>> (8 * i)) & 0xff)); this
-    }
-    def uint(field: Int, v: Long): W = tag(field, 0).varint(v)
-    def msg(field: Int, inner: W): W = {
-      val b = inner.out.toByteArray
-      tag(field, 2).varint(b.length); out.write(b); this
-    }
-    def bytes: Array[Byte] = out.toByteArray
-  }
+  import TestProto.W // tiny protobuf wire-format writer (shared test helper)
 
   private def feedBytes: Array[Byte] = {
     val trip = new W().str(1, "T77").str(5, "R9").uint(6, 1)

@@ -52,6 +52,49 @@ class IngestCompactSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("GeoParquet `geo` footer metadata: written by writeHive, preserved by compaction") {
+    import graft.ops.GeoParquetMeta
+    val hot = Files.createTempDirectory("graft-geo-hot").toString
+    val cold = Files.createTempDirectory("graft-geo-cold").toString
+    IngestOps.writeHive(enriched, hot)
+
+    def geoOf(dir: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      val files = walk(new java.io.File(dir))
+      assert(files.nonEmpty)
+      files.map { f =>
+        val kv = GeoParquetMeta.keyValueMeta(spark, f.toString)
+        assert(kv.contains(GeoParquetMeta.GeoKey), s"no geo key on $f")
+        kv(GeoParquetMeta.GeoKey)
+      }
+    }
+    for (json <- geoOf(hot)) {
+      assert(json.contains(""""version":"1.1.0""""))
+      assert(json.contains(""""primary_column":"geometry""""))
+      assert(json.contains(""""encoding":"WKB""""))
+      assert(json.contains(""""covering""""))
+      assert(json.contains(""""bbox":["""), s"no file bbox in $json")
+    }
+    // per-file bbox must cover the data (Toronto-ish synthetic box)
+    val bboxRe = """"bbox":\[([-0-9.eE]+),([-0-9.eE]+),([-0-9.eE]+),([-0-9.eE]+)\]""".r
+    val boxes = geoOf(hot).flatMap(j => bboxRe.findFirstMatchIn(j))
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble,
+        m.group(3).toDouble, m.group(4).toDouble))
+    assert(boxes.nonEmpty)
+    assert(boxes.forall { case (x0, y0, x1, y1) =>
+      x0 <= x1 && y0 <= y1 && x0 >= -80 && x1 <= -78 && y0 >= 42 && y1 <= 45
+    }, s"implausible bboxes: $boxes")
+
+    // rows unchanged after the footer rewrite
+    assert(spark.read.parquet(hot).count() == enriched.count())
+
+    // compaction re-attaches the geo footer on its outputs
+    CompactOps.compact(spark, hot, cold, targetFiles = 1)
+    geoOf(cold)
+  }
+
   test("compacted footers: zstd codec, row groups within the reference bound") {
     val hot = Files.createTempDirectory("graft-hot2").toString
     val cold = Files.createTempDirectory("graft-cold2").toString
@@ -62,6 +105,76 @@ class IngestCompactSpec extends SparkSpec {
     assert(groups.forall(_._3 == "ZSTD"), s"codec: ${groups.map(_._3).distinct}")
     assert(groups.forall(_._1 <= CompactOps.MaxRowsPerGroup))
     assert(groups.map(_._1).sum == enriched.count())
+  }
+
+  test("compaction date-window math mirrors the reference handler") {
+    import java.time.{Instant, LocalDate}
+    // now = 2026-08-12T02:00Z; in America/Toronto (UTC-4) it is still Aug 11
+    val now = Instant.parse("2026-08-12T02:00:00Z")
+    def d(s: String) = LocalDate.parse(s)
+
+    assert(CompactOps.datesInRange(1, "UTC", "days", compactToNow = false, now)
+      == Seq(d("2026-08-11")))
+    assert(CompactOps.datesInRange(2, "UTC", "days", compactToNow = true, now)
+      == Seq(d("2026-08-10"), d("2026-08-11"), d("2026-08-12")))
+    assert(CompactOps.datesInRange(1, "America/Toronto", "days",
+      compactToNow = false, now) == Seq(d("2026-08-10"))) // tz shifts "today"
+    assert(CompactOps.datesInRange(1, "UTC", "months", compactToNow = false, now)
+      == Seq(d("2026-07-12")))
+    assert(CompactOps.datesInRange(2, "UTC", "months", compactToNow = true, now)
+      == Seq(d("2026-06-12"), d("2026-07-12"), d("2026-08-12")))
+    intercept[IllegalArgumentException] {
+      CompactOps.compactWindow(spark, "/x", "/y") // neither window given
+    }
+  }
+
+  test("compactWindow compacts each day of a hive tree, skipping empty dates") {
+    import java.time.Instant
+    val raw = Files.createTempDirectory("graft-win-raw").toString
+    val cold = Files.createTempDirectory("graft-win-cold").toString
+    import spark.implicits._
+    // three days of data, several small files each
+    val df = (0 until 3000).map { i =>
+      (i.toLong, s"trip_$i", 2024, 3, 1 + i % 3)
+    }.toDF("id", "trip_id", "year", "month", "day").repartition(6)
+    df.write.mode("overwrite").partitionBy("year", "month", "day").parquet(raw)
+
+    val now = Instant.parse("2024-03-03T12:00:00Z")
+    // previous_days=2 + compact_to_now → Mar 1, 2, 3 (all present)
+    val done = CompactOps.compactWindow(spark, raw, cold,
+      previousDays = Some(2), compactToNow = true, now = now)
+    assert(done.length == 3, s"expected 3 compacted days, got $done")
+    for ((_, out) <- done) {
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$out not compacted to one file")
+    }
+    val back = spark.read.parquet(cold)
+    assert(back.count() == 3000)
+    assert(back.select("day").distinct().collect().map(_.getInt(0)).toSet
+      == Set(1, 2, 3))
+
+    // a window reaching before the data → only the present dates compact
+    val cold2 = Files.createTempDirectory("graft-win-cold2").toString
+    val done2 = CompactOps.compactWindow(spark, raw, cold2,
+      previousDays = Some(5), compactToNow = false, now = now)
+    assert(done2.length == 2) // Feb 27..29 absent; Mar 1, 2 present
+  }
+
+  test("agency timezone drives event_ts and the hive partition date") {
+    import spark.implicits._
+    // 2024-03-05T02:30:00Z = 2024-03-04 21:30 America/Toronto (EST, UTC-5)
+    val epoch = java.time.Instant.parse("2024-03-05T02:30:00Z").getEpochSecond
+    val decoded = Seq(("t1", 43.65, -79.38, epoch))
+      .toDF("trip_id", "latitude", "longitude", "timestamp")
+    val utc = IngestOps.enrich(decoded).select("year", "month", "day")
+      .collect().head
+    assert((utc.getInt(0), utc.getInt(1), utc.getInt(2)) == ((2024, 3, 5)))
+    val tor = IngestOps.enrich(decoded, timezone = "America/Toronto")
+      .select("year", "month", "day", "event_ts").collect().head
+    assert((tor.getInt(0), tor.getInt(1), tor.getInt(2)) == ((2024, 3, 4)))
+    assert(tor.getAs[java.sql.Timestamp]("event_ts").toString
+      .startsWith("2024-03-04 21:30"))
   }
 
   test("decode populates direction_id from the direction field (bug fix vs reference)") {

@@ -19,6 +19,13 @@ class PlanSpec extends SparkSpec {
       "retailprice range not pushed")
   }
 
+  test("bbox covering predicate pushes down to the geo-lake parquet scan") {
+    val p = plan("bbox_prune")
+    assert(p.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(p.contains("bbox.xmin") && p.contains("bbox.ymax"),
+      s"bbox leaf predicates not pushed to the scan:\n$p")
+  }
+
   test("column pruning: geo_enrich reads only p_partkey") {
     val p = plan("geo_enrich")
     assert(p.contains("ReadSchema: struct<p_partkey:bigint>"),
@@ -41,7 +48,8 @@ class PlanSpec extends SparkSpec {
 
   test("LSH/bucketed operators never degenerate into cross products") {
     for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "simsearch_lsh", "spatial_join_geohash")) {
+        "simsearch_lsh", "simsearch_ivf", "dedup_embedding_ann",
+        "spatial_join_geohash", "asof_join_bucketed")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")

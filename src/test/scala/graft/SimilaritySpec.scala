@@ -25,6 +25,34 @@ class SimilaritySpec extends SparkSpec {
     assert(r.nonEmpty)
   }
 
+  test("IVF top-k is correctly ranked and recall@5 >= 0.8 vs brute force") {
+    val brute = SparkEntry.queries("simsearch_topk")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"))).toSet
+    val ivf = SparkEntry.queries("simsearch_ivf")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"),
+        x.getAs[Int]("rank"), x.getAs[Double]("cos_sim")))
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "similarities must be non-increasing in rank")
+    }
+    val pairs = ivf.map(x => (x._1, x._2)).toSet
+    val recall = (brute & pairs).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"IVF recall@5 $recall%.2f below 0.8")
+  }
+
+  test("IVF-bucketed embedding dedup recovers most brute-force pairs") {
+    val brute = SparkEntry.queries("dedup_embedding")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"))).toSet
+    val ann = SparkEntry.queries("dedup_embedding_ann")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"))).toSet
+    assert(ann.subsetOf(brute), "ANN pairs must be a subset (same threshold)")
+    val recall = (brute & ann).size.toDouble / brute.size
+    info(f"IVF dedup pair recall = $recall%.2f")
+    assert(recall >= 0.8, f"pair recall $recall%.2f below 0.8")
+  }
+
   test("LSH recall against brute force is non-trivial") {
     val brute = SparkEntry.queries("simsearch_topk")(spark, sf0001)
       .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"))).toSet

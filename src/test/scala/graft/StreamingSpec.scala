@@ -46,6 +46,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HTTP poller: stub server → fetch → decode → enriched hive parquet") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.streaming.HttpFeedSource
+    val feed = TestProto.singleVehicleFeed(1709650000L) // 2024-03-05 UTC
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seenKey = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/positions", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        hits.incrementAndGet()
+        seenKey.set(Option(x.getRequestHeaders.getFirst("x-api-key")).getOrElse(""))
+        x.sendResponseHeaders(200, feed.length)
+        x.getResponseBody.write(feed)
+        x.close()
+      }
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/positions"
+    val out = Files.createTempDirectory("graft-http-out").toString
+    val ckpt = Files.createTempDirectory("graft-http-ckpt").toString
+    try {
+      // direct fetch honors the api-key header and returns the feed bytes
+      val bytes = HttpFeedSource.fetchFeed(url, Some("x-api-key" -> "sekret"))
+      assert(bytes.sameElements(feed) && seenKey.get() == "sekret")
+
+      val q = HttpFeedSource.pollQuery(spark, url, out, ckpt,
+        apiKey = Some("x-api-key" -> "sekret"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      try {
+        // wait for a fully-landed poll: hive partitions present AND the
+        // geo stamp attached (stopping earlier can interrupt a batch
+        // mid-attach; a later batch re-stamps, so stamped == batch done)
+        def walk0(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk0)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+        def stamped(): Boolean = {
+          val root = new java.io.File(out)
+          root.exists() && root.listFiles() != null &&
+            walk0(root).exists(f =>
+              scala.util.Try(
+                graft.ops.GeoParquetMeta.keyValueMeta(spark, f.toString))
+                .getOrElse(Map.empty).contains("geo")) // file may be mid-rewrite
+        }
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!stamped() && System.nanoTime() < deadline) Thread.sleep(200)
+        assert(stamped(), "poller produced no geo-stamped parquet within 60s")
+      } finally q.stop()
+
+      assert(hits.get() >= 2) // the direct fetch + at least one poll
+      val back = spark.read.parquet(out)
+      assert(back.count() >= 1)
+      val r = back.filter(col("trip_id") === "T77").collect().head
+      assert(r.getAs[String]("vehicle_id") == "V123")
+      assert(r.getAs[String]("geohash").length == 7)
+      assert(r.getAs[Int]("year") == 2024 && r.getAs[Int]("month") == 3)
+      // GeoParquet footer is stamped on the polled output too
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      assert(walk(new java.io.File(out)).exists(f =>
+        graft.ops.GeoParquetMeta.keyValueMeta(spark, f.toString).contains("geo")))
+    } finally server.stop(0)
+
+    // raise_for_status: non-200 → IOException
+    val err = intercept[java.io.IOException] {
+      HttpFeedSource.fetchFeed(url) // server stopped
+    }
+    assert(err != null)
+  }
+
   test("streaming parquet sink writes hive partitions exactly once") {
     val out = Files.createTempDirectory("graft-stream-out").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString

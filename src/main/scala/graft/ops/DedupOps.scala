@@ -212,15 +212,16 @@ object DedupOps {
       col("norm").as("a_norm"), col("cell"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
       col("norm").as("b_norm"), col("cell"))
+    // cosine computed IN-bucket (before the pair dedup) so the shuffle
+    // carries (id, id, cos) rows, not 64-float embeddings; duplicates from
+    // multi-cell overlap have bit-identical cos, so dedup-after is exact
     a.join(b, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"),
-        col("a_norm"), col("b_norm"))
-      .dropDuplicates("a_id", "b_id") // candidate set = union over cells
       .select(col("a_id"), col("b_id"),
         (vdot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
+      .dropDuplicates("a_id", "b_id") // candidate set = union over cells
       .orderBy("a_id", "b_id")
   }
 

@@ -39,6 +39,24 @@ object MultimodalOps {
       .mapPartitions { it => it.map { case (id, b) => decodeStub(id, b) } }
   }
 
+  /** STUB resize: a real implementation would rescale pixels; the metadata
+    * transform (aspect-preserving fit into `maxDim`) is the real part, and
+    * runs in the same mapPartitions batch shape as decode. */
+  def resizeBatch(decoded: Dataset[MediaMeta], maxDim: Int): Dataset[MediaMeta] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { m =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(m.width, m.height))
+      m.copy(width = math.max(1, (m.width * scale).toInt),
+        height = math.max(1, (m.height * scale).toInt))
+    })
+  }
+
+  /** Frame sampling: every `step`-th frame index per video — the explode
+    * shape a frame-level feature extractor consumes. */
+  def frameSample(decoded: Dataset[MediaMeta], step: Int): DataFrame =
+    decoded.toDF().select(col("doc_id"),
+      explode(sequence(lit(0), col("frames") - 1, lit(step))).as("frame_idx"))
+
   // Oracle-checkable slice of the pipeline: binary length + content hash +
   // the deterministic fake dimensions, all SQL-expressible.
   private def features(s: SparkSession, dir: String): DataFrame =
@@ -61,9 +79,27 @@ object MultimodalOps {
       |  1 + octet_length(encode(text)) % 7 AS frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // Frame-sampling as an oracle-checkable query: every 2nd frame index of
+  // the deterministic fake frame counts (sequence/explode ≡ range/unnest).
+  private def framesQ(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(1) + octet_length(encode(col("text"), "UTF-8")).cast("long") % 7)
+          .cast("int").as("frames"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("frames") - 1, lit(2))).as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
+  private val framesSql =
+    """SELECT doc_id, CAST(unnest(range(0,
+      |    1 + octet_length(encode(text)) % 7, 2)) AS INT) AS frame_idx
+      |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features" -> (features _))
+    "multimodal_features" -> (features _),
+    "multimodal_frames" -> (framesQ _))
 
   val oracle: Map[String, String] = Map(
-    "multimodal_features" -> featuresSql)
+    "multimodal_features" -> featuresSql,
+    "multimodal_frames" -> framesSql)
 }

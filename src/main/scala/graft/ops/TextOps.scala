@@ -97,6 +97,26 @@ object TextOps {
       |      FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // BPE-ish tokenization: the GPT-2-style pre-tokenizer shape — runs of
+  // letters, runs of digits, runs of other symbols, each optionally
+  // space-prefixed. Kept to char classes + alternation so Java regex
+  // (Spark) and RE2 (DuckDB) agree byte-for-byte; per-document counts are
+  // the unit a token-budget pipeline actually bills by.
+  private val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  private def tokensBpe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe"))
+      .orderBy("doc_id")
+
+  private val tokensBpeSql =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+       |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // Document fingerprint: rolling polynomial hash — custom codegen'd
   // expression on the Spark side, mirrored in DuckDB by an identical
   // integer fold over characters (exact arithmetic → exact match).
@@ -118,11 +138,13 @@ object TextOps {
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
     "text_tokens" -> (tokens _),
+    "text_tokens_bpe" -> (tokensBpe _),
     "text_fingerprint" -> (fingerprintQ _))
 
   val oracle: Map[String, String] = Map(
     "text_quality" -> qualitySql,
     "text_langid" -> langidSql,
     "text_tokens" -> tokensSql,
+    "text_tokens_bpe" -> tokensBpeSql,
     "text_fingerprint" -> fingerprintSql)
 }

@@ -53,6 +53,37 @@ object IngestStream {
         count(lit(1)).as("n_pings"),
         avg(col("speed")).as("avg_speed"))
 
+  /** Per-vehicle tracking state for [[vehicleTotals]]. */
+  case class VehState(nPings: Long, lastTs: Long)
+
+  /** G5 extension (custom state): per-vehicle running totals via
+    * `mapGroupsWithState` — the KeyValueGroupedDataset API for state the
+    * built-in windowed aggregates can't express (the reference has no
+    * cross-poll state at all; its Lambda is stateless per invocation).
+    * State is the fixed-size (count, last-seen) pair per vehicle, stored in
+    * the state store — at 100 TB this is bounded by |fleet|, not |pings|. */
+  def vehicleTotals(enriched: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val s = enriched.sparkSession
+    import s.implicits._
+    enriched
+      .select(col("vehicle_id"),
+        unix_timestamp(col("event_ts")).as("ts"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[VehState, (String, Long, Long)](
+        GroupStateTimeout.NoTimeout) { (veh, it, state) =>
+        val prev = state.getOption.getOrElse(VehState(0L, 0L))
+        var n = prev.nPings
+        var last = prev.lastTs
+        it.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
+        val next = VehState(n, last)
+        state.update(next)
+        (veh, next.nPings, next.lastTs)
+      }
+      .toDF("vehicle_id", "n_pings", "last_ts")
+  }
+
   /** Run one synchronous drain of a memory-sink query (test/local smoke). */
   def drainToMemory(df: DataFrame, name: String, outputMode: String): StreamingQuery = {
     val q = df.writeStream.format("memory").queryName(name)

@@ -116,6 +116,33 @@ class StreamingSpec extends SparkSpec {
     assert(err != null)
   }
 
+  test("mapGroupsWithState accumulates per-vehicle totals across micro-batches") {
+    val dir = Files.createTempDirectory("graft-state-feed").toString
+    val batch = Tables(spark, sf0001, "events")
+    batch.limit(400).write.parquet(s"$dir/b1")
+    val feed = IngestStream.readFeed(spark,
+      spark.read.parquet(s"$dir/b1").schema, s"$dir/*")
+    val q = IngestStream.vehicleTotals(IngestStream.transform(feed))
+      .writeStream.format("memory").queryName("veh_totals")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("veh_totals").groupBy("vehicle_id")
+        .agg(max("n_pings").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after1.values.sum == 400)
+
+      // second batch arrives later; state must carry the first batch's counts
+      batch.limit(400).write.mode("append").parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val after2 = spark.table("veh_totals").groupBy("vehicle_id")
+        .agg(max("n_pings").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after2.values.sum == 800, s"state lost: ${after2.values.sum}")
+      assert(after1.keySet.forall(k => after2(k) >= after1(k)))
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes hive partitions exactly once") {
     val out = Files.createTempDirectory("graft-stream-out").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString

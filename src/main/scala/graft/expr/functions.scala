@@ -134,12 +134,18 @@ object functions {
     invExpr(clazz, dt, method, args)
   }
 
-  /** Register the SQL-callable names on an existing session (tests, REPL). */
-  def register(spark: SparkSession): Unit =
+  /** Register the SQL-callable names and the engine's planning rules on an
+    * existing session (tests, REPL, the Verify/Bench mains). */
+  def register(spark: SparkSession): Unit = {
     sqlFunctions.foreach { case (name, dt, clazz, method, arity) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder(dt, clazz, method, arity), "scala_udf")
     }
+    val rule = graft.plans.SpatialDWithinRewrite
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
 }
 
 /** Session extension wiring the function surface into SQL at session build
@@ -147,7 +153,7 @@ object functions {
   * `spark.sql.extensions=graft.expr.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     functions.sqlFunctions.foreach { case (name, dt, clazz, method, arity) =>
       e.injectFunction((
         FunctionIdentifier(name),
@@ -155,4 +161,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) =>
           StaticInvoke(clazz, dt, method, args)))
     }
+    e.injectOptimizerRule(_ => graft.plans.SpatialDWithinRewrite)
+  }
 }

@@ -238,16 +238,36 @@ object Flagship {
         .as("wkb_hex"))
       .orderBy("p_partkey")
 
+  // D2, planner-automatic: the NAIVE dwithin join a user would write — no
+  // equi conjunct, no manual bucketing. `plans.SpatialDWithinRewrite`
+  // (registered by functions.register) turns it into the geohash-bucketed
+  // equi-join at optimization time; PlanSpec asserts it never plans as a
+  // cartesian/nested-loop. Same oracle as the hand-bucketed variant.
+  def spatialJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      col("c_custkey"),
+      gf.st_point(lonOf(col("c_custkey")), latOf(col("c_custkey"))).as("cgeom"))
+    val p = t(s, dir, "part").select(
+      col("p_partkey"),
+      gf.st_point(lonOf(col("p_partkey")), latOf(col("p_partkey"))).as("pgeom"))
+    c.join(p, gf.st_dwithin(col("cgeom"), col("pgeom"), lit(0.15)))
+      .select(col("c_custkey"), col("p_partkey"),
+        gf.st_distance(col("cgeom"), col("pgeom")).as("dist"))
+      .orderBy("c_custkey", "p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "schedule_deviation" -> (scheduleDeviation _),
     "reliability" -> (reliability _),
     "spatial_join" -> (spatialJoin _),
     "spatial_join_geohash" -> (spatialJoinGeohash _),
+    "spatial_join_auto" -> (spatialJoinAuto _),
     "geo_enrich" -> (geoEnrich _))
 
   val oracle: Map[String, String] = Map(
     "schedule_deviation" -> scheduleDeviationSql,
     "reliability" -> reliabilitySql,
     "spatial_join" -> spatialJoinSql,
-    "spatial_join_geohash" -> spatialJoinGeohashSql)
+    "spatial_join_geohash" -> spatialJoinGeohashSql,
+    "spatial_join_auto" -> spatialJoinGeohashSql)
 }

@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("naive st_dwithin join is rewritten to a geohash equi-join by the rule") {
+    val p = plan("spatial_join_auto")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SpatialDWithinRewrite did not fire:\n$p")
+    assert(p.contains("graft_cell"), s"no geohash bucketing in plan:\n$p")
+    assert(p.contains("Generate") || p.contains("explode"),
+      s"no neighborhood explode in plan:\n$p")
+  }
+
   test("brute-force baselines are (intentionally) nested-loop joins") {
     for (q <- Seq("simsearch_topk", "dedup_embedding")) {
       val p = plan(q)

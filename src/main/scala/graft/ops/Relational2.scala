@@ -167,6 +167,70 @@ object Relational2 {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // Sessionization — the canonical event-log transform for both OLAP and
+  // training-data pipelines: per-user event streams split into sessions at
+  // inactivity gaps > 30 min. One lag window marks the breaks, a running
+  // sum numbers the sessions, a hash agg summarizes them — two shuffles on
+  // the user key, linear at any scale.
+  private val SessionGapSec = 1800L
+
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("tsec"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsec"))
+      .withColumn("brk",
+        when(col("tsec") - lag(col("tsec"), 1).over(byUser) > SessionGapSec
+          || lag(col("tsec"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tsec")) - min(col("tsec"))).as("duration_sec"))
+      .orderBy("user_id", "session_no")
+  }
+
+  private val sessionizeSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+       |  FROM events),
+       |marked AS (
+       |  SELECT user_id, event_id, tsec,
+       |    CASE WHEN lag(tsec, 1) OVER w IS NULL
+       |           OR tsec - lag(tsec, 1) OVER w > $SessionGapSec
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+       |numbered AS (
+       |  SELECT user_id, tsec,
+       |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_no
+       |  FROM marked)
+       |SELECT user_id, session_no, count(*) AS n_events,
+       |  max(tsec) - min(tsec) AS duration_sec
+       |FROM numbered GROUP BY user_id, session_no
+       |ORDER BY user_id, session_no""".stripMargin
+
+  // Pivot / crosstab: event counts per user-decile × event_type. Spark's
+  // groupBy().pivot(values) with pinned pivot values (no extra pass to
+  // discover them); the oracle is the equivalent conditional aggregation.
+  private def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select((col("user_id") % 10).as("bucket"), col("event_type"))
+      .groupBy("bucket")
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("bucket")
+
+  private val pivotAggSql =
+    """SELECT user_id % 10 AS bucket,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // String function battery (1-based substr semantics match).
   private def stringFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -299,6 +363,8 @@ object Relational2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_bucketed" -> (asofJoinBucketed _),
+    "events_sessionize" -> (sessionize _),
+    "pivot_agg" -> (pivotAgg _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_semi_anti" -> (semiAnti _),
     "join_outer" -> (outerJoin _),
@@ -311,6 +377,8 @@ object Relational2 {
 
   val oracle: Map[String, String] = Map(
     "asof_join_bucketed" -> Relational.asofJoinSql,
+    "events_sessionize" -> sessionizeSql,
+    "pivot_agg" -> pivotAggSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "join_semi_anti" -> semiAntiSql,
     "join_outer" -> outerJoinSql,

@@ -12,6 +12,7 @@ object Debug {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expr.functions.register(spark)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     if (args.length > 1 && args(1) == "entry") {
       println(s"[debug] entry rows = ${SparkEntry.entry(spark).count()}")

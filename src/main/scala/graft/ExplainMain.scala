@@ -6,6 +6,7 @@ object ExplainMain {
       .config("spark.sql.shuffle.partitions","8")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expr.functions.register(spark)
     val df = SparkEntry.queries(args(1))(spark, args(0))
     df.explain("formatted")
   }

@@ -59,12 +59,15 @@ object Bench {
     // almost never does. Noise only ever inflates a sample (a run can't
     // beat its plan), so min is the estimator; a query is SUSPECT until
     // its two best samples agree within 1.3x and its min is under an
-    // absolute ceiling (no catalog query legitimately exceeds ~15s at
-    // sf0.1 — if one did, retries cost a bounded ~1 min, not wrong data).
-    // Up to 3 extra passes re-run only the suspect queries, each pass
-    // preceded by a sleep long enough to escape the noise window.
+    // absolute ceiling. The ceiling catches CORRELATED noise (both passes
+    // inflated by a shared window, so they agree at a wrong value): no
+    // catalog query legitimately exceeds ~5s warm at sf0.1, so anything
+    // above 6s is worth re-measuring — a legit slow query just costs a
+    // few bounded retries, never wrong data. Up to 3 extra passes re-run
+    // only the suspect queries, each preceded by a sleep long enough to
+    // escape the noise window.
     val suspectCeiling =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_CEILING_SEC", "15").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CEILING_SEC", "6").toDouble
     def pass(names: Seq[String]): Map[String, Double] =
       catalog.filter(c => names.contains(c._1))
         .map { case (name, fn) => name -> runOne(name, fn, sfDir) }.toMap

@@ -256,11 +256,15 @@ object DedupOps {
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .localCheckpoint()
-    var labels = t(s, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("label"))
+    // propagate only over docs that appear in some pair — the dup subgraph
+    // is sparse at any scale, so each iteration shuffles |paired docs|
+    // rows, not |corpus|; singletons rejoin via the final left join.
+    var labels = edges.select(col("u").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
       .localCheckpoint()
     var prevSum = labels.agg(sum("label")).head().getLong(0)
-    var converged = false
+    var converged = labels.isEmpty
     var it = 0
     while (!converged && it < 20) {
       val prop = edges.join(labels, edges("u") === labels("doc_id"))
@@ -273,7 +277,10 @@ object DedupOps {
       prevSum = sumNow
       it += 1
     }
-    labels.select(col("doc_id"), col("label").as("keep_id"))
+    t(s, dir, "documents")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("keep_id"))
       .orderBy("doc_id")
   }
 

@@ -231,6 +231,60 @@ object Relational2 {
       |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // Interval (event-time range) join — the batch shape of the
+  // stream-stream join in streaming/IngestStream.clickToPurchase: each
+  // click matched to the same user's purchases within the next 30 min.
+  // The user-id equi conjunct carries the hash join; the time band is a
+  // post-filter whose fan-out is bounded by events-per-user-per-window.
+  private def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "events").filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_timestamp(col("ts")).as("c_ts"))
+    val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        unix_timestamp(col("ts")).as("p_ts"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + 1800L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_ts") - col("c_ts")).as("lag_sec"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  private val intervalJoinSql =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS c_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS p_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.click_id, p.purchase_id, p.p_ts - c.c_ts AS lag_sec
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + 1800
+      |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin
+
+  // Exact percentiles (E extension): Spark's `percentile` and DuckDB's
+  // `quantile_cont` both sort exactly and linear-interpolate, so over
+  // double inputs the results are bit-identical — an exact oracle for an
+  // aggregate usually only approx-checked. (Distributed cost is a sort per
+  // group; for a pre-aggregated sketch path use approx_percentile.)
+  private def percentileAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity").cast("double"), lit(0.5)).as("q50"),
+        percentile(col("l_quantity").cast("double"), lit(0.95)).as("q95"),
+        percentile(col("l_extendedprice").cast("double"), lit(0.5)).as("price_p50"))
+      .orderBy("l_returnflag")
+
+  private val percentileAggSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS q50,
+      |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS q95,
+      |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS price_p50
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // String function battery (1-based substr semantics match).
   private def stringFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -365,6 +419,8 @@ object Relational2 {
     "asof_join_bucketed" -> (asofJoinBucketed _),
     "events_sessionize" -> (sessionize _),
     "pivot_agg" -> (pivotAgg _),
+    "percentile_agg" -> (percentileAgg _),
+    "interval_join" -> (intervalJoin _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_semi_anti" -> (semiAnti _),
     "join_outer" -> (outerJoin _),
@@ -379,6 +435,8 @@ object Relational2 {
     "asof_join_bucketed" -> Relational.asofJoinSql,
     "events_sessionize" -> sessionizeSql,
     "pivot_agg" -> pivotAggSql,
+    "percentile_agg" -> percentileAggSql,
+    "interval_join" -> intervalJoinSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "join_semi_anti" -> semiAntiSql,
     "join_outer" -> outerJoinSql,

@@ -84,6 +84,25 @@ object IngestStream {
       .toDF("vehicle_id", "n_pings", "last_ts")
   }
 
+  /** G5 extension: watermarked stream-stream inner join — each click event
+    * joined to the same user's purchases in the following 30 minutes. The
+    * event-time range condition plus watermarks on BOTH sides is what lets
+    * Spark expire join state, so state is bounded by the watermark horizon
+    * (not stream length) at any scale. Batch-shape oracle: the
+    * `interval_join` catalog query. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .drop("p_user")
+  }
+
   /** Run one synchronous drain of a memory-sink query (test/local smoke). */
   def drainToMemory(df: DataFrame, name: String, outputMode: String): StreamingQuery = {
     val q = df.writeStream.format("memory").queryName(name)

@@ -143,6 +143,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join pairs clicks with in-window purchases") {
+    val batch = spark.read.parquet(s"$feedDir/batch1")
+    def stream() = IngestStream.readFeed(spark, batch.schema, s"$feedDir/*")
+    val clicks = stream().filter(col("event_type") === "click")
+    val purchases = stream().filter(col("event_type") === "purchase")
+    val q = IngestStream.clickToPurchase(clicks, purchases)
+      .writeStream.format("memory").queryName("cp_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("cp_join").collect()
+      assert(out.nonEmpty, "no click→purchase pairs found")
+      out.foreach { r =>
+        val c = r.getAs[java.sql.Timestamp]("click_ts").getTime
+        val p = r.getAs[java.sql.Timestamp]("purchase_ts").getTime
+        assert(p >= c && p <= c + 30 * 60 * 1000, s"pair outside window: $r")
+      }
+      // streaming pair set equals the same join run statically on raw ts
+      // (the interval_join catalog query floors to seconds for its oracle,
+      // so it is not boundary-comparable with the ms-precision stream)
+      val cs = batch.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      val ps = batch.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      val expected = cs.join(ps, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES")).count()
+      assert(out.length == expected,
+        s"stream join ${out.length} pairs vs static $expected")
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes hive partitions exactly once") {
     val out = Files.createTempDirectory("graft-stream-out").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString

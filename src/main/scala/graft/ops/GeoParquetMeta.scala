@@ -90,6 +90,23 @@ object GeoParquetMeta {
     finally reader.close()
   }
 
+  /** Read side of the round-trip: parse a stamped file's `geo` footer into
+    * (version, primary geometry column, file bbox) — what a GeoParquet-
+    * aware reader needs to locate the geometry and prune by bbox. */
+  def geoInfo(spark: SparkSession, file: String):
+      Option[(String, String, Option[(Double, Double, Double, Double)])] =
+    keyValueMeta(spark, file).get(GeoKey).map { json =>
+      def field(k: String): Option[String] =
+        (s""""$k":"([^"]+)"""").r.findFirstMatchIn(json).map(_.group(1))
+      val bbox =
+        """"bbox":\[([-0-9.eE]+),([-0-9.eE]+),([-0-9.eE]+),([-0-9.eE]+)\]""".r
+          .findFirstMatchIn(json)
+          .map(m => (m.group(1).toDouble, m.group(2).toDouble,
+            m.group(3).toDouble, m.group(4).toDouble))
+      (field("version").getOrElse(""), field("primary_column").getOrElse(""),
+        bbox)
+    }
+
   /** Stamp every parquet file under `path` whose schema contains
     * `primary` with the GeoParquet `geo` footer entry. Files already
     * stamped (or without the geometry column — e.g. a non-geo table fed

@@ -93,6 +93,24 @@ class IngestCompactSpec extends SparkSpec {
     // compaction re-attaches the geo footer on its outputs
     CompactOps.compact(spark, hot, cold, targetFiles = 1)
     geoOf(cold)
+
+    // read side: geoInfo parses version / primary column / bbox back out
+    def firstParquet(dir: String): String = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir)).head.toString
+    }
+    val info = GeoParquetMeta.geoInfo(spark, firstParquet(hot))
+    assert(info.isDefined)
+    val (ver, primary, bb) = info.get
+    assert(ver == GeoParquetMeta.Version && primary == "geometry")
+    assert(bb.isDefined && bb.get._1 <= bb.get._3 && bb.get._2 <= bb.get._4)
+    // a plain (unstamped) parquet file yields None
+    val plainDir = Files.createTempDirectory("graft-plain").toString
+    enriched.select("trip_id").limit(5).coalesce(1)
+      .write.mode("overwrite").parquet(plainDir)
+    assert(GeoParquetMeta.geoInfo(spark, firstParquet(plainDir)).isEmpty)
   }
 
   test("compacted footers: zstd codec, row groups within the reference bound") {

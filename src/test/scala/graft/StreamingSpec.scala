@@ -175,6 +175,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState detects dwelling vehicles across micro-batches") {
+    import graft.streaming.DwellDetector
+    import spark.implicits._
+    // decode() derives vehicle/coords from event_id: a repeated event_id is
+    // a stationary vehicle (same cell), stepping event_ids (same %100) is a
+    // moving one. Threshold 300s; pings at t0, +200, +400.
+    val t0 = java.time.Instant.parse("2024-03-05T10:00:00Z")
+    def ts(plus: Long) = java.sql.Timestamp.from(t0.plusSeconds(plus))
+    val dir = Files.createTempDirectory("graft-dwell").toString
+    def rows(plus: Long, still: Long, moving: Long) = Seq(
+      (still, 1L, ts(plus), 1.0), (moving, 2L, ts(plus), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    rows(0, 5L, 6L).union(rows(200, 5L, 106L)).write.parquet(s"$dir/b1")
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = IngestStream.readFeed(spark,
+        spark.read.parquet(s"$dir/b1").schema, s"$dir/*")
+      val q = DwellDetector.dwellEvents(IngestStream.transform(feed), 300L)
+        .writeStream.format("memory").queryName("dwell").outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("dwell").isEmpty) // 200s < threshold so far
+
+        rows(400, 5L, 206L).write.parquet(s"$dir/b2") // second batch
+        q.processAllAvailable()
+        val out = spark.table("dwell").collect()
+          .map(r => (r.getAs[String]("vehicle_id"), r.getAs[Long]("dwell_sec")))
+        assert(out.toSeq == Seq(("veh_5", 400L)),
+          s"expected one dwell for the stationary vehicle, got ${out.toSeq}")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming parquet sink writes hive partitions exactly once") {
     val out = Files.createTempDirectory("graft-stream-out").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString

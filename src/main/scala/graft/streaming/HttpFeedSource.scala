@@ -38,20 +38,35 @@ object HttpFeedSource {
   }
 
   /** Start the polling ingest query: each trigger fires one fetch →
-    * decode → enrich(timezone) → hive-partitioned parquet append. */
+    * decode → enrich(timezone) → hive-partitioned parquet append.
+    *
+    * Failure semantics follow `dlqPath`: when set, a failed poll appends a
+    * (batch_id, ts, url, error) record there and the stream keeps running —
+    * the reference's at-most-once + dead-letter-queue behavior
+    * (etl/infrastructure/construct.py retry_attempts=0 + DLQ). When None,
+    * the batch fails and the checkpointed trigger retries — the
+    * exactly-once upgrade. */
   def pollQuery(spark: SparkSession, url: String, outPath: String,
       checkpoint: String, apiKey: Option[(String, String)] = None,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
-      timezone: String = "UTC"): StreamingQuery = {
+      timezone: String = "UTC", dlqPath: Option[String] = None): StreamingQuery = {
     val ticks = spark.readStream.format("rate")
       .option("rowsPerSecond", 1).load()
-    val onBatch: (Dataset[Row], Long) => Unit = (batch, _) =>
+    val onBatch: (Dataset[Row], Long) => Unit = (batch, id) =>
       if (!batch.isEmpty) {
         val s = batch.sparkSession
         import s.implicits._
-        val feeds = Seq(Tuple1(fetchFeed(url, apiKey))).toDF("feed")
-        IngestOps.writeHive(
-          IngestOps.enrich(IngestOps.decodeProtobuf(feeds), timezone), outPath)
+        try {
+          val feeds = Seq(Tuple1(fetchFeed(url, apiKey))).toDF("feed")
+          IngestOps.writeHive(
+            IngestOps.enrich(IngestOps.decodeProtobuf(feeds), timezone), outPath)
+        } catch {
+          case e: java.io.IOException if dlqPath.isDefined =>
+            Seq((id, System.currentTimeMillis() / 1000L, url,
+              String.valueOf(e.getMessage)))
+              .toDF("batch_id", "ts", "url", "error")
+              .write.mode("append").parquet(dlqPath.get)
+        }
       }
     ticks.writeStream
       .trigger(trigger)

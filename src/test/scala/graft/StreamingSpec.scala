@@ -114,6 +114,25 @@ class StreamingSpec extends SparkSpec {
       HttpFeedSource.fetchFeed(url) // server stopped
     }
     assert(err != null)
+
+    // DLQ mode (reference parity: at-most-once + dead letter, no retry):
+    // polling the now-dead endpoint records the failure and keeps running
+    val dlq = Files.createTempDirectory("graft-dlq").toString
+    val out2 = Files.createTempDirectory("graft-http-out2").toString
+    val ckpt2 = Files.createTempDirectory("graft-http-ckpt2").toString
+    val q2 = HttpFeedSource.pollQuery(spark, url, out2, ckpt2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      dlqPath = Some(dlq))
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def dlqRows(): Long =
+        scala.util.Try(spark.read.parquet(dlq).count()).getOrElse(0L)
+      while (dlqRows() == 0 && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(dlqRows() >= 1, "no DLQ record within 30s")
+      assert(q2.isActive, "stream died despite DLQ mode")
+      val rec = spark.read.parquet(dlq).collect().head
+      assert(rec.getAs[String]("url") == url)
+    } finally q2.stop()
   }
 
   test("mapGroupsWithState accumulates per-vehicle totals across micro-batches") {

@@ -40,6 +40,7 @@ object GtfsRtOps {
     def varint(): Long = {
       var shift = 0; var out = 0L
       while (shift < 64) {
+        if (pos >= end) throw new IllegalArgumentException("truncated varint")
         val b = buf(pos); pos += 1
         out |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return out
@@ -48,11 +49,13 @@ object GtfsRtOps {
       throw new IllegalArgumentException("malformed varint")
     }
     def fixed32(): Int = {
+      if (pos + 4 > end) throw new IllegalArgumentException("truncated fixed32")
       val v = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
         ((buf(pos + 2) & 0xff) << 16) | ((buf(pos + 3) & 0xff) << 24)
       pos += 4; v
     }
     def fixed64(): Long = {
+      if (pos + 8 > end) throw new IllegalArgumentException("truncated fixed64")
       var v = 0L; var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; v
@@ -62,14 +65,23 @@ object GtfsRtOps {
       val t = varint().toInt
       (t >>> 3, t & 7)
     }
-    def lenDelimited(): Reader = {
+    /** Decoded length of a len-delimited field; a negative or
+      * past-the-end length is corruption — throw rather than let `pos`
+      * move backward (an unescapable loop) or past the buffer. */
+    private def boundedLen(): Int = {
       val len = varint().toInt
+      if (len < 0 || pos + len > end)
+        throw new IllegalArgumentException(s"bad length $len at $pos")
+      len
+    }
+    def lenDelimited(): Reader = {
+      val len = boundedLen()
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
     }
     def utf8(): UTF8String = {
-      val len = varint().toInt
+      val len = boundedLen()
       val s = UTF8String.fromBytes(buf, pos, len)
       pos += len
       s
@@ -77,7 +89,9 @@ object GtfsRtOps {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
       case 1 => pos += 8
-      case 2 => val len = varint().toInt; pos += len
+      // bind len FIRST: `pos += boundedLen()` reads the left operand before
+      // boundedLen() advances pos past the length varint — off-by-varint
+      case 2 => val len = boundedLen(); pos += len
       case 5 => pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
@@ -120,7 +134,20 @@ object GtfsRtOps {
 
   /** Decode a FeedMessage blob → array of vehicle rows (entities without a
     * vehicle payload are dropped, matching HasField("vehicle")). */
-  def decodeFeed(bytes: Array[Byte]): ArrayData = {
+  /** Corrupt or truncated feeds (a real production event — a partial HTTP
+    * body, a proxy error page) decode to an EMPTY entity array rather than
+    * throwing: one bad poll must not kill a streaming query. Entities
+    * decoded before the corruption point are discarded too — a truncated
+    * protobuf has no trustworthy prefix. */
+  def decodeFeed(bytes: Array[Byte]): ArrayData =
+    try decodeFeedUnsafe(bytes)
+    catch {
+      case _: IndexOutOfBoundsException | _: IllegalArgumentException |
+          _: NegativeArraySizeException =>
+        new GenericArrayData(Array.empty[Any])
+    }
+
+  private def decodeFeedUnsafe(bytes: Array[Byte]): ArrayData = {
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     val top = new Reader(bytes, 0, bytes.length)
     while (top.hasMore) top.tag() match {

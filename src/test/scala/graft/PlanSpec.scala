@@ -56,6 +56,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-2 relational operators keep equi-join / hash-agg shapes") {
+    for (q <- Seq("interval_join", "events_sessionize", "pivot_agg",
+        "percentile_agg", "dedup_resolve")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated into a cross/nested-loop join:\n$p")
+    }
+    assert(plan("pivot_agg").contains("HashAggregate"))
+    assert(plan("percentile_agg").contains("Aggregate"), "no aggregate in percentile plan")
+  }
+
   test("naive st_dwithin join is rewritten to a geohash equi-join by the rule") {
     val p = plan("spatial_join_auto")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

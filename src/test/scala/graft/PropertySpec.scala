@@ -72,4 +72,45 @@ object PropertySpec extends Properties("graft.kernels") {
       val toks = a.split(' ').count(_.nonEmpty)
       n <= math.max(0, toks - 2)
     }
+
+  // ---- IVF coarse-quantizer kernel ----
+
+  private val vec = Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0))
+    .map(l => org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      l.map(_.toFloat).toArray))
+  private val cents = Gen.listOfN(4 * 8, Gen.chooseNum(-1.0, 1.0))
+    .map(l => org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      l.toArray))
+
+  property("topCells returns min(top,K) distinct in-range ids, dot-ordered") =
+    forAll(vec, cents, Gen.chooseNum(1, 6)) { (v, c, top) =>
+      val out = graft.expr.EmbedOps.topCells(v, c, 8, top)
+      val ids = (0 until out.numElements()).map(out.getInt)
+      def dot(cell: Int): Double =
+        (0 until 8).map(i => v.getFloat(i).toDouble * c.getDouble(cell * 8 + i)).sum
+      val dots = ids.map(dot)
+      ids.length == math.min(top, 4) &&
+        ids.distinct.length == ids.length &&
+        ids.forall(i => i >= 0 && i < 4) &&
+        dots.zip(dots.tail).forall { case (a, b) => a >= b - 1e-12 }
+    }
+
+  // ---- GTFS-rt decoder robustness ----
+
+  private val junk = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+    .map(_.toArray)
+
+  property("gtfs-rt decode never throws on arbitrary bytes") =
+    forAll(junk) { bytes =>
+      val out = graft.expr.GtfsRtOps.decodeFeed(bytes)
+      out != null && out.numElements() >= 0
+    }
+
+  property("gtfs-rt decode never throws on truncated valid feeds") =
+    forAll(Gen.chooseNum(0, 200)) { cut =>
+      val full = TestProto.singleVehicleFeed(1709650000L)
+      val trunc = full.take(math.min(cut, full.length))
+      val out = graft.expr.GtfsRtOps.decodeFeed(trunc)
+      out != null && out.numElements() >= 0
+    }
 }

@@ -179,6 +179,38 @@ class IngestCompactSpec extends SparkSpec {
     assert(done2.length == 2) // Feb 27..29 absent; Mar 1, 2 present
   }
 
+  test("compactWindow monthly path folds day partitions into month files") {
+    import java.time.Instant
+    val daily = Files.createTempDirectory("graft-mon-daily").toString
+    val monthly = Files.createTempDirectory("graft-mon-cold").toString
+    import spark.implicits._
+    // the daily-compacted zone: year=2024/month={2,3}/day=... trees
+    val df = (0 until 1200).map { i =>
+      (i.toLong, 2024, 2 + i % 2, 1 + i % 3)
+    }.toDF("id", "year", "month", "day").repartition(4)
+    df.write.mode("overwrite").partitionBy("year", "month", "day").parquet(daily)
+
+    // previous_months=1 + compact_to_now from mid-March → Feb and Mar
+    val done = CompactOps.compactWindow(spark, daily, monthly,
+      previousMonths = Some(1), compactToNow = true,
+      now = Instant.parse("2024-03-15T00:00:00Z"))
+    assert(done.map(_._2).toSet ==
+      Set(s"$monthly/year=2024/month=2", s"$monthly/year=2024/month=3"),
+      s"unexpected month targets: $done")
+    for ((_, out) <- done) {
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$out not compacted to one file")
+    }
+    val back = spark.read.parquet(monthly)
+    assert(back.count() == 1200)
+    // partition discovery folded `day` back in as a data column, so the
+    // month-level files keep day granularity (unlike the reference)
+    assert(back.select("day").distinct().count() == 3)
+    assert(back.select("month").distinct().collect().map(_.getInt(0)).toSet
+      == Set(2, 3))
+  }
+
   test("agency timezone drives event_ts and the hive partition date") {
     import spark.implicits._
     // 2024-03-05T02:30:00Z = 2024-03-04 21:30 America/Toronto (EST, UTC-5)

@@ -88,11 +88,15 @@ object GtfsRtOps {
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 =>
+        if (pos + 8 > end) throw new IllegalArgumentException("truncated fixed64")
+        pos += 8
       // bind len FIRST: `pos += boundedLen()` reads the left operand before
-      // boundedLen() advances pos past the length varint — off-by-varint
+      // boundedLen() advances it past the length varint — off-by-varint
       case 2 => val len = boundedLen(); pos += len
-      case 5 => pos += 4
+      case 5 =>
+        if (pos + 4 > end) throw new IllegalArgumentException("truncated fixed32")
+        pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
   }

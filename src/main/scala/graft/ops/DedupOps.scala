@@ -263,10 +263,20 @@ object DedupOps {
       .distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    // sum over an empty frame is null — check emptiness BEFORE reading it
     var converged = labels.isEmpty
+    var prevSum = if (converged) 0L else labels.agg(sum("label")).head().getLong(0)
     var it = 0
-    while (!converged && it < 20) {
+    // iterate to the fixpoint: Σlabel strictly decreases until convergence,
+    // so this terminates in ≤ max-cluster-diameter rounds. No silent cap —
+    // a partial propagation would split clusters and diverge from the
+    // oracle's recursive closure; the generous bound only guards a cycle
+    // bug and fails loudly instead of returning wrong labels.
+    val maxIters = 10000
+    while (!converged) {
+      if (it >= maxIters)
+        throw new IllegalStateException(
+          s"dedup_resolve failed to converge in $maxIters rounds")
       val prop = edges.join(labels, edges("u") === labels("doc_id"))
         .select(col("v").as("doc_id"), col("label"))
       labels = labels.select(col("doc_id"), col("label")).union(prop)

@@ -110,11 +110,17 @@ object GeoParquetMeta {
   /** Stamp every parquet file under `path` whose schema contains
     * `primary` with the GeoParquet `geo` footer entry. Files already
     * stamped (or without the geometry column — e.g. a non-geo table fed
-    * through compaction) are left untouched. */
+    * through compaction) are left untouched.
+    *
+    * `onlyFiles`, when given, restricts the stamping to that exact file
+    * set — the incremental path for streaming appends (see
+    * [[graft.ops.IngestOps.writeHive]]), which avoids re-opening every
+    * historical footer on each micro-batch. */
   def attach(spark: SparkSession, path: String,
-      primary: String = "geometry", bboxCol: String = "bbox"): Unit = {
+      primary: String = "geometry", bboxCol: String = "bbox",
+      onlyFiles: Option[Seq[Path]] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    parquetFiles(conf, path).foreach { file =>
+    onlyFiles.getOrElse(parquetFiles(conf, path)).foreach { file =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       val (footer, schema, kv) = try {
         val f = reader.getFooter
@@ -128,7 +134,6 @@ object GeoParquetMeta {
           if (hasBbox) Some(bboxCol) else None,
           if (hasBbox) bboxFromStats(footer, bboxCol) else None)
         val tmp = new Path(file.getParent, s".${file.getName}.geo.tmp")
-        val fs = file.getFileSystem(conf)
         val writer = new ParquetFileWriter(
           HadoopOutputFile.fromPath(tmp, conf), schema,
           ParquetFileWriter.Mode.OVERWRITE,
@@ -136,9 +141,19 @@ object GeoParquetMeta {
         writer.start()
         writer.appendFile(HadoopInputFile.fromPath(file, conf))
         writer.end((kv + (GeoKey -> json)).asJava)
-        if (!fs.delete(file, false) || !fs.rename(tmp, file))
-          throw new java.io.IOException(s"geo stamp rename failed for $file")
+        // atomic replace: the original survives until the single rename —
+        // no delete-then-rename window that could lose the data file
+        org.apache.hadoop.fs.FileContext.getFileContext(file.toUri, conf)
+          .rename(tmp, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
     }
+  }
+
+  /** All parquet files currently under `path` (for before/after diffs). */
+  def listParquet(spark: SparkSession, path: String): Set[Path] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    if (!root.getFileSystem(conf).exists(root)) Set.empty
+    else parquetFiles(conf, path).toSet
   }
 }

@@ -78,15 +78,19 @@ object IngestOps {
 
   /** B1/B2: hive-partitioned snappy append (hot zone), then GeoParquet
     * `geo` footer stamping (reference writes it on every file,
-    * handler.py:144-156). `attach` skips files already stamped, so
-    * repeated appends only touch the new files. */
+    * handler.py:144-156). Stamping is scoped to the files this append
+    * produced (before/after listing diff) so a long-running stream costs
+    * O(new files) per batch, not O(all historical footers). */
   def writeHive(df: DataFrame, path: String): Unit = {
+    val before = GeoParquetMeta.listParquet(df.sparkSession, path)
     df.write
       .partitionBy("year", "month", "day")
       .option("compression", "snappy")
       .mode("append")
       .parquet(path)
-    GeoParquetMeta.attach(df.sparkSession, path)
+    val added = GeoParquetMeta.listParquet(df.sparkSession, path) -- before
+    GeoParquetMeta.attach(df.sparkSession, path,
+      onlyFiles = Some(added.toSeq.sortBy(_.toString)))
   }
 
   // Oracle-checkable slice of the ingest pipeline (everything except the
@@ -133,7 +137,16 @@ object IngestOps {
   // from the raw events arithmetic, so the match is exact.
   private val geoLakeLock = new Object
   private[ops] def geoLake(s: SparkSession, dir: String): String = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_geolake_${math.abs(dir.hashCode)}"
+    // cache key = source path + events file size + mtime, so regenerated
+    // test data invalidates the lake (a bare path hashCode would serve
+    // stale results and can collide between dirs)
+    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${st.getLen}|${st.getModificationTime}".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_geolake_$key"
     geoLakeLock.synchronized {
       if (!new java.io.File(s"$root/_SUCCESS").exists()) {
         enrich(decode(Tables(s, dir, "events")))

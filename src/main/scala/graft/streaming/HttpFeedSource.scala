@@ -22,12 +22,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object HttpFeedSource {
 
+  /** One client for the process: each HttpClient owns a selector thread
+    * and connection pool that live until GC — building one per poll leaks
+    * threads over a long-running stream. The per-request timeout still
+    * comes from the call; only the connect timeout is fixed here. */
+  private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(5000)).build()
+
   /** One feed fetch: GET `url`, optional `(header, key)` pair, reference
     * timeout 5 s. Non-2xx → IOException (raise_for_status). */
   def fetchFeed(url: String, apiKey: Option[(String, String)] = None,
       timeoutMs: Int = 5000): Array[Byte] = {
-    val client = HttpClient.newBuilder()
-      .connectTimeout(Duration.ofMillis(timeoutMs)).build()
     val b = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(timeoutMs)).GET()
     apiKey.foreach { case (h, v) => b.header(h, v) }
@@ -56,16 +61,25 @@ object HttpFeedSource {
       if (!batch.isEmpty) {
         val s = batch.sparkSession
         import s.implicits._
-        try {
-          val feeds = Seq(Tuple1(fetchFeed(url, apiKey))).toDF("feed")
+        // DLQ covers the POLL only: a fetch failure is the reference's
+        // dead-letter case. A failure after a successful fetch (decode /
+        // sink) must NOT be swallowed as a "poll failure" — the fetched
+        // data would be silently lost with the wrong blame — so it
+        // propagates and fails the batch in either mode.
+        val fetched: Option[Array[Byte]] =
+          try Some(fetchFeed(url, apiKey))
+          catch {
+            case e: java.io.IOException if dlqPath.isDefined =>
+              Seq((id, System.currentTimeMillis() / 1000L, url,
+                String.valueOf(e.getMessage)))
+                .toDF("batch_id", "ts", "url", "error")
+                .write.mode("append").parquet(dlqPath.get)
+              None
+          }
+        fetched.foreach { bytes =>
+          val feeds = Seq(Tuple1(bytes)).toDF("feed")
           IngestOps.writeHive(
             IngestOps.enrich(IngestOps.decodeProtobuf(feeds), timezone), outPath)
-        } catch {
-          case e: java.io.IOException if dlqPath.isDefined =>
-            Seq((id, System.currentTimeMillis() / 1000L, url,
-              String.valueOf(e.getMessage)))
-              .toDF("batch_id", "ts", "url", "error")
-              .write.mode("append").parquet(dlqPath.get)
         }
       }
     ticks.writeStream

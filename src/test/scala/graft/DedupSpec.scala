@@ -85,6 +85,19 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 0L))
   }
 
+  test("dedup_resolve on an all-unique corpus keeps every doc (no pairs edge case)") {
+    val dir = Files.createTempDirectory("graft-unique").toString
+    import spark.implicits._
+    (0 until 20).map(i =>
+      (i.toLong, s"totally distinct$i content$i nothing$i shared$i here$i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("dedup_resolve")(spark, dir)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("keep_id"))
+    assert(r.length == 20 && r.forall { case (d, k) => d == k })
+  }
+
   test("dedup_simhash pairs the near-duplicates, not the unrelated doc") {
     val r = SparkEntry.queries("dedup_simhash")(spark, fixtureDir)
       .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"),

@@ -141,10 +141,19 @@ object GeoParquetMeta {
         writer.start()
         writer.appendFile(HadoopInputFile.fromPath(file, conf))
         writer.end((kv + (GeoKey -> json)).asJava)
-        // atomic replace: the original survives until the single rename —
-        // no delete-then-rename window that could lose the data file
-        org.apache.hadoop.fs.FileContext.getFileContext(file.toUri, conf)
-          .rename(tmp, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        // replace keeping the original alive until the last moment: prefer
+        // the single overwriting rename (atomic on HDFS/local); fall back
+        // to delete+rename on filesystems with no AbstractFileSystem
+        // binding (some object-store connectors expose only a FileSystem)
+        try
+          org.apache.hadoop.fs.FileContext.getFileContext(file.toUri, conf)
+            .rename(tmp, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            val fs = file.getFileSystem(conf)
+            if (!fs.delete(file, false) || !fs.rename(tmp, file))
+              throw new java.io.IOException(s"geo stamp rename failed for $file")
+        }
       }
     }
   }

@@ -78,19 +78,43 @@ object IngestOps {
 
   /** B1/B2: hive-partitioned snappy append (hot zone), then GeoParquet
     * `geo` footer stamping (reference writes it on every file,
-    * handler.py:144-156). Stamping is scoped to the files this append
-    * produced (before/after listing diff) so a long-running stream costs
-    * O(new files) per batch, not O(all historical footers). */
+    * handler.py:144-156).
+    *
+    * Stamping strategy for long-running streams: the FIRST write to a
+    * path in this JVM does a full-tree attach — this heals files orphaned
+    * by a crash between a previous process's append and its stamping
+    * pass. Subsequent writes stamp only the files the append produced,
+    * with the file set carried over between batches so each batch costs
+    * one tree listing and O(new files) footer work (the listing itself is
+    * the irreducible cost without commit-protocol hooks). */
+  private val knownFiles =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[org.apache.hadoop.fs.Path]]()
+
   def writeHive(df: DataFrame, path: String): Unit = {
-    val before = GeoParquetMeta.listParquet(df.sparkSession, path)
+    val firstWrite = !knownFiles.containsKey(path)
+    val before =
+      if (firstWrite) GeoParquetMeta.listParquet(df.sparkSession, path)
+      else knownFiles.get(path)
     df.write
       .partitionBy("year", "month", "day")
       .option("compression", "snappy")
       .mode("append")
       .parquet(path)
-    val added = GeoParquetMeta.listParquet(df.sparkSession, path) -- before
-    GeoParquetMeta.attach(df.sparkSession, path,
-      onlyFiles = Some(added.toSeq.sortBy(_.toString)))
+    val after = GeoParquetMeta.listParquet(df.sparkSession, path)
+    try {
+      if (firstWrite) // full sweep: also stamps pre-existing unstamped files
+        GeoParquetMeta.attach(df.sparkSession, path)
+      else
+        GeoParquetMeta.attach(df.sparkSession, path,
+          onlyFiles = Some((after -- before).toSeq.sortBy(_.toString)))
+      knownFiles.put(path, after)
+    } catch {
+      case e: Throwable =>
+        // a failed stamping pass may leave unstamped files behind; forget
+        // the path so the next write runs the healing full sweep
+        knownFiles.remove(path)
+        throw e
+    }
   }
 
   // Oracle-checkable slice of the ingest pipeline (everything except the
@@ -143,18 +167,32 @@ object IngestOps {
     val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(src)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${st.getLen}|${st.getModificationTime}".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.take(16)
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_geolake_$key"
+    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+    // one parent dir per SOURCE, one subdir per content key: when the
+    // source regenerates (new mtime/size → new key), stale keys for the
+    // same source are evicted instead of accumulating in tmp
+    val parent = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_geolake/${md5(dir)}")
+    val key = md5(s"${st.getLen}|${st.getModificationTime}")
+    val root = new java.io.File(parent, key)
     geoLakeLock.synchronized {
-      if (!new java.io.File(s"$root/_SUCCESS").exists()) {
+      if (!new java.io.File(root, "_SUCCESS").exists()) {
+        Option(parent.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName != key)
+          .foreach { stale =>
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              f.delete()
+            }
+            rm(stale)
+          }
         enrich(decode(Tables(s, dir, "events")))
           .sortWithinPartitions(col("bbox.xmin"))
-          .write.mode("overwrite").parquet(root)
+          .write.mode("overwrite").parquet(root.toString)
       }
     }
-    root
+    root.toString
   }
 
   private def bboxPrune(s: SparkSession, dir: String): DataFrame =

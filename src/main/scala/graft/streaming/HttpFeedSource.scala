@@ -22,17 +22,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object HttpFeedSource {
 
-  /** One client for the process: each HttpClient owns a selector thread
-    * and connection pool that live until GC — building one per poll leaks
-    * threads over a long-running stream. The per-request timeout still
-    * comes from the call; only the connect timeout is fixed here. */
-  private lazy val client: HttpClient = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofMillis(5000)).build()
+  /** One client per distinct connect timeout (in practice one): each
+    * HttpClient owns a selector thread and connection pool that live until
+    * GC — building one per poll leaks threads over a long-running stream,
+    * while a single fixed-timeout client would silently ignore a caller's
+    * larger `timeoutMs` during connection establishment. */
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[Int, HttpClient]()
+  private def clientFor(timeoutMs: Int): HttpClient =
+    clients.computeIfAbsent(timeoutMs, t =>
+      HttpClient.newBuilder().connectTimeout(Duration.ofMillis(t)).build())
 
   /** One feed fetch: GET `url`, optional `(header, key)` pair, reference
-    * timeout 5 s. Non-2xx → IOException (raise_for_status). */
+    * timeout 5 s (applies to connect and to the request). Non-2xx →
+    * IOException (raise_for_status). */
   def fetchFeed(url: String, apiKey: Option[(String, String)] = None,
       timeoutMs: Int = 5000): Array[Byte] = {
+    val client = clientFor(timeoutMs)
     val b = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(timeoutMs)).GET()
     apiKey.foreach { case (h, v) => b.header(h, v) }

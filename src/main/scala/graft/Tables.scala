@@ -29,4 +29,17 @@ object Tables {
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
+
+  /** Geo-aware scan of a lake this engine wrote: reads the parquet tree
+    * and reports the GeoParquet primary geometry column found in the
+    * first stamped footer (None for a non-geo table). What a consumer
+    * needs to locate the WKB column without out-of-band schema knowledge. */
+  def readGeo(spark: SparkSession, path: String): (DataFrame, Option[String]) = {
+    val df = spark.read.parquet(path)
+    val primary = graft.ops.GeoParquetMeta.listParquet(spark, path)
+      .toSeq.sortBy(_.toString).iterator
+      .map(f => graft.ops.GeoParquetMeta.geoInfo(spark, f.toString))
+      .collectFirst { case Some((_, col, _)) => col }
+    (df, primary)
+  }
 }

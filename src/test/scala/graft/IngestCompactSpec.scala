@@ -111,6 +111,12 @@ class IngestCompactSpec extends SparkSpec {
     enriched.select("trip_id").limit(5).coalesce(1)
       .write.mode("overwrite").parquet(plainDir)
     assert(GeoParquetMeta.geoInfo(spark, firstParquet(plainDir)).isEmpty)
+
+    // geo-aware table scan finds the primary column from the footer alone
+    val (geoDf, primaryCol) = Tables.readGeo(spark, hot)
+    assert(primaryCol.contains("geometry"))
+    assert(geoDf.count() == enriched.count())
+    assert(Tables.readGeo(spark, plainDir)._2.isEmpty)
   }
 
   test("compacted footers: zstd codec, row groups within the reference bound") {

@@ -69,6 +69,10 @@ object EmbedOps {
         if (!used(cc) && sims(cc) > bv) { bv = sims(cc); best = cc }
         cc += 1
       }
+      if (best < 0) { // all remaining sims NaN (bad vector/centroid):
+        var f = 0     // degrade deterministically to lowest unused cell
+        while (best < 0 && f < k) { if (!used(f)) best = f; f += 1 }
+      }
       used(best) = true
       out(j) = best
       j += 1

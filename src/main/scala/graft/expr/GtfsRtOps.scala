@@ -143,11 +143,25 @@ object GtfsRtOps {
     * throwing: one bad poll must not kill a streaming query. Entities
     * decoded before the corruption point are discarded too — a truncated
     * protobuf has no trustworthy prefix. */
+  /** Undecodable feeds seen by this JVM — lets operators distinguish a
+    * genuinely empty feed from a persistently malformed upstream (wrong
+    * content-type, auth error page) that would otherwise look like silent
+    * zero-row ingestion forever. Monotonic; read it from a streaming
+    * listener or an ops probe. */
+  val corruptFeedCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def decodeFeed(bytes: Array[Byte]): ArrayData =
     try decodeFeedUnsafe(bytes)
     catch {
-      case _: IndexOutOfBoundsException | _: IllegalArgumentException |
-          _: NegativeArraySizeException =>
+      case e @ (_: IndexOutOfBoundsException | _: IllegalArgumentException |
+          _: NegativeArraySizeException) =>
+        val n = corruptFeedCount.incrementAndGet()
+        // log the first few and then every 100th — enough signal to alarm
+        // on without flooding the executor logs on a persistent bad feed
+        if (n <= 3 || n % 100 == 0)
+          log.warn(s"undecodable GTFS-rt feed #$n (${bytes.length} bytes): $e")
         new GenericArrayData(Array.empty[Any])
     }
 

@@ -81,6 +81,31 @@ object GeoParquetMeta {
     } yield (x0, y0, x1, y1)
   }
 
+  /** Recover from a crash mid-promotion (see the fallback in [[attach]]).
+    * A leftover `.X.geo.bak` whose original `X` is missing means the crash
+    * hit between moving the original aside and promoting the stamped copy —
+    * restore the original (the sweep will re-stamp it). One whose original
+    * exists is a completed promotion — drop the backup. Stray `.X.geo.tmp`
+    * files are incomplete stamp outputs — drop them too. */
+  private def recoverOrphans(conf: Configuration, path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.startsWith(".") && n.endsWith(".geo.bak")) {
+        val orig = new Path(f.getPath.getParent,
+          n.substring(1, n.length - ".geo.bak".length))
+        if (!fs.exists(orig)) fs.rename(f.getPath, orig)
+        else fs.delete(f.getPath, false)
+      } else if (f.isFile && n.startsWith(".") && n.endsWith(".geo.tmp")) {
+        fs.delete(f.getPath, false)
+      }
+    }
+  }
+
   /** Read the footer key-value metadata of one parquet file. */
   def keyValueMeta(spark: SparkSession, file: String): Map[String, String] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -120,6 +145,9 @@ object GeoParquetMeta {
       primary: String = "geometry", bboxCol: String = "bbox",
       onlyFiles: Option[Seq[Path]] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // full sweep (first write / healing pass): first restore anything a
+    // crashed promotion left behind, so the listing below sees it
+    if (onlyFiles.isEmpty) recoverOrphans(conf, path)
     onlyFiles.getOrElse(parquetFiles(conf, path)).foreach { file =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       val (footer, schema, kv) = try {
@@ -150,9 +178,15 @@ object GeoParquetMeta {
             .rename(tmp, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         catch {
           case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // no atomic overwrite available: move the original aside, then
+            // promote. A crash at any point leaves either the original or
+            // its .geo.bak on disk — recoverOrphans restores it on the
+            // next full sweep; data is never lost.
             val fs = file.getFileSystem(conf)
-            if (!fs.delete(file, false) || !fs.rename(tmp, file))
+            val bak = new Path(file.getParent, s".${file.getName}.geo.bak")
+            if (!fs.rename(file, bak) || !fs.rename(tmp, file))
               throw new java.io.IOException(s"geo stamp rename failed for $file")
+            fs.delete(bak, false)
         }
       }
     }

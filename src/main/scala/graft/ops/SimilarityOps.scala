@@ -118,8 +118,16 @@ object SimilarityOps {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Array[Double])]()
 
-  private[ops] def fitCentroids(s: SparkSession, dir: String): (Int, Array[Double]) =
-    centroidCache.computeIfAbsent(dir, _ => fitCentroidsUncached(s, dir))
+  private[ops] def fitCentroids(s: SparkSession, dir: String): (Int, Array[Double]) = {
+    // cache key includes the embeddings file's (length, mtime) — like
+    // IngestOps.geoLake — so regenerated test data in the same JVM refits
+    // the quantizer instead of silently reusing a stale model
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val key = s"$dir|${st.getLen}|${st.getModificationTime}"
+    centroidCache.computeIfAbsent(key, _ => fitCentroidsUncached(s, dir))
+  }
 
   /** Driver-side Lloyd iterations on a bounded deterministic sample.
     * Returns (dim, flattened row-major K×dim matrix, rows L2-normalized so

@@ -37,7 +37,11 @@ class DwellProcessor(thresholdSec: Long)
     var st = if (state.exists()) state.get() else null
     val out = Seq.newBuilder[DwellEvent]
     for ((_, cell, ts) <- sorted) {
-      if (st == null || st.cell != cell)
+      if (st != null && ts < st.sinceTs) {
+        // late cross-batch arrival older than the current stay: sorting is
+        // per-batch only, so a straggler ping from a previous cell could
+        // otherwise reset a genuine ongoing dwell with a stale timestamp
+      } else if (st == null || st.cell != cell)
         st = DwellState(cell, ts, reported = false)
       else if (!st.reported && ts - st.sinceTs >= thresholdSec) {
         out += DwellEvent(key, cell, ts - st.sinceTs)

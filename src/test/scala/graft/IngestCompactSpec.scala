@@ -119,6 +119,29 @@ class IngestCompactSpec extends SparkSpec {
     assert(Tables.readGeo(spark, plainDir)._2.isEmpty)
   }
 
+  test("geo stamping crash recovery: .geo.bak / .geo.tmp leftovers are healed") {
+    import graft.ops.GeoParquetMeta
+    val hot = Files.createTempDirectory("graft-geo-crash").toString
+    IngestOps.writeHive(enriched, hot)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val n = spark.read.parquet(hot).count()
+    val victim = walk(new java.io.File(hot)).head
+    // simulate a crash between moving-aside and promotion on a non-atomic
+    // filesystem: the original is gone; only its backup and a stale,
+    // incomplete tmp remain
+    val bak = new java.io.File(victim.getParent, s".${victim.getName}.geo.bak")
+    assert(victim.renameTo(bak))
+    val tmp = new java.io.File(victim.getParent, s".${victim.getName}.geo.tmp")
+    java.nio.file.Files.write(tmp.toPath, Array[Byte](1, 2, 3))
+    assert(spark.read.parquet(hot).count() < n) // data currently missing
+    GeoParquetMeta.attach(spark, hot) // healing full sweep
+    assert(victim.exists && !bak.exists && !tmp.exists)
+    assert(spark.read.parquet(hot).count() == n)
+    assert(GeoParquetMeta.geoInfo(spark, victim.toString).isDefined)
+  }
+
   test("compacted footers: zstd codec, row groups within the reference bound") {
     val hot = Files.createTempDirectory("graft-hot2").toString
     val cold = Files.createTempDirectory("graft-cold2").toString

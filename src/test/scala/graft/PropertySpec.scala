@@ -95,6 +95,15 @@ object PropertySpec extends Properties("graft.kernels") {
         dots.zip(dots.tail).forall { case (a, b) => a >= b - 1e-12 }
     }
 
+  property("topCells degrades to id order on all-NaN vectors, never throws") =
+    forAll(cents, Gen.chooseNum(1, 6)) { (c, top) =>
+      val v = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array.fill(8)(Float.NaN))
+      val out = graft.expr.EmbedOps.topCells(v, c, 8, top)
+      val ids = (0 until out.numElements()).map(out.getInt)
+      ids == (0 until math.min(top, 4)) // deterministic lowest-id fallback
+    }
+
   // ---- GTFS-rt decoder robustness ----
 
   private val junk = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))

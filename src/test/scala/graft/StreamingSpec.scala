@@ -230,6 +230,40 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("dwell state ignores late cross-batch pings older than the current stay") {
+    import graft.streaming.DwellDetector
+    import spark.implicits._
+    // veh_7 leaves cell(7) at +50 for cell(307) (0.3° away — a different
+    // precision-5 cell) and stays. A straggler cell(7) ping at +20 arrives
+    // one batch late; without the ts < sinceTs guard it would reset the
+    // ongoing stay and suppress the dwell event.
+    val t0 = java.time.Instant.parse("2024-03-05T10:00:00Z")
+    def ts(plus: Long) = java.sql.Timestamp.from(t0.plusSeconds(plus))
+    val dir = Files.createTempDirectory("graft-dwell-late").toString
+    Seq((7L, 1L, ts(0), 1.0), (307L, 1L, ts(50), 1.0))
+      .toDF("event_id", "user_id", "ts", "value").write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = IngestStream.readFeed(spark,
+        spark.read.parquet(s"$dir/b1").schema, s"$dir/*")
+      val q = DwellDetector.dwellEvents(IngestStream.transform(feed), 300L)
+        .writeStream.format("memory").queryName("dwell_late")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // late old-cell ping + the ping that crosses the threshold
+        Seq((7L, 1L, ts(20), 1.0), (307L, 1L, ts(400), 1.0))
+          .toDF("event_id", "user_id", "ts", "value").write.parquet(s"$dir/b2")
+        q.processAllAvailable()
+        val out = spark.table("dwell_late").collect()
+          .map(r => (r.getAs[String]("vehicle_id"), r.getAs[Long]("dwell_sec")))
+        assert(out.toSeq == Seq(("veh_7", 350L)),
+          s"expected the stay to survive the late ping, got ${out.toSeq}")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming parquet sink writes hive partitions exactly once") {
     val out = Files.createTempDirectory("graft-stream-out").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString

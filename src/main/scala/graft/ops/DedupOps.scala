@@ -203,7 +203,7 @@ object DedupOps {
   private val AnnAssign = 6
 
   private def embeddingCosineAnn(s: SparkSession, dir: String): DataFrame = {
-    val (dim, cmat) = SimilarityOps.fitCentroids(s, dir)
+    val (dim, cmat, _) = SimilarityOps.fitCentroids(s, dir)
     val cLit = typedLit(cmat.toSeq)
     val e = normed(s, dir).select(col("vec_id"), col("embedding"), col("norm"),
       explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(AnnAssign)))

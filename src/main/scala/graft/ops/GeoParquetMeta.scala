@@ -81,6 +81,26 @@ object GeoParquetMeta {
     } yield (x0, y0, x1, y1)
   }
 
+  /** Replace `file` with `tmp`, keeping the original alive until the last
+    * moment: prefer the single overwriting rename (atomic on HDFS/local);
+    * fall back to move-aside + promote on filesystems with no
+    * AbstractFileSystem binding (some object-store connectors expose only
+    * a FileSystem). A crash at any point leaves either the original or its
+    * `.geo.bak` on disk — [[recoverOrphans]] restores it on the next full
+    * sweep; data is never lost. */
+  private def promote(conf: Configuration, tmp: Path, file: Path): Unit =
+    try
+      org.apache.hadoop.fs.FileContext.getFileContext(file.toUri, conf)
+        .rename(tmp, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        val fs = file.getFileSystem(conf)
+        val bak = new Path(file.getParent, s".${file.getName}.geo.bak")
+        if (!fs.rename(file, bak) || !fs.rename(tmp, file))
+          throw new java.io.IOException(s"geo stamp rename failed for $file")
+        fs.delete(bak, false)
+    }
+
   /** Recover from a crash mid-promotion (see the fallback in [[attach]]).
     * A leftover `.X.geo.bak` whose original `X` is missing means the crash
     * hit between moving the original aside and promoting the stamped copy —
@@ -169,27 +189,83 @@ object GeoParquetMeta {
         writer.start()
         writer.appendFile(HadoopInputFile.fromPath(file, conf))
         writer.end((kv + (GeoKey -> json)).asJava)
-        // replace keeping the original alive until the last moment: prefer
-        // the single overwriting rename (atomic on HDFS/local); fall back
-        // to delete+rename on filesystems with no AbstractFileSystem
-        // binding (some object-store connectors expose only a FileSystem)
-        try
-          org.apache.hadoop.fs.FileContext.getFileContext(file.toUri, conf)
-            .rename(tmp, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        catch {
-          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-            // no atomic overwrite available: move the original aside, then
-            // promote. A crash at any point leaves either the original or
-            // its .geo.bak on disk — recoverOrphans restores it on the
-            // next full sweep; data is never lost.
-            val fs = file.getFileSystem(conf)
-            val bak = new Path(file.getParent, s".${file.getName}.geo.bak")
-            if (!fs.rename(file, bak) || !fs.rename(tmp, file))
-              throw new java.io.IOException(s"geo stamp rename failed for $file")
-            fs.delete(bak, false)
-        }
+        promote(conf, tmp, file)
       }
     }
+  }
+
+  /** Commit-log-driven stamping for the streaming parquet sink (the
+    * "commit-protocol hook" upgrade over writeHive's per-batch tree
+    * listing): the sink's `_spark_metadata` file log records exactly the
+    * files each batch committed, so the file list comes from the batch
+    * manifests — O(committed files), zero tree listing.
+    *
+    * The manifest also records each file's SIZE, and Spark reads sink
+    * output through the log (`MetadataLogFileIndex` serves the logged
+    * length to the parquet footer reader), so stamping must update the
+    * manifests too — a stamped file whose logged length is stale makes
+    * footer seeks land past EOF. Both steps happen here: stamp the files,
+    * then atomically rewrite each manifest's size/modificationTime to the
+    * on-disk reality.
+    *
+    * Run this against a QUIESCED sink (a finished `Trigger.AvailableNow`
+    * run, or a stopped/maintenance window): a live query compacts its log
+    * from in-memory state and would resurrect stale sizes. The live-stream
+    * stamping path is `foreachBatch` + [[IngestOps.writeHive]], which
+    * stamps inline and has no sink log. Returns the number of data files
+    * now carrying the geo footer. */
+  def stampSinkLog(spark: SparkSession, outPath: String,
+      primary: String = "geometry", bboxCol: String = "bbox"): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(outPath, "_spark_metadata")
+    val fs = metaDir.getFileSystem(conf)
+    if (!fs.exists(metaDir)) return 0
+    // batch manifests are named <id>, rollups <id>.compact
+    val manifests = fs.listStatus(metaDir).map(_.getPath).filter { p =>
+      val n = p.getName.stripSuffix(".compact")
+      n.nonEmpty && n.forall(_.isDigit)
+    }
+    val pathRe = """"path":"([^"]+)"""".r
+    def readLines(m: Path): Seq[String] = {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val files = manifests.flatMap { m =>
+      readLines(m).flatMap(pathRe.findFirstMatchIn(_))
+        .map(g => new Path(new java.net.URI(g.group(1))))
+    }.distinct.filter(f => fs.exists(f))
+    if (files.isEmpty) return 0
+    attach(spark, outPath, primary, bboxCol, Some(files.toSeq))
+    // re-point the log at the stamped reality: fix size + mtime per entry
+    manifests.foreach { m =>
+      var changed = false
+      val fixed = readLines(m).map { line =>
+        pathRe.findFirstMatchIn(line) match {
+          case Some(g) =>
+            val p = new Path(new java.net.URI(g.group(1)))
+            if (!fs.exists(p)) line
+            else {
+              val st = fs.getFileStatus(p)
+              val f = line
+                .replaceAll(""""size":\d+""", s""""size":${st.getLen}""")
+                .replaceAll(""""modificationTime":\d+""",
+                  s""""modificationTime":${st.getModificationTime}""")
+              if (f != line) changed = true
+              f
+            }
+          case None => line
+        }
+      }
+      if (changed) {
+        val tmp = new Path(m.getParent, s".${m.getName}.geo.tmp")
+        val out = fs.create(tmp, true)
+        try out.write((fixed.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        promote(conf, tmp, m)
+      }
+    }
+    files.length
   }
 
   /** All parquet files currently under `path` (for before/after diffs). */

@@ -100,25 +100,38 @@ object SimilarityOps {
   // deterministic hash-ordered sample (the model is K×dim ≈ a few KB —
   // like FAISS's sample-trained quantizer; fitting never scans full data),
   // then candidate generation is a pure cell-id equi-join: each vector is
-  // indexed under its top-`IvfAssign` cells, each query probes its top-
-  // `IvfProbe` cells. On these near-uniform embeddings (mean cos to own
+  // indexed under its top-`IvfAssign` cells, each query probes its top
+  // `probe` cells (probe and K both scale with corpus size — see
+  // [[ivfParams]]). On these near-uniform embeddings (mean cos to own
   // cluster centroid ≈ 0.14) hyperplane LSH tops out at recall ≈ 0.3;
   // IVF with multi-assignment measures recall@5 ≈ 0.9 at ~45% candidate
   // fraction (asserted in SimilaritySpec). Rows-only driver check — the
   // quantizer is not DuckDB-expressible.
-  private val IvfCells = 64
   private val IvfAssign = 3
-  private val IvfProbe = 12
   private val IvfIters = 5
-  private val IvfSample = 2048
+
+  /** IVF parameters scaled by corpus size (the FAISS K ≈ √N guidance): a
+    * fixed K tuned for one SF over-partitions tiny corpora and
+    * under-partitions big ones. Probe count tracks K so the probed-cell
+    * fraction (recall lever) stays roughly constant; the training sample
+    * targets ~40 points per centroid, capped so the driver-side fit stays
+    * a few MB at any scale. */
+  private[graft] def ivfParams(n: Long): (Int, Int, Int) = {
+    val k = math.max(16, math.min(4096,
+      math.round(math.sqrt(n.toDouble)).toInt))
+    val probe = math.max(8, math.round(k * 0.1875f))
+    val sample = math.max(1024, math.min(16384, 40 * k))
+    (k, probe, sample)
+  }
 
   /** Fit-once cache: the quantizer is deterministic per dataset, so
     * repeated invocations (both ANN queries, repeated bench passes) reuse
     * one model instead of re-collecting the sample. */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Array[Double])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Array[Double], Int)]()
 
-  private[ops] def fitCentroids(s: SparkSession, dir: String): (Int, Array[Double]) = {
+  /** Returns (dim, flattened K×dim centroid matrix, probe count). */
+  private[ops] def fitCentroids(s: SparkSession, dir: String): (Int, Array[Double], Int) = {
     // cache key includes the embeddings file's (length, mtime) — like
     // IngestOps.geoLake — so regenerated test data in the same JVM refits
     // the quantizer instead of silently reusing a stale model
@@ -132,15 +145,17 @@ object SimilarityOps {
   /** Driver-side Lloyd iterations on a bounded deterministic sample.
     * Returns (dim, flattened row-major K×dim matrix, rows L2-normalized so
     * a dot product ranks cells by cosine). */
-  private def fitCentroidsUncached(s: SparkSession, dir: String): (Int, Array[Double]) = {
+  private def fitCentroidsUncached(s: SparkSession, dir: String): (Int, Array[Double], Int) = {
+    val n = t(s, dir, "embeddings").count()
+    val (cells, probe, sampleN) = ivfParams(n)
     val sample = t(s, dir, "embeddings")
       .orderBy(xxhash64(col("vec_id")))
-      .limit(IvfSample)
+      .limit(sampleN)
       .select("embedding")
       .collect()
       .map(_.getSeq[Float](0).toArray)
     val dim = sample.head.length
-    val k = math.min(IvfCells, sample.length)
+    val k = math.min(cells, sample.length)
     var cents = Array.tabulate(k, dim)((c, i) => sample(c)(i).toDouble)
     for (_ <- 0 until IvfIters) {
       val sums = Array.ofDim[Double](k, dim)
@@ -168,14 +183,14 @@ object SimilarityOps {
         if (counts(c) > 0) sums(c)(i) / counts(c) else cents(c)(i))
     }
     val flat = cents.flatMap { r =>
-      val n = math.sqrt(r.map(x => x * x).sum)
-      r.map(x => if (n == 0) x else x / n)
+      val rn = math.sqrt(r.map(x => x * x).sum)
+      r.map(x => if (rn == 0) x else x / rn)
     }
-    (dim, flat)
+    (dim, flat, probe)
   }
 
   private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val (dim, cmat) = fitCentroids(s, dir)
+    val (dim, cmat, probe) = fitCentroids(s, dir)
     val cLit = typedLit(cmat.toSeq)
     val e = normed(s, dir)
     val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
@@ -185,7 +200,7 @@ object SimilarityOps {
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"),
-        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(IvfProbe)))
+        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(probe)))
           .as("cell"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos_sim").desc, col("c_id"))

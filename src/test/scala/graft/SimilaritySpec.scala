@@ -53,6 +53,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"pair recall $recall%.2f below 0.8")
   }
 
+  test("IVF parameters scale as sqrt(N) with bounded sample and probe fraction") {
+    import graft.ops.SimilarityOps.ivfParams
+    val (k500, p500, s500) = ivfParams(500)
+    assert(k500 == 22 && p500 == 8 && s500 == 1024)
+    val (k1m, p1m, s1m) = ivfParams(1000000L)
+    assert(k1m == 1000 && p1m == 188 && s1m == 16384)
+    // clamps: tiny corpora never under-partition, huge never exceed 4096
+    assert(ivfParams(10)._1 == 16 && ivfParams(100000000000L)._1 == 4096)
+    // probed fraction stays roughly constant once past the floor
+    assert(math.abs(p1m.toDouble / k1m - 0.1875) < 0.01)
+  }
+
   test("LSH recall against brute force is non-trivial") {
     val brute = SparkEntry.queries("simsearch_topk")(spark, sf0001)
       .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"))).toSet

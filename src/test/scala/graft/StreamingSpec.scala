@@ -277,5 +277,26 @@ class StreamingSpec extends SparkSpec {
     val partDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
       .map(_.getName)
     assert(partDirs.exists(_.startsWith("year=")))
+
+    // commit-log-driven geo stamping (quiesced sink): the _spark_metadata
+    // manifests name exactly the committed files — no tree listing — and
+    // get their logged sizes re-pointed at the stamped files so reads
+    // through the log keep working
+    import graft.ops.GeoParquetMeta
+    val stamped = GeoParquetMeta.stampSinkLog(spark, out)
+    assert(stamped > 0, "expected committed files in the sink log")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.filterNot(_.getName.startsWith("_")).flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val files = walk(new java.io.File(out))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(GeoParquetMeta.keyValueMeta(spark, f.toString)
+        .contains(GeoParquetMeta.GeoKey), s"unstamped sink file $f")
+    }
+    // a second pass is idempotent (attach skips stamped files)
+    assert(GeoParquetMeta.stampSinkLog(spark, out) == stamped)
+    // rows survive stamping — read through the (rewritten) metadata log
+    assert(spark.read.parquet(out).count() == 1000)
   }
 }

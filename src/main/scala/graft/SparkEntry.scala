@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Flagship.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      MultimodalOps.queries ++ IngestOps.queries
+      MultimodalOps.queries ++ IngestOps.queries ++ CorpusOps.queries ++
+      LayoutOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Flagship.oracle ++
       TextOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
-      MultimodalOps.oracle ++ IngestOps.oracle
+      MultimodalOps.oracle ++ IngestOps.oracle ++ CorpusOps.oracle ++
+      LayoutOps.oracle
 }

@@ -67,6 +67,23 @@ object GeohashOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Z-order (Morton) key: interleave the low `bits` bits of x (even
+    * positions) and y (odd positions). The multi-dimensional clustering
+    * key for data layout at scale — sorting a write by z keeps spatially
+    * near rows in the same row group, so parquet min/max stats prune 2-D
+    * range predicates (same idea as the geohash, but a pure-integer key
+    * over pre-quantized coordinates, usable for any 2-D domain). */
+  def zorder(x: Int, y: Int, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1).toLong << (2 * i)
+      z |= ((y >> i) & 1).toLong << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   /** Decode to the cell-center point — used by tests (round-trip property)
     * and by the geohash-bucketed spatial join (SURVEY.md §7.5). */
   def decodeCenter(gh: String): (Double, Double) = {

@@ -31,6 +31,14 @@ object TextHashOps {
     fnv1a64(b, 0, b.length)
   }
 
+  /** Unicode NFC normalization (canonical composition) — the first step of
+    * a text-normalization pipeline for dedup: visually identical strings
+    * with different codepoint sequences ("e"+U+0301 vs "é") must hash
+    * identically. Mirrors DuckDB's `nfc_normalize`. */
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
   /** splitmix64 finalizer — avalanches a 64-bit value. */
   def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

@@ -84,6 +84,15 @@ object functions {
     inv(TextHashOps.getClass, ArrayType(StringType, containsNull = false),
       "shingleStrings", text, n.cast("int"))
 
+  /** Unicode NFC normalization (canonical composition). */
+  def nfc(text: Column): Column =
+    inv(TextHashOps.getClass, StringType, "nfc", text)
+
+  /** Z-order (Morton) interleave of two pre-quantized `bits`-bit coords. */
+  def zorder(x: Column, y: Column, bits: Column): Column =
+    inv(GeohashOps.getClass, LongType, "zorder",
+      x.cast("int"), y.cast("int"), bits.cast("int"))
+
   /** Float-vector dot product, left-to-right double accumulation. */
   def vec_dot(a: Column, b: Column): Column =
     inv(EmbedOps.getClass, DoubleType, "dotF", a, b)
@@ -126,7 +135,9 @@ object functions {
     ("graft_reliability", DoubleType, StatsOps.getClass, "reliability", 4),
     ("graft_minhash", ArrayType(LongType, containsNull = false), TextHashOps.getClass, "minhash", 3),
     ("graft_simhash", LongType, TextHashOps.getClass, "simhash64", 2),
-    ("graft_fingerprint", LongType, TextHashOps.getClass, "fingerprint", 1))
+    ("graft_fingerprint", LongType, TextHashOps.getClass, "fingerprint", 1),
+    ("graft_nfc", StringType, TextHashOps.getClass, "nfc", 1),
+    ("graft_zorder", LongType, GeohashOps.getClass, "zorder", 3))
 
   private def builder(dt: DataType, clazz: Class[_], method: String, arity: Int)(
       args: Seq[Expression]): Expression = {

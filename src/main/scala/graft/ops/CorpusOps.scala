@@ -1,0 +1,277 @@
+package graft.ops
+
+import graft.Tables
+import graft.expr.{functions => gf}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus-preparation operators for the training-data pipeline extension:
+  * text normalization, PII redaction, deterministic train/val/test splits,
+  * vocabulary building, tf-idf term scoring, and int8 embedding
+  * quantization. All stateless row/agg transforms — stateless ones scale
+  * embarrassingly; the vocabulary/tf-idf aggregations shuffle once on the
+  * (tiny) token space after map-side partial aggregation.
+  *
+  * Every query here carries an exact DuckDB oracle. Non-ASCII and regexp
+  * behavior is pinned to constructs where Java regex (Spark) and RE2
+  * (DuckDB) agree: character classes, bounded repetition, \b, \s — no
+  * lookaround, no backreferences.
+  */
+object CorpusOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---- text normalization (NFC + case + whitespace) ----
+  // A deterministic "messy" wrapper (leading/trailing space, upper case, a
+  // tab, doubled spaces, a combining-accent sequence) is added on BOTH
+  // sides so the pipeline has real work even on the clean synthetic
+  // corpus; the combining sequence "e"+U+0301 proves NFC composes it.
+
+  private val MessySuffix = "\tThe  Café RESULT  "
+
+  private def normalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(MessySuffix)).as("messy"))
+      .select(col("doc_id"),
+        gf.nfc(lower(trim(regexp_replace(col("messy"), "\\s+", " "))))
+          .as("norm"))
+      .select(col("doc_id"), length(col("norm")).as("n_norm"), col("norm"))
+      .orderBy("doc_id")
+
+  private val normalizeSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    '  ' || upper(text) || chr(9) || 'The  Café RESULT  ' AS messy
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id,
+      |    nfc_normalize(lower(trim(regexp_replace(messy, '\s+', ' ', 'g'))))
+      |      AS norm
+      |  FROM m)
+      |SELECT doc_id, CAST(length(norm) AS INT) AS n_norm, norm
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  // ---- PII redaction ----
+  // The synthetic corpus carries no PII, so both sides append an identical
+  // deterministic trailer (email, IP, phone) derived from doc_id, then
+  // redact. Patterns are RE2-safe; redaction order (email → ip → phone) is
+  // mirrored. Output keeps only the trailer region so rows stay small.
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  private def piiRedact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("n_text"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".1 phone 555-0142 end")).as("seeded"))
+      .select(col("doc_id"),
+        regexp_count(col("seeded"), lit(EmailRe)).as("n_email"),
+        regexp_count(col("seeded"), lit(IpRe)).as("n_ip"),
+        regexp_count(col("seeded"), lit(PhoneRe)).as("n_phone"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("seeded"), EmailRe, "<EMAIL>"),
+            IpRe, "<IP>"),
+          PhoneRe, "<PHONE>")
+          .substr(col("n_text") + 1, lit(1000)).as("redacted_tail"))
+      .orderBy("doc_id")
+
+  private val piiRedactSql =
+    s"""WITH se AS (
+       |  SELECT doc_id, CAST(length(text) AS INT) AS n_text,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@mail.example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+       |    '.1 phone 555-0142 end' AS seeded
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(seeded, '$EmailRe')) AS INT) AS n_email,
+       |  CAST(len(regexp_extract_all(seeded, '$IpRe')) AS INT) AS n_ip,
+       |  CAST(len(regexp_extract_all(seeded, '$PhoneRe')) AS INT) AS n_phone,
+       |  substring(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(seeded, '$EmailRe', '<EMAIL>', 'g'),
+       |        '$IpRe', '<IP>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g'),
+       |    n_text + 1, 1000) AS redacted_tail
+       |FROM se ORDER BY doc_id""".stripMargin
+
+  // ---- deterministic train/val/test split ----
+  // Content-addressed (fingerprint of the text, not the id): re-ingesting
+  // the same document anywhere in the corpus lands in the same split —
+  // the property that prevents train/test leakage across dedup runs.
+  // 80/10/10 by fingerprint mod 100; the fold is the same mirrored
+  // integer arithmetic as `text_fingerprint`.
+
+  private def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), (gf.fingerprint(col("text")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+
+  private val fingerprintFoldSql =
+    """list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  private val sampleSplitSql =
+    s"""WITH b AS (
+       |  SELECT lang, $fingerprintFoldSql % 100 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang, count(*) AS n
+       |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  // ---- vocabulary building (top-K by term frequency) ----
+
+  private val VocabK = 25
+
+  private def vocabTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("tf").desc, col("tok"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= VocabK)
+      .orderBy("rnk")
+  }
+
+  private val vocabTopKSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |ag AS (
+       |  SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |  FROM tok GROUP BY tok),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY tf DESC, tok) AS INT)
+       |    AS rnk
+       |  FROM ag)
+       |SELECT tok, tf, df, rnk FROM r WHERE rnk <= $VocabK ORDER BY rnk""".stripMargin
+
+  // ---- tf-idf top terms per document ----
+  // score = tf · idf with idf = round(ln(N/df)·1e4) — fixed-point: Java's
+  // Math.log and DuckDB's libm ln disagree by 1 ulp on some inputs (they
+  // did on this corpus), so the raw double is not oracle-stable. The 1e-4
+  // discretization happens on the (few, distinct) idf values, then the
+  // score is exact integer arithmetic end-to-end — deterministic ranking
+  // in both engines and at any partition count.
+
+  private val TfidfK = 3
+
+  private def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nd = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(nd))
+      .withColumn("score",
+        col("tf") *
+          round(log(col("n_docs").cast("double") / col("df")) * 10000)
+            .cast("bigint"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfidfK)
+      .select("doc_id", "tok", "tf", "df", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val tfidfTopKSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |    tf.tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df.df) * 10000)
+       |      AS BIGINT) AS score
+       |  FROM tf JOIN df USING (tok) CROSS JOIN nd),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, tok) AS INT) AS rnk
+       |  FROM sc)
+       |SELECT doc_id, tok, tf, df, score, rnk FROM r
+       |WHERE rnk <= $TfidfK ORDER BY doc_id, rnk""".stripMargin
+
+  // ---- int8 embedding quantization ----
+  // Symmetric per-vector quantization: scale = 127/max|x|, q = round(x·s).
+  // Exact oracle: float→double widening, the division, and half-away-from-
+  // zero rounding are identical in both engines; the output checksums the
+  // quantized vector with exact integers (sum/min/max) instead of hauling
+  // arrays through the compare. At 100 TB this is the 4× shrink before
+  // ANN indexing; higher-order functions here — a StaticInvoke kernel is
+  // the upgrade if quantization ever dominates a profile.
+
+  private def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val scale = lit(127.0) /
+      array_max(transform(col("embedding"), x => abs(x))).cast("double")
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), scale.as("scale"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * scale).cast("int")).as("qa"))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("qa"), lit(0), (a, b) => a + b).cast("bigint")
+          .as("q_sum"),
+        array_min(col("qa")).as("q_min"),
+        array_max(col("qa")).as("q_max"))
+      .orderBy("vec_id")
+  }
+
+  private val embedQuantizeSql =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(127 AS DOUBLE) / CAST(list_aggregate(
+      |      list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE)
+      |      AS scale
+      |  FROM embeddings),
+      |qq AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS qa
+      |  FROM q)
+      |SELECT vec_id, scale,
+      |  CAST(list_aggregate(qa, 'sum') AS BIGINT) AS q_sum,
+      |  list_aggregate(qa, 'min') AS q_min,
+      |  list_aggregate(qa, 'max') AS q_max
+      |FROM qq ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (normalize _),
+    "pii_redact" -> (piiRedact _),
+    "sample_split" -> (sampleSplit _),
+    "vocab_topk" -> (vocabTopK _),
+    "tfidf_topk" -> (tfidfTopK _),
+    "embed_quantize" -> (embedQuantize _))
+
+  val oracle: Map[String, String] = Map(
+    "text_normalize" -> normalizeSql,
+    "pii_redact" -> piiRedactSql,
+    "sample_split" -> sampleSplitSql,
+    "vocab_topk" -> vocabTopKSql,
+    "tfidf_topk" -> tfidfTopKSql,
+    "embed_quantize" -> embedQuantizeSql)
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.expr.{GeohashOps, TextHashOps}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Corpus-preparation operators (CorpusOps/LayoutOps) + their kernels. */
+class CorpusSpec extends SparkSpec {
+
+  test("nfc kernel composes combining sequences and is idempotent") {
+    def nfc(s: String) = TextHashOps.nfc(UTF8String.fromString(s)).toString
+    val combining = "Café" // e + U+0301
+    assert(nfc(combining) == "Café") // precomposed é
+    assert(nfc(combining).length == 4)
+    assert(nfc(nfc(combining)) == nfc(combining))
+    assert(nfc("plain ascii") == "plain ascii")
+  }
+
+  test("zorder kernel interleaves bits (x even, y odd)") {
+    assert(GeohashOps.zorder(0, 0, 10) == 0L)
+    assert(GeohashOps.zorder(3, 1, 2) == 7L) // x=11,y=01 → 0111
+    assert(GeohashOps.zorder(0, 3, 2) == 10L) // y bits at odd positions
+    assert(GeohashOps.zorder(1023, 1023, 10) == (1L << 20) - 1)
+    // locality: same 64×64 tile (top 4 bits of both axes) → same z >> 12
+    val (x1, y1, x2, y2) = (130, 515, 180, 570)
+    assert((x1 >> 6) == (x2 >> 6) && (y1 >> 6) == (y2 >> 6))
+    assert(GeohashOps.zorder(x1, y1, 10) >> 12 ==
+      GeohashOps.zorder(x2, y2, 10) >> 12)
+  }
+
+  test("text_normalize lowercases, collapses whitespace, composes NFC") {
+    val r = SparkEntry.queries("text_normalize")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val norm = row.getAs[String]("norm")
+      assert(!norm.exists(_.isUpper), "uppercase survived normalization")
+      assert(!norm.contains("  ") && !norm.contains("\t"))
+      assert(norm == norm.trim)
+      assert(norm.endsWith("the café result")) // NFC-composed single é
+      assert(!norm.contains("é"), "combining sequence not composed")
+    }
+  }
+
+  test("pii_redact finds and masks exactly the seeded email/ip/phone") {
+    val r = SparkEntry.queries("pii_redact")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Int]("n_email") == 1)
+      assert(row.getAs[Int]("n_ip") == 1)
+      assert(row.getAs[Int]("n_phone") == 1)
+      val tail = row.getAs[String]("redacted_tail")
+      assert(tail.contains("<EMAIL>") && tail.contains("<IP>") &&
+        tail.contains("<PHONE>"), s"unredacted tail: $tail")
+      assert(!tail.contains("@") && !tail.contains("555-"),
+        s"PII leaked through redaction: $tail")
+    }
+  }
+
+  test("sample_split partitions the corpus with a sane train fraction") {
+    val rows = SparkEntry.queries("sample_split")(spark, sf0001).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val total = bySplit.values.sum
+    val nDocs = Tables(spark, sf0001, "documents").count()
+    assert(total == nDocs, s"splits must partition the corpus: $bySplit")
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val trainFrac = bySplit("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+  }
+
+  test("vocab_topk ranks by frequency with df <= tf") {
+    val r = SparkEntry.queries("vocab_topk")(spark, sf0001).collect()
+    assert(r.nonEmpty && r.length <= 25)
+    val tfs = r.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("tf"))
+    assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b })
+    r.foreach(row =>
+      assert(row.getAs[Long]("df") <= row.getAs[Long]("tf")))
+  }
+
+  test("tfidf_topk emits k ranked terms per doc, rarest-term aware") {
+    val r = SparkEntry.queries("tfidf_topk")(spark, sf0001).collect()
+    val perDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.sameElements(
+        1 to rows.length))
+      val scores = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("embed_quantize maps the max-|x| element to ±127") {
+    val r = SparkEntry.queries("embed_quantize")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (qMin, qMax) = (row.getAs[Int]("q_min"), row.getAs[Int]("q_max"))
+      assert(qMin >= -127 && qMax <= 127)
+      assert(qMax == 127 || qMin == -127,
+        s"max-magnitude element must hit the int8 rail: [$qMin, $qMax]")
+      assert(row.getAs[Double]("scale") > 0)
+    }
+  }
+
+  test("zorder_layout tiles cover all events with consistent bounds") {
+    val r = SparkEntry.queries("zorder_layout")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val total = r.map(_.getAs[Long]("n")).sum
+    assert(total == Tables(spark, sf0001, "events").count())
+    r.foreach { row =>
+      val t = row.getAs[Long]("z_tile")
+      assert(row.getAs[Long]("z_min") >> 12 == t)
+      assert(row.getAs[Long]("z_max") >> 12 == t)
+    }
+  }
+}

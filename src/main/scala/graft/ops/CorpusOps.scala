@@ -143,13 +143,19 @@ object CorpusOps {
   private val VocabK = 25
 
   private def vocabTopK(s: SparkSession, dir: String): DataFrame = {
+    // top-K via sort+limit, NOT a global row_number window: Spark compiles
+    // orderBy+limit to TakeOrderedAndProject (per-partition top-K, then a
+    // K-row merge on one task) — at 100 TB the full vocabulary never
+    // funnels through a single window partition. The rank window runs on
+    // the K survivors only.
     val w = Window.orderBy(col("tf").desc, col("tok"))
     t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok")
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(VocabK)
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= VocabK)
       .orderBy("rnk")
   }
 

@@ -136,22 +136,26 @@ object GtfsRtOps {
     row
   }
 
-  /** Decode a FeedMessage blob → array of vehicle rows (entities without a
-    * vehicle payload are dropped, matching HasField("vehicle")). */
-  /** Corrupt or truncated feeds (a real production event — a partial HTTP
-    * body, a proxy error page) decode to an EMPTY entity array rather than
-    * throwing: one bad poll must not kill a streaming query. Entities
-    * decoded before the corruption point are discarded too — a truncated
-    * protobuf has no trustworthy prefix. */
-  /** Undecodable feeds seen by this JVM — lets operators distinguish a
-    * genuinely empty feed from a persistently malformed upstream (wrong
-    * content-type, auth error page) that would otherwise look like silent
-    * zero-row ingestion forever. Monotonic; read it from a streaming
-    * listener or an ops probe. */
+  /** Undecodable feeds seen by THIS JVM. Decode runs on executors, so in
+    * cluster mode each executor counts (and warn-logs) its own failures —
+    * alarm off the executor logs, or aggregate this probe per-JVM; the
+    * driver's copy only moves in local mode and tests. Kept a plain
+    * static (not a Spark accumulator) so the codegen'd kernel stays free
+    * of task-context plumbing. */
   val corruptFeedCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Decode a FeedMessage blob → array of vehicle rows (entities without a
+    * vehicle payload are dropped, matching HasField("vehicle")).
+    *
+    * Corrupt or truncated feeds (a real production event — a partial HTTP
+    * body, a proxy error page) decode to an EMPTY entity array rather than
+    * throwing: one bad poll must not kill a streaming query. Entities
+    * decoded before the corruption point are discarded too — a truncated
+    * protobuf has no trustworthy prefix. Each failure bumps
+    * [[corruptFeedCount]] and rate-limit-logs so a persistently malformed
+    * upstream is distinguishable from an empty feed. */
   def decodeFeed(bytes: Array[Byte]): ArrayData =
     try decodeFeedUnsafe(bytes)
     catch {

@@ -121,16 +121,9 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("split", "lang")
 
-  private val fingerprintFoldSql =
-    """list_reduce(
-      |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(string_split(text, ''),
-      |        c -> CAST(ascii(c) AS BIGINT))),
-      |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
-
   private val sampleSplitSql =
     s"""WITH b AS (
-       |  SELECT lang, $fingerprintFoldSql % 100 AS bucket
+       |  SELECT lang, ${TextOps.fingerprintFoldSql("text")} % 100 AS bucket
        |  FROM documents)
        |SELECT CASE WHEN bucket < 80 THEN 'train'
        |            WHEN bucket < 90 THEN 'val'
@@ -233,8 +226,12 @@ object CorpusOps {
   // the upgrade if quantization ever dominates a profile.
 
   private def embedQuantize(s: SparkSession, dir: String): DataFrame = {
-    val scale = lit(127.0) /
+    // zero-vector guard: max|x| = 0 would give scale = Inf and q = NaN
+    // (Spark's non-ANSI cast silently zeroes it, DuckDB errors) — define
+    // scale = 0 for the zero vector on BOTH sides so it quantizes to zeros
+    val maxAbs =
       array_max(transform(col("embedding"), x => abs(x))).cast("double")
+    val scale = when(maxAbs === 0.0, 0.0).otherwise(lit(127.0) / maxAbs)
     t(s, dir, "embeddings")
       .select(col("vec_id"), scale.as("scale"),
         transform(col("embedding"),
@@ -248,12 +245,17 @@ object CorpusOps {
   }
 
   private val embedQuantizeSql =
-    """WITH q AS (
+    """WITH m AS (
       |  SELECT vec_id, embedding,
-      |    CAST(127 AS DOUBLE) / CAST(list_aggregate(
+      |    CAST(list_aggregate(
       |      list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE)
-      |      AS scale
+      |      AS max_abs
       |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, embedding,
+      |    CASE WHEN max_abs = 0 THEN CAST(0 AS DOUBLE)
+      |         ELSE CAST(127 AS DOUBLE) / max_abs END AS scale
+      |  FROM m),
       |qq AS (
       |  SELECT vec_id, scale,
       |    list_transform(embedding,

@@ -160,14 +160,18 @@ object GeoParquetMeta {
     * `onlyFiles`, when given, restricts the stamping to that exact file
     * set — the incremental path for streaming appends (see
     * [[graft.ops.IngestOps.writeHive]]), which avoids re-opening every
-    * historical footer on each micro-batch. */
+    * historical footer on each micro-batch.
+    *
+    * Returns the number of files carrying the geo footer after the call
+    * (newly stamped + already stamped); 0 for a non-geo table. */
   def attach(spark: SparkSession, path: String,
       primary: String = "geometry", bboxCol: String = "bbox",
-      onlyFiles: Option[Seq[Path]] = None): Unit = {
+      onlyFiles: Option[Seq[Path]] = None): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     // full sweep (first write / healing pass): first restore anything a
     // crashed promotion left behind, so the listing below sees it
     if (onlyFiles.isEmpty) recoverOrphans(conf, path)
+    var geoFiles = 0
     onlyFiles.getOrElse(parquetFiles(conf, path)).foreach { file =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       val (footer, schema, kv) = try {
@@ -191,7 +195,9 @@ object GeoParquetMeta {
         writer.end((kv + (GeoKey -> json)).asJava)
         promote(conf, tmp, file)
       }
+      if (hasGeom) geoFiles += 1
     }
+    geoFiles
   }
 
   /** Commit-log-driven stamping for the streaming parquet sink (the
@@ -231,29 +237,39 @@ object GeoParquetMeta {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     }
-    val files = manifests.flatMap { m =>
-      readLines(m).flatMap(pathRe.findFirstMatchIn(_))
-        .map(g => new Path(new java.net.URI(g.group(1))))
-    }.distinct.filter(f => fs.exists(f))
+    // one read per manifest, one exists-check per distinct file. A logged
+    // file that is missing but has a .geo.bak sibling is a crashed
+    // promotion (see promote's fallback) — restore it here, keeping this
+    // path tree-listing-free (no recoverOrphans sweep needed)
+    val manifestLines = manifests.map(m => m -> readLines(m)).toSeq
+    val files = manifestLines.flatMap(_._2)
+      .flatMap(pathRe.findFirstMatchIn(_))
+      .map(g => new Path(new java.net.URI(g.group(1))))
+      .distinct.flatMap { f =>
+        if (fs.exists(f)) Some(f)
+        else {
+          val bak = new Path(f.getParent, s".${f.getName}.geo.bak")
+          if (fs.exists(bak) && fs.rename(bak, f)) Some(f) else None
+        }
+      }
     if (files.isEmpty) return 0
-    attach(spark, outPath, primary, bboxCol, Some(files.toSeq))
-    // re-point the log at the stamped reality: fix size + mtime per entry
-    manifests.foreach { m =>
+    val stamped = attach(spark, outPath, primary, bboxCol, Some(files))
+    // re-point the log at the stamped reality: fix size + mtime per entry.
+    // Stat each distinct file once (files recur across .compact rollups).
+    val stats = files.map(f => f -> fs.getFileStatus(f)).toMap
+    manifestLines.foreach { case (m, lines) =>
       var changed = false
-      val fixed = readLines(m).map { line =>
-        pathRe.findFirstMatchIn(line) match {
-          case Some(g) =>
-            val p = new Path(new java.net.URI(g.group(1)))
-            if (!fs.exists(p)) line
-            else {
-              val st = fs.getFileStatus(p)
-              val f = line
-                .replaceAll(""""size":\d+""", s""""size":${st.getLen}""")
-                .replaceAll(""""modificationTime":\d+""",
-                  s""""modificationTime":${st.getModificationTime}""")
-              if (f != line) changed = true
-              f
-            }
+      val fixed = lines.map { line =>
+        val st = pathRe.findFirstMatchIn(line)
+          .flatMap(g => stats.get(new Path(new java.net.URI(g.group(1)))))
+        st match {
+          case Some(s) =>
+            val f = line
+              .replaceAll(""""size":\d+""", s""""size":${s.getLen}""")
+              .replaceAll(""""modificationTime":\d+""",
+                s""""modificationTime":${s.getModificationTime}""")
+            if (f != line) changed = true
+            f
           case None => line
         }
       }
@@ -265,7 +281,7 @@ object GeoParquetMeta {
         promote(conf, tmp, m)
       }
     }
-    files.length
+    stamped
   }
 
   /** All parquet files currently under `path` (for before/after diffs). */

@@ -132,13 +132,22 @@ object SimilarityOps {
 
   /** Returns (dim, flattened K×dim centroid matrix, probe count). */
   private[ops] def fitCentroids(s: SparkSession, dir: String): (Int, Array[Double], Int) = {
-    // cache key includes the embeddings file's (length, mtime) — like
-    // IngestOps.geoLake — so regenerated test data in the same JVM refits
-    // the quantizer instead of silently reusing a stale model
+    // cache key = total length + max mtime over the table's FILES (like
+    // IngestOps.geoLake) so regenerated data in the same JVM refits the
+    // quantizer. Recursing matters: for a partitioned-directory layout a
+    // bare getFileStatus on the root reports len=0 and an mtime that
+    // misses writes inside partition subdirs — the key would never change.
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    val key = s"$dir|${st.getLen}|${st.getModificationTime}"
+    var len = 0L
+    var mtime = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      len += f.getLen
+      if (f.getModificationTime > mtime) mtime = f.getModificationTime
+    }
+    val key = s"$dir|$len|$mtime"
     centroidCache.computeIfAbsent(key, _ => fitCentroidsUncached(s, dir))
   }
 
@@ -147,7 +156,7 @@ object SimilarityOps {
     * a dot product ranks cells by cosine). */
   private def fitCentroidsUncached(s: SparkSession, dir: String): (Int, Array[Double], Int) = {
     val n = t(s, dir, "embeddings").count()
-    val (cells, probe, sampleN) = ivfParams(n)
+    val (cells, _, sampleN) = ivfParams(n)
     val sample = t(s, dir, "embeddings")
       .orderBy(xxhash64(col("vec_id")))
       .limit(sampleN)
@@ -156,6 +165,10 @@ object SimilarityOps {
       .map(_.getSeq[Float](0).toArray)
     val dim = sample.head.length
     val k = math.min(cells, sample.length)
+    // probe derives from the FINAL k: if the sample capped k below the
+    // ivfParams cell count, a probe computed from the uncapped value
+    // would silently degrade IVF to a near-full scan
+    val probe = math.max(8, math.round(k * 0.1875f))
     var cents = Array.tabulate(k, dim)((c, i) => sample(c)(i).toDouble)
     for (_ <- 0 until IvfIters) {
       val sums = Array.ofDim[Double](k, dim)

@@ -125,14 +125,21 @@ object TextOps {
       .select(col("doc_id"), gf.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** DuckDB mirror of `TextHashOps.fingerprint` — the ONE copy of the
+    * fold; every oracle that hashes text (here and in CorpusOps's
+    * sample_split) must build on it so a kernel change cannot silently
+    * desync one of them. */
+  private[ops] def fingerprintFoldSql(col: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($col, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
   private val fingerprintSql =
-    """SELECT doc_id,
-      |  list_reduce(
-      |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(string_split(text, ''),
-      |        c -> CAST(ascii(c) AS BIGINT))),
-      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  ${fingerprintFoldSql("text")} AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> (quality _),

@@ -296,6 +296,13 @@ class StreamingSpec extends SparkSpec {
     }
     // a second pass is idempotent (attach skips stamped files)
     assert(GeoParquetMeta.stampSinkLog(spark, out) == stamped)
+    // crashed promotion: a logged file left as .geo.bak is restored from
+    // the manifest path alone (no tree sweep on this path)
+    val victim = files.head
+    val bak = new java.io.File(victim.getParent, s".${victim.getName}.geo.bak")
+    assert(victim.renameTo(bak))
+    assert(GeoParquetMeta.stampSinkLog(spark, out) == stamped)
+    assert(victim.exists && !bak.exists)
     // rows survive stamping — read through the (rewritten) metadata log
     assert(spark.read.parquet(out).count() == 1000)
   }

@@ -46,9 +46,69 @@ object LayoutOps {
        |  min(z) AS z_min, max(z) AS z_max
        |FROM z GROUP BY 1 ORDER BY z_tile""".stripMargin
 
+  // ---- bucketed co-located join ----
+  // The other half of the layout story: pre-bucketing both sides of a
+  // recurring fact⋈dim join on the join key makes the join shuffle-FREE —
+  // at 100 TB the nightly orders⋈customer never re-shuffles either
+  // table; each task merge-joins co-located buckets. PlanSpec asserts the
+  // physical plan has no Exchange above either scan. The oracle is the
+  // plain (unbucketed) join — bucketing must never change results.
+
+  private val BucketN = 8
+  private val bucketLock = new Object
+
+  /** Register content-addressed bucketed copies of orders/customer for
+    * `dir` (once per dataset per JVM), external data in tmp. */
+  private[ops] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+    val src = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val key = md5(s"$dir|${st.getLen}|${st.getModificationTime}")
+    val (ordT, custT) = (s"graft_bkt_ord_$key", s"graft_bkt_cust_$key")
+    bucketLock.synchronized {
+      if (!s.catalog.tableExists(ordT)) {
+        val base = new java.io.File(
+          s"${System.getProperty("java.io.tmpdir")}/graft_buckets/$key")
+        Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.format("parquet")
+          .bucketBy(BucketN, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$base/orders").mode("overwrite")
+          .saveAsTable(ordT)
+        Tables(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment")
+          .write.format("parquet")
+          .bucketBy(BucketN, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$base/customer").mode("overwrite")
+          .saveAsTable(custT)
+      }
+    }
+    (ordT, custT)
+  }
+
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (ordT, custT) = bucketedTables(s, dir)
+    s.table(ordT)
+      .join(s.table(custT), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(Num.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val bucketedJoinSql =
+    s"""SELECT c_mktsegment, ${Num.dsumSql("o_totalprice")} AS revenue,
+       |  count(*) AS n_orders
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "zorder_layout" -> (zorderLayout _))
+    "zorder_layout" -> (zorderLayout _),
+    "bucketed_join" -> (bucketedJoin _))
 
   val oracle: Map[String, String] = Map(
-    "zorder_layout" -> zorderLayoutSql)
+    "zorder_layout" -> zorderLayoutSql,
+    "bucketed_join" -> bucketedJoinSql)
 }

@@ -84,6 +84,17 @@ object IngestStream {
       .toDF("vehicle_id", "n_pings", "last_ts")
   }
 
+  /** G5 extension: streaming dedup — the streaming form of E2's ranked
+    * dedup for at-least-once upstream delivery (the reference's Lambda can
+    * re-fire on retry): duplicate pings (same vehicle, same event time)
+    * are dropped exactly once per key, and `WithinWatermark` bounds the
+    * dedup state by the watermark horizon instead of the stream's
+    * lifetime — the property that keeps state finite at any scale. */
+  def dedupedFeed(enriched: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    enriched
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("vehicle_id", "event_ts")
+
   /** G5 extension: watermarked stream-stream inner join — each click event
     * joined to the same user's purchases in the following 30 minutes. The
     * event-time range condition plus watermarks on BOTH sides is what lets

@@ -67,6 +67,23 @@ class PlanSpec extends SparkSpec {
     assert(plan("percentile_agg").contains("Aggregate"), "no aggregate in percentile plan")
   }
 
+  test("bucketed join is shuffle-free: no Exchange between scans and join") {
+    // at sf0.001 Catalyst rightly broadcasts the tiny dim (also
+    // shuffle-free); the 100 TB case is two unbroadcastable sides — model
+    // it by disabling broadcast and assert the bucketed SMJ needs no
+    // exchange on either input
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("bucketed_join")
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed join re-shuffled its inputs:\n$p")
+      assert(p.contains("Bucketed: true") && p.contains("SelectedBucketsCount"),
+        s"scan did not read bucket metadata:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("naive st_dwithin join is rewritten to a geohash equi-join by the rule") {
     val p = plan("spatial_join_auto")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

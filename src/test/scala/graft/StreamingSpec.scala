@@ -264,6 +264,32 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-03-05T10:00:00Z")
+    def ts(plus: Long) = java.sql.Timestamp.from(t0.plusSeconds(plus))
+    val dir = Files.createTempDirectory("graft-streamdedup").toString
+    // batch 1: two distinct pings; batch 2: an exact duplicate of the
+    // first (at-least-once redelivery) plus one new ping
+    Seq((5L, 1L, ts(0), 1.0), (6L, 1L, ts(10), 1.0))
+      .toDF("event_id", "user_id", "ts", "value").write.parquet(s"$dir/b1")
+    val feed = IngestStream.readFeed(spark,
+      spark.read.parquet(s"$dir/b1").schema, s"$dir/*")
+    val q = IngestStream.dedupedFeed(IngestStream.transform(feed))
+      .select("vehicle_id", "event_ts")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Seq((5L, 1L, ts(0), 1.0), (7L, 1L, ts(20), 1.0))
+        .toDF("event_id", "user_id", "ts", "value").write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val out = spark.table("stream_dedup").collect()
+      assert(out.length == 3,
+        s"expected 3 deduped pings, got ${out.length}: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes hive partitions exactly once") {
     val out = Files.createTempDirectory("graft-stream-out").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString

@@ -100,6 +100,55 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("z-order write layout tightens per-file 2-D bounds vs hash layout") {
+    import graft.expr.{functions => gf}
+    import graft.ops.IngestOps
+    import org.apache.spark.sql.functions._
+    // the payoff claim behind zorder_layout: range-partitioning a write by
+    // the z key gives each file a small lat×lon footprint, so min/max
+    // footer stats prune 2-D range scans; a hash layout spreads every file
+    // across the whole domain. Measure both with real footers.
+    val df = IngestOps.decode(Tables(spark, sf0001, "events"))
+      .withColumn("z", gf.zorder(
+        ((col("longitude") + 79.7) * 1000).cast("int"),
+        ((col("latitude") - 43.0) * 1000).cast("int"), lit(10)))
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zsort").toString
+    val hDir = java.nio.file.Files.createTempDirectory("graft-hash").toString
+    df.repartitionByRange(8, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(zDir)
+    df.repartition(8).write.mode("overwrite").parquet(hDir)
+
+    def meanFileArea(dir: String): Double = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val areas = files.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), conf))
+        try {
+          def span(leaf: String): Double = {
+            val ss = r.getFooter.getBlocks.asScala.flatMap(
+              _.getColumns.asScala
+                .filter(_.getPath.toArray.toSeq == Seq(leaf))
+                .map(_.getStatistics))
+            ss.map(_.genericGetMax.asInstanceOf[Double]).max -
+              ss.map(_.genericGetMin.asInstanceOf[Double]).min
+          }
+          span("latitude") * span("longitude")
+        } finally r.close()
+      }
+      areas.sum / areas.length
+    }
+    val (zArea, hArea) = (meanFileArea(zDir), meanFileArea(hDir))
+    info(f"mean per-file lat×lon area: z-order $zArea%.5f vs hash $hArea%.5f")
+    assert(zArea < hArea * 0.5,
+      f"z-order layout should at least halve the per-file 2-D footprint " +
+        f"($zArea%.5f vs $hArea%.5f)")
+  }
+
   test("zorder_layout tiles cover all events with consistent bounds") {
     val r = SparkEntry.queries("zorder_layout")(spark, sf0001).collect()
     assert(r.nonEmpty)

@@ -93,6 +93,17 @@ object functions {
     inv(GeohashOps.getClass, LongType, "zorder",
       x.cast("int"), y.cast("int"), bits.cast("int"))
 
+  /** Count-min point estimate over a flattened depth×width sketch (built
+    * by the `CmsAggregator` UDAF — see cms_agg). */
+  def cms_est(sketch: Column, tok: Column, width: Column, depth: Column): Column =
+    inv(CmsSketch.getClass, LongType, "estimate",
+      sketch, tok, width.cast("int"), depth.cast("int"))
+
+  /** The count-min UDAF as an untyped aggregate function. */
+  def cms_agg(width: Int, depth: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new CmsAggregator(width, depth),
+      org.apache.spark.sql.Encoders.STRING)
+
   /** Float-vector dot product, left-to-right double accumulation. */
   def vec_dot(a: Column, b: Column): Column =
     inv(EmbedOps.getClass, DoubleType, "dotF", a, b)

@@ -267,13 +267,38 @@ object CorpusOps {
       |  list_aggregate(qa, 'max') AS q_max
       |FROM qq ORDER BY vec_id""".stripMargin
 
+  // ---- count-min frequency sketch (UDAF showcase) ----
+  // Token frequencies via the CmsAggregator UDAF instead of an exact
+  // groupBy: one fixed-size buffer per partition, merged by addition — at
+  // 100 TB the sketch never shuffles the distinct-token space. Probe
+  // estimates are exact when no all-rows collision occurs (asserted
+  // against the exact counts in CorpusSpec); rows-only driver check — the
+  // sketch layout is not DuckDB-expressible.
+
+  private[graft] val CmsWidth = 2048
+  private[graft] val CmsDepth = 4
+
+  private def freqSketch(s: SparkSession, dir: String): DataFrame = {
+    val probes = Seq("data", "query", "spark", "the", "window")
+    val sketch = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(gf.cms_agg(CmsWidth, CmsDepth)(col("tok")).as("sk"))
+    sketch
+      .select(explode(array(probes.map(lit): _*)).as("tok"), col("sk"))
+      .select(col("tok"),
+        gf.cms_est(col("sk"), col("tok"), lit(CmsWidth), lit(CmsDepth))
+          .as("est"))
+      .orderBy("tok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_normalize" -> (normalize _),
     "pii_redact" -> (piiRedact _),
     "sample_split" -> (sampleSplit _),
     "vocab_topk" -> (vocabTopK _),
     "tfidf_topk" -> (tfidfTopK _),
-    "embed_quantize" -> (embedQuantize _))
+    "embed_quantize" -> (embedQuantize _),
+    "freq_sketch" -> (freqSketch _))
 
   val oracle: Map[String, String] = Map(
     "text_normalize" -> normalizeSql,

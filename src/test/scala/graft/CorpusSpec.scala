@@ -100,6 +100,31 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch estimates match exact counts and are partition-invariant") {
+    import graft.expr.{functions => gf}
+    import graft.ops.CorpusOps.{CmsDepth, CmsWidth}
+    import org.apache.spark.sql.functions._
+    val toks = Tables(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("freq_sketch")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("est")).toMap
+    est.foreach { case (tok, e) =>
+      val truth = exact.getOrElse(tok, 0L)
+      assert(e >= truth, s"CMS under-counted $tok: $e < $truth")
+      assert(e == truth,
+        s"collision inflated $tok on this corpus: $e vs $truth")
+    }
+    // merge is commutative addition → the SKETCH ARRAY is bit-identical
+    // at any partition count (the distributed-determinism property)
+    def sketchOf(parts: Int): Seq[Long] =
+      toks.repartition(parts)
+        .agg(gf.cms_agg(CmsWidth, CmsDepth)(col("tok")).as("sk"))
+        .collect()(0).getSeq[Long](0)
+    assert(sketchOf(1) == sketchOf(16))
+  }
+
   test("z-order write layout tightens per-file 2-D bounds vs hash layout") {
     import graft.expr.{functions => gf}
     import graft.ops.IngestOps

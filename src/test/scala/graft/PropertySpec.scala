@@ -104,6 +104,20 @@ object PropertySpec extends Properties("graft.kernels") {
       ids == (0 until math.min(top, 4)) // deterministic lowest-id fallback
     }
 
+  property("count-min sketch never under-counts, any corpus, any merge split") =
+    forAll(Gen.listOf(Gen.oneOf("a", "bb", "ccc", "d e", "ffff", "g"))) { toks =>
+      val agg = new graft.expr.CmsAggregator(64, 4)
+      // arbitrary split point → merge path differs, result must not
+      val (l, r) = toks.splitAt(toks.length / 2)
+      val buf = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+      toks.distinct.forall { t =>
+        graft.expr.CmsSketch.estimate(arr,
+          UTF8String.fromString(t), 64, 4) >= toks.count(_ == t)
+      }
+    }
+
   // ---- GTFS-rt decoder robustness ----
 
   private val junk = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))

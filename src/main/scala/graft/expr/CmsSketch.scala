@@ -26,6 +26,7 @@ class CmsAggregator(width: Int, depth: Int)
   override def zero: Array[Long] = new Array[Long](width * depth)
 
   override def reduce(buf: Array[Long], tok: String): Array[Long] = {
+    if (tok == null) return buf // builtin aggregates ignore nulls; so do we
     val base = TextHashOps.fnv1a64(tok)
     var r = 0
     while (r < depth) {

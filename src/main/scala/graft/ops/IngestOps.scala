@@ -161,32 +161,16 @@ object IngestOps {
   // from the raw events arithmetic, so the match is exact.
   private val geoLakeLock = new Object
   private[ops] def geoLake(s: SparkSession, dir: String): String = {
-    // cache key = source path + events file size + mtime, so regenerated
-    // test data invalidates the lake (a bare path hashCode would serve
-    // stale results and can collide between dirs)
-    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
-    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
-    // one parent dir per SOURCE, one subdir per content key: when the
-    // source regenerates (new mtime/size → new key), stale keys for the
-    // same source are evicted instead of accumulating in tmp
+    // content-addressed (ContentKey): regenerated test data invalidates
+    // the lake; one parent dir per SOURCE, one subdir per content key,
+    // stale keys evicted instead of accumulating in tmp
     val parent = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_geolake/${md5(dir)}")
-    val key = md5(s"${st.getLen}|${st.getModificationTime}")
+      s"${System.getProperty("java.io.tmpdir")}/graft_geolake/${ContentKey.md5(dir)}")
+    val key = ContentKey.of(s, Seq(s"$dir/events.parquet"))
     val root = new java.io.File(parent, key)
     geoLakeLock.synchronized {
       if (!new java.io.File(root, "_SUCCESS").exists()) {
-        Option(parent.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName != key)
-          .foreach { stale =>
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-              f.delete()
-            }
-            rm(stale)
-          }
+        ContentKey.evictStale(parent, key)
         enrich(decode(Tables(s, dir, "events")))
           .sortWithinPartitions(col("bbox.xmin"))
           .write.mode("overwrite").parquet(root.toString)

@@ -58,19 +58,23 @@ object LayoutOps {
   private val bucketLock = new Object
 
   /** Register content-addressed bucketed copies of orders/customer for
-    * `dir` (once per dataset per JVM), external data in tmp. */
+    * `dir` (once per dataset per JVM), external data in tmp. The key
+    * covers BOTH source tables (a customer-only regen must invalidate),
+    * both tables are existence-checked independently (a crash between
+    * the two saveAsTable calls must not leave a half-registered pair),
+    * and stale key-dirs for the same source are evicted. Cross-JVM disk
+    * reuse is not possible here: the bucket spec lives in the (in-memory)
+    * catalog entry, so a fresh JVM must re-register either way. */
   private[ops] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
-    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-    val src = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
-    val key = md5(s"$dir|${st.getLen}|${st.getModificationTime}")
+    val key = ContentKey.of(s,
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
     val (ordT, custT) = (s"graft_bkt_ord_$key", s"graft_bkt_cust_$key")
     bucketLock.synchronized {
-      if (!s.catalog.tableExists(ordT)) {
-        val base = new java.io.File(
-          s"${System.getProperty("java.io.tmpdir")}/graft_buckets/$key")
+      val parent = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_buckets/${ContentKey.md5(dir)}")
+      val base = new java.io.File(parent, key)
+      if (!s.catalog.tableExists(ordT) || !s.catalog.tableExists(custT)) {
+        ContentKey.evictStale(parent, key)
         Tables(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")
           .write.format("parquet")

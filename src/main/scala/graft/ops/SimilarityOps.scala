@@ -132,22 +132,10 @@ object SimilarityOps {
 
   /** Returns (dim, flattened K×dim centroid matrix, probe count). */
   private[ops] def fitCentroids(s: SparkSession, dir: String): (Int, Array[Double], Int) = {
-    // cache key = total length + max mtime over the table's FILES (like
-    // IngestOps.geoLake) so regenerated data in the same JVM refits the
-    // quantizer. Recursing matters: for a partitioned-directory layout a
-    // bare getFileStatus on the root reports len=0 and an mtime that
-    // misses writes inside partition subdirs — the key would never change.
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    var len = 0L
-    var mtime = 0L
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val f = it.next()
-      len += f.getLen
-      if (f.getModificationTime > mtime) mtime = f.getModificationTime
-    }
-    val key = s"$dir|$len|$mtime"
+    // content-addressed (ContentKey recurses into partitioned layouts) so
+    // regenerated data in the same JVM refits the quantizer instead of
+    // silently reusing a stale model
+    val key = ContentKey.of(s, Seq(s"$dir/embeddings.parquet"))
     centroidCache.computeIfAbsent(key, _ => fitCentroidsUncached(s, dir))
   }
 

@@ -110,11 +110,14 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val est = SparkEntry.queries("freq_sketch")(spark, sf0001).collect()
       .map(r => r.getAs[String]("tok") -> r.getAs[Long]("est")).toMap
+    val total = exact.values.sum
     est.foreach { case (tok, e) =>
       val truth = exact.getOrElse(tok, 0L)
       assert(e >= truth, s"CMS under-counted $tok: $e < $truth")
-      assert(e == truth,
-        s"collision inflated $tok on this corpus: $e vs $truth")
+      // the standard CMS guarantee: over-count <= 2N/width w.h.p. —
+      // corpus-growth-proof, unlike asserting exact equality
+      assert(e <= truth + 2 * total / CmsWidth,
+        s"CMS over-count beyond bound for $tok: $e vs $truth (N=$total)")
     }
     // merge is commutative addition → the SKETCH ARRAY is bit-identical
     // at any partition count (the distributed-determinism property)

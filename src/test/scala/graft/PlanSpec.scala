@@ -74,13 +74,27 @@ class PlanSpec extends SparkSpec {
     // exchange on either input
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = plan("bucketed_join")
+      // must inspect executedPlan: sparkPlan precedes EnsureRequirements,
+      // which is the phase that inserts shuffle Exchanges — an assertion
+      // on sparkPlan would pass even for unbucketed inputs
+      val p = SparkEntry.queries("bucketed_join")(spark, sf0001)
+        .queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
       val joinPart = p.substring(p.indexOf("SortMergeJoin"))
       assert(!joinPart.contains("Exchange"),
         s"bucketed join re-shuffled its inputs:\n$p")
       assert(p.contains("Bucketed: true") && p.contains("SelectedBucketsCount"),
         s"scan did not read bucket metadata:\n$p")
+      // sanity that the probe can see a shuffle at all: the same join on
+      // the raw (unbucketed) tables must show an Exchange below the join
+      val raw = Tables(spark, sf0001, "orders")
+        .join(Tables(spark, sf0001, "customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+        .queryExecution.executedPlan.toString
+      val rawJoin = raw.substring(raw.indexOf("SortMergeJoin"))
+      assert(rawJoin.contains("Exchange"),
+        s"probe can't detect shuffles — unbucketed join shows none:\n$raw")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 

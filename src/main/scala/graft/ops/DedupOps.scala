@@ -147,8 +147,9 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  // Embedding cosine near-dup: full pairwise over the embeddings table,
-  // with the LSH-bucketed variant in SimilarityOps as the scale path.
+  // Embedding cosine near-dup, exact: full pairwise over the embeddings
+  // table — the oracle anchor (`dedup_embedding_exact`) that the
+  // production-named IVF-bucketed `dedup_embedding` is measured against.
   // Norms are computed once per vector; dot product is an element-ordered
   // fold — identical doubles in both engines, so the threshold filter and
   // output values match the oracle exactly with no rounding.
@@ -190,8 +191,9 @@ object DedupOps {
        |WHERE ${vdotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.35
        |ORDER BY a_id, b_id""".stripMargin
 
-  // IVF-bucketed embedding near-dup — the production-named scale path next
-  // to the brute-force `dedup_embedding` oracle anchor: vectors indexed in
+  // IVF-bucketed embedding near-dup — the production-named scale path
+  // (`dedup_embedding`), measured against the brute-force
+  // `dedup_embedding_exact` oracle anchor: vectors indexed in
   // their top-6 IVF cells (same sample-fit coarse quantizer as
   // `simsearch_ivf`), candidate pairs from the cell equi-join only.
   // Candidate volume ≈ (assign²/K)·N²/2, and K grows ~√N at scale, so the
@@ -343,13 +345,13 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
-    "dedup_embedding" -> (embeddingCosine _),
-    "dedup_embedding_ann" -> (embeddingCosineAnn _),
+    "dedup_embedding_exact" -> (embeddingCosine _),
+    "dedup_embedding" -> (embeddingCosineAnn _),
     "dedup_resolve" -> (resolve _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
-    "dedup_embedding" -> embeddingCosineSql,
+    "dedup_embedding_exact" -> embeddingCosineSql,
     "dedup_resolve" -> resolveSql)
 }

@@ -58,9 +58,10 @@ object SimilarityOps {
   // gets L independent `Bits`-bit signatures (disjoint hyperplane sets);
   // candidates share a bucket in ANY table — the join is an equi-join on
   // (table, bucket), never a cross product, which is what survives 100 TB.
-  // With per-bit agreement p = 1 − θ/π, recall@top-k ≈ 1 − (1 − p^Bits)^L.
-  // Approximate — recall vs brute force is asserted in ScalaTest; driver
-  // check is rows-only (bucketing not DuckDB-expressible).
+  // With per-bit agreement p = 1 − θ/π and Hamming-1 multi-probe on the
+  // query side, per-table hit prob is p^B + B·p^(B-1)(1−p) and recall ≈
+  // 1 − (1 − that)^L. Approximate — recall vs brute force is asserted in
+  // ScalaTest; driver check is rows-only (bucketing not DuckDB-expressible).
   private val NTables = 16
   private val Bits = 6
 
@@ -69,15 +70,35 @@ object SimilarityOps {
     posexplode(array((0 until NTables).map(t =>
       graft.expr.functions.lsh_bucket_offset(vec, lit(Bits), lit(t * Bits))): _*))
 
+  /** Multi-probe (query side only): each table's base bucket plus its
+    * `Bits` Hamming-distance-1 neighbors. A true neighbor that disagrees
+    * with the query on exactly one hyperplane of a table still collides
+    * there, lifting per-table hit probability from p^B to
+    * p^B + B·p^(B-1)(1-p) — the standard multi-probe LSH trick (Lv et al.,
+    * VLDB'07). Cost is probe-side fan-out (×(Bits+1)) on the tiny query
+    * set; the indexed/candidate side stays one bucket per table, so the
+    * index size and the equi-join shape are unchanged at 100 TB. */
+  private def queryProbes(vec: Column): Column =
+    explode(array((0 until NTables).flatMap { t =>
+      val base = graft.expr.functions.lsh_bucket_offset(
+        vec, lit(Bits), lit(t * Bits))
+      struct(lit(t).as("tab"), base.as("bucket")) +:
+        (0 until Bits).map(i =>
+          struct(lit(t).as("tab"),
+            base.bitwiseXOR(lit(1 << i)).as("bucket")))
+    }: _*))
+
   private def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val e = normed(s, dir)
     val tabs = e.select(col("vec_id"), col("embedding"), col("norm"),
         buckets(col("embedding")))
       .withColumnRenamed("pos", "tab")
       .withColumnRenamed("col", "bucket")
-    val q = tabs.filter(col("vec_id") < NQueries)
+    val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), col("tab"), col("bucket"))
+        col("norm").as("q_norm"), queryProbes(col("embedding")).as("probe"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        col("probe.tab").as("tab"), col("probe.bucket").as("bucket"))
     val c = tabs.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       col("norm").as("c_norm"), col("tab"), col("bucket"))
     val w = Window.partitionBy("q_id")
@@ -103,7 +124,8 @@ object SimilarityOps {
   // indexed under its top-`IvfAssign` cells, each query probes its top
   // `probe` cells (probe and K both scale with corpus size — see
   // [[ivfParams]]). On these near-uniform embeddings (mean cos to own
-  // cluster centroid ≈ 0.14) hyperplane LSH tops out at recall ≈ 0.3;
+  // cluster centroid ≈ 0.14) single-probe hyperplane LSH tops out at
+  // recall ≈ 0.3 (multi-probe recovers it — see [[queryProbes]]);
   // IVF with multi-assignment measures recall@5 ≈ 0.9 at ~45% candidate
   // fraction (asserted in SimilaritySpec). Rows-only driver check — the
   // quantizer is not DuckDB-expressible.

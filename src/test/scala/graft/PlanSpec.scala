@@ -48,7 +48,7 @@ class PlanSpec extends SparkSpec {
 
   test("LSH/bucketed operators never degenerate into cross products") {
     for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "simsearch_lsh", "simsearch_ivf", "dedup_embedding_ann",
+        "simsearch_lsh", "simsearch_ivf", "dedup_embedding",
         "spatial_join_geohash", "asof_join_bucketed")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
@@ -108,7 +108,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("brute-force baselines are (intentionally) nested-loop joins") {
-    for (q <- Seq("simsearch_topk", "dedup_embedding")) {
+    for (q <- Seq("simsearch_topk", "dedup_embedding_exact")) {
       val p = plan(q)
       assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
         s"$q no longer brute-force — update SCALE.md if intentional")

@@ -43,9 +43,9 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF-bucketed embedding dedup recovers most brute-force pairs") {
-    val brute = SparkEntry.queries("dedup_embedding")(spark, sf0001)
+    val brute = SparkEntry.queries("dedup_embedding_exact")(spark, sf0001)
       .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"))).toSet
-    val ann = SparkEntry.queries("dedup_embedding_ann")(spark, sf0001)
+    val ann = SparkEntry.queries("dedup_embedding")(spark, sf0001)
       .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"))).toSet
     assert(ann.subsetOf(brute), "ANN pairs must be a subset (same threshold)")
     val recall = (brute & ann).size.toDouble / brute.size
@@ -65,13 +65,15 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(p1m.toDouble / k1m - 0.1875) < 0.01)
   }
 
-  test("LSH recall against brute force is non-trivial") {
+  test("multi-probe LSH recall against brute force clears 0.7") {
     val brute = SparkEntry.queries("simsearch_topk")(spark, sf0001)
       .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"))).toSet
     val lsh = SparkEntry.queries("simsearch_lsh")(spark, sf0001)
       .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     info(f"LSH recall@5 = $recall%.2f")
-    assert(recall > 0.0, "LSH found none of the true top-5 neighbors")
+    // Hamming-1 multi-probe lifts measured recall from 0.30 (single-probe)
+    // to ~0.95 here; 0.7 leaves headroom for hyperplane-seed sensitivity
+    assert(recall >= 0.7, f"multi-probe LSH recall@5 $recall%.2f below 0.7")
   }
 }

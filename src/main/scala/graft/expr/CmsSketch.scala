@@ -60,8 +60,14 @@ object CmsSketch {
   }
 
   /** Point estimate from a flattened depth×width sketch (StaticInvoke
-    * kernel — see functions.cms_est). */
+    * kernel — see functions.cms_est). The caller re-supplies width/depth;
+    * a mismatch against the sketch the aggregator actually built would
+    * read the wrong slots and return plausible-but-wrong counts, so it
+    * fails loudly instead. */
   def estimate(sketch: ArrayData, tok: UTF8String, width: Int, depth: Int): Long = {
+    require(sketch.numElements() == width * depth,
+      s"cms_est width=$width depth=$depth does not match sketch of " +
+        s"${sketch.numElements()} slots")
     val base = TextHashOps.fnv1a64(tok.toString)
     var est = Long.MaxValue
     var r = 0

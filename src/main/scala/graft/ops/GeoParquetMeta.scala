@@ -226,8 +226,25 @@ object GeoParquetMeta {
     val metaDir = new Path(outPath, "_spark_metadata")
     val fs = metaDir.getFileSystem(conf)
     if (!fs.exists(metaDir)) return 0
+    // A crashed manifest rewrite on promote's non-atomic fallback leaves
+    // `.<id>.geo.bak` with the original manifest missing — a hole in the
+    // log that silently drops that batch from sink reads. Restore those
+    // first (same one listing), mirroring recoverOrphans; stray .geo.tmp
+    // are incomplete rewrites — drop them.
+    val entries = fs.listStatus(metaDir).map(_.getPath)
+    val restored = Seq.newBuilder[Path]
+    entries.foreach { p =>
+      val n = p.getName
+      if (n.startsWith(".") && n.endsWith(".geo.bak")) {
+        val orig = new Path(metaDir, n.substring(1, n.length - ".geo.bak".length))
+        if (!fs.exists(orig)) { if (fs.rename(p, orig)) restored += orig }
+        else fs.delete(p, false)
+      } else if (n.startsWith(".") && n.endsWith(".geo.tmp")) {
+        fs.delete(p, false)
+      }
+    }
     // batch manifests are named <id>, rollups <id>.compact
-    val manifests = fs.listStatus(metaDir).map(_.getPath).filter { p =>
+    val manifests = (entries ++ restored.result()).distinct.filter { p =>
       val n = p.getName.stripSuffix(".compact")
       n.nonEmpty && n.forall(_.isDigit)
     }

@@ -59,12 +59,21 @@ object LayoutOps {
 
   /** Register content-addressed bucketed copies of orders/customer for
     * `dir` (once per dataset per JVM), external data in tmp. The key
-    * covers BOTH source tables (a customer-only regen must invalidate),
-    * both tables are existence-checked independently (a crash between
-    * the two saveAsTable calls must not leave a half-registered pair),
-    * and stale key-dirs for the same source are evicted. Cross-JVM disk
-    * reuse is not possible here: the bucket spec lives in the (in-memory)
-    * catalog entry, so a fresh JVM must re-register either way. */
+    * covers BOTH source tables (a customer-only regen must invalidate)
+    * and stale key-dirs for the same source are evicted before a write.
+    *
+    * Each table reconciles catalog vs disk independently (a crash
+    * between the two writes must not leave a half-registered pair):
+    *  - catalog entry + backing `_SUCCESS` present → reuse as-is;
+    *  - catalog entry but data gone (tmp cleaner, or evictStale after a
+    *    source regen) → drop the stale entry and rebuild, instead of
+    *    failing until JVM restart;
+    *  - data present but no catalog entry (fresh session/JVM over a
+    *    warm tmp — the nightly-job story) → adopt the existing buckets
+    *    via `CREATE TABLE … CLUSTERED BY … LOCATION` without rewriting
+    *    a single file. The bucket spec lives in the catalog entry, so
+    *    re-declaring it with the same (count, column, sort) the files
+    *    were written with restores the shuffle-free join. */
   private[ops] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
     val key = ContentKey.of(s,
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
@@ -73,19 +82,42 @@ object LayoutOps {
       val parent = new java.io.File(
         s"${System.getProperty("java.io.tmpdir")}/graft_buckets/${ContentKey.md5(dir)}")
       val base = new java.io.File(parent, key)
-      if (!s.catalog.tableExists(ordT) || !s.catalog.tableExists(custT)) {
-        ContentKey.evictStale(parent, key)
+
+      def ensure(table: String, sub: String, bucketCol: String)(
+          write: String => Unit): Unit = {
+        val path = new java.io.File(base, sub)
+        val dataOk = new java.io.File(path, "_SUCCESS").exists()
+        if (s.catalog.tableExists(table)) {
+          if (dataOk) return
+          s.sql(s"DROP TABLE `$table`") // entry outlived its tmp data
+        }
+        if (dataOk) {
+          val ddl = s.read.parquet(path.toString).schema.toDDL
+          s.sql(
+            s"""CREATE TABLE `$table` ($ddl) USING parquet
+               |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+               |INTO $BucketN BUCKETS
+               |LOCATION '${path.toURI}'""".stripMargin)
+        } else {
+          ContentKey.evictStale(parent, key)
+          write(path.toString)
+        }
+      }
+
+      ensure(ordT, "orders", "o_custkey") { p =>
         Tables(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")
           .write.format("parquet")
           .bucketBy(BucketN, "o_custkey").sortBy("o_custkey")
-          .option("path", s"$base/orders").mode("overwrite")
+          .option("path", p).mode("overwrite")
           .saveAsTable(ordT)
+      }
+      ensure(custT, "customer", "c_custkey") { p =>
         Tables(s, dir, "customer")
           .select("c_custkey", "c_mktsegment")
           .write.format("parquet")
           .bucketBy(BucketN, "c_custkey").sortBy("c_custkey")
-          .option("path", s"$base/customer").mode("overwrite")
+          .option("path", p).mode("overwrite")
           .saveAsTable(custT)
       }
     }

@@ -98,6 +98,61 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("a fresh catalog adopts on-disk buckets without rewriting a file") {
+    // the nightly-job story: the bucketed copies outlive the JVM in tmp,
+    // and the next session must re-register them from disk, not rebuild.
+    // Dropping the catalog entries is the in-process equivalent of a new
+    // JVM's empty in-memory catalog over a warm tmp dir (a second
+    // SparkContext can't coexist in one test JVM).
+    val before = SparkEntry.queries("bucketed_join")(spark, sf0001).collect()
+    val key = graft.ops.ContentKey.of(spark,
+      Seq(s"$sf0001/orders.parquet", s"$sf0001/customer.parquet"))
+    val base = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
+        s"${graft.ops.ContentKey.md5(sf0001)}/$key")
+    def dataFiles(sub: String): Map[String, Long] =
+      new java.io.File(base, sub).listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val filesBefore = (dataFiles("orders"), dataFiles("customer"))
+    assert(filesBefore._1.nonEmpty && filesBefore._2.nonEmpty)
+    spark.sql(s"DROP TABLE `graft_bkt_ord_$key`")
+    spark.sql(s"DROP TABLE `graft_bkt_cust_$key`")
+    val after = SparkEntry.queries("bucketed_join")(spark, sf0001).collect()
+    assert(after.toSeq == before.toSeq, "adopted buckets changed the result")
+    assert((dataFiles("orders"), dataFiles("customer")) == filesBefore,
+      "adoption rewrote bucket files (names or mtimes changed)")
+    // the adopted registration must still carry the bucket spec: the
+    // shuffle-free SMJ property is what the catalog entry exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("bucketed_join")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"),
+        s"adopted buckets lost the shuffle-free join:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("a catalog entry whose tmp data was deleted is dropped and rebuilt") {
+    SparkEntry.queries("bucketed_join")(spark, sf0001).collect()
+    val key = graft.ops.ContentKey.of(spark,
+      Seq(s"$sf0001/orders.parquet", s"$sf0001/customer.parquet"))
+    val base = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
+        s"${graft.ops.ContentKey.md5(sf0001)}/$key")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(base) // tmp cleaner strikes; catalog entries now dangle
+    assert(spark.catalog.tableExists(s"graft_bkt_ord_$key"))
+    val rows = SparkEntry.queries("bucketed_join")(spark, sf0001).collect()
+    assert(rows.nonEmpty, "rebuild after tmp loss returned nothing")
+    assert(new java.io.File(base, "orders/_SUCCESS").exists(),
+      "bucketed data not rebuilt on disk")
+  }
+
   test("naive st_dwithin join is rewritten to a geohash equi-join by the rule") {
     val p = plan("spatial_join_auto")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

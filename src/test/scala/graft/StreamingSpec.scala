@@ -329,6 +329,18 @@ class StreamingSpec extends SparkSpec {
     assert(victim.renameTo(bak))
     assert(GeoParquetMeta.stampSinkLog(spark, out) == stamped)
     assert(victim.exists && !bak.exists)
+    // crashed MANIFEST rewrite: promote's fallback can die between
+    // moving the batch manifest aside and promoting the fixed copy —
+    // the log then has a hole and sink reads silently drop that batch.
+    // stampSinkLog must restore it before collecting manifests.
+    val metaDir = new java.io.File(out, "_spark_metadata")
+    val manifest = metaDir.listFiles()
+      .filter(f => f.getName.stripSuffix(".compact").forall(_.isDigit)).head
+    val mBak = new java.io.File(metaDir, s".${manifest.getName}.geo.bak")
+    assert(manifest.renameTo(mBak))
+    assert(GeoParquetMeta.stampSinkLog(spark, out) == stamped)
+    assert(manifest.exists && !mBak.exists,
+      "batch manifest not restored from its .geo.bak")
     // rows survive stamping — read through the (rewritten) metadata log
     assert(spark.read.parquet(out).count() == 1000)
   }

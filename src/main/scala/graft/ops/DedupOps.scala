@@ -253,14 +253,28 @@ object DedupOps {
     jac.union(exactPairs).distinct()
   }
 
-  private def resolve(s: SparkSession, dir: String): DataFrame = {
-    val pairs = pairSources(s, dir)
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .localCheckpoint()
-    // propagate only over docs that appear in some pair — the dup subgraph
-    // is sparse at any scale, so each iteration shuffles |paired docs|
-    // rows, not |corpus|; singletons rejoin via the final left join.
+  /** Min-label propagation to the connected-component fixpoint over a
+    * directed edge list (`u`,`v` — both directions present). Returns the
+    * per-doc component-min labels and the number of rounds taken.
+    *
+    * Each round combines two steps before taking the per-doc min:
+    *  - edge propagation: label(v) ← label(u) for every edge (u,v);
+    *  - pointer jumping:  label(d) ← label(label(d)) — composing the
+    *    label function with itself squares the distance information
+    *    travels, so a chain of diameter D converges in O(log D) rounds
+    *    instead of O(D) (DedupSpec pins a 1000-doc chain at ≤ 12).
+    * Both only ever assign ids of docs in the same component, so the min
+    * converges to the component minimum exactly — same fixpoint as pure
+    * propagation, identical to the oracle's recursive closure.
+    *
+    * Each iteration shuffles |labels| + |edges| rows; lineage is
+    * truncated with localCheckpoint per round. Convergence is witnessed
+    * by a monotone Σlabel. No silent cap — a partial propagation would
+    * split clusters — and with pointer jumping log₂(any real diameter)
+    * is tiny, so the 64-round guard only trips on a cycle bug and fails
+    * loudly instead of returning wrong labels. */
+  private[graft] def propagateMin(edges0: DataFrame): (DataFrame, Int) = {
+    val edges = edges0.localCheckpoint()
     var labels = edges.select(col("u").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
@@ -269,19 +283,17 @@ object DedupOps {
     var converged = labels.isEmpty
     var prevSum = if (converged) 0L else labels.agg(sum("label")).head().getLong(0)
     var it = 0
-    // iterate to the fixpoint: Σlabel strictly decreases until convergence,
-    // so this terminates in ≤ max-cluster-diameter rounds. No silent cap —
-    // a partial propagation would split clusters and diverge from the
-    // oracle's recursive closure; the generous bound only guards a cycle
-    // bug and fails loudly instead of returning wrong labels.
-    val maxIters = 10000
+    val maxIters = 64
     while (!converged) {
       if (it >= maxIters)
         throw new IllegalStateException(
           s"dedup_resolve failed to converge in $maxIters rounds")
       val prop = edges.join(labels, edges("u") === labels("doc_id"))
         .select(col("v").as("doc_id"), col("label"))
-      labels = labels.select(col("doc_id"), col("label")).union(prop)
+      val lab2 = labels.select(col("doc_id").as("l_doc"), col("label").as("l_lab"))
+      val jump = labels.join(lab2, labels("label") === lab2("l_doc"))
+        .select(labels("doc_id"), col("l_lab").as("label"))
+      labels = labels.select(col("doc_id"), col("label")).union(prop).union(jump)
         .groupBy("doc_id").agg(min("label").as("label"))
         .localCheckpoint()
       val sumNow = labels.agg(sum("label")).head().getLong(0)
@@ -289,6 +301,17 @@ object DedupOps {
       prevSum = sumNow
       it += 1
     }
+    (labels, it)
+  }
+
+  private def resolve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairSources(s, dir)
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    // propagate only over docs that appear in some pair — the dup subgraph
+    // is sparse at any scale, so each iteration shuffles |paired docs|
+    // rows, not |corpus|; singletons rejoin via the final left join.
+    val (labels, _) = propagateMin(edges)
     t(s, dir, "documents")
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media (image/audio/video) modeled as opaque
   * `binary` columns plus typed metadata, processed in partition-sized
-  * batches. The decode kernel itself is STUBBED (no media libs in this
-  * container — see the builder brief): `decodeStub` is a deterministic fake
-  * standing in for e.g. a JPEG decoder, while everything Spark-side —
-  * schema, batch iteration shape, partitioning — is real and tested.
+  * batches. Image decode is REAL for the formats the JDK ships codecs for
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external deps); bytes the
+  * JDK cannot decode (video/audio containers, corrupt blobs) fall back to
+  * `decodeStub`, a deterministic fake standing in for the out-of-container
+  * codecs, so the Spark-side plumbing — schema, batch iteration shape,
+  * partitioning — always runs end-to-end.
   */
 object MultimodalOps {
 
@@ -29,14 +31,38 @@ object MultimodalOps {
       1 + (bytes.length % 7), sum)
   }
 
-  /** Batch "decode" over a binary column — mapPartitions so a real decoder
-    * would amortize per-batch init (model load, codec context) exactly like
-    * a pandas-UDF batch would. */
+  /** Real image decode via the JDK's ImageIO: actual raster dimensions
+    * plus an order-deterministic checksum over the ARGB pixels (the "pixel
+    * stats" a feature extractor would start from). Returns None when the
+    * JDK has no codec for the bytes — the caller falls back to the stub. */
+  def decodeImage(id: Long, bytes: Array[Byte]): Option[MediaMeta] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum = sum * 131 + img.getRGB(x, y); x += 1 }
+          y += 1
+        }
+        Some(MediaMeta(id, bytes.length, img.getWidth, img.getHeight, 1, sum))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batch decode over a binary column — mapPartitions so the decoder
+    * amortizes per-batch init (codec context, scratch buffers) exactly
+    * like a pandas-UDF batch would. Real ImageIO decode first; blobs the
+    * JDK cannot decode take the deterministic stub, so one bad or
+    * unsupported blob never poisons the batch. */
   def decodeBatch(spark: SparkSession, blobs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     blobs.select(col("doc_id").cast("long"), col("media").cast("binary"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it => it.map { case (id, b) => decodeStub(id, b) } }
+      .mapPartitions { it =>
+        it.map { case (id, b) => decodeImage(id, b).getOrElse(decodeStub(id, b)) }
+      }
   }
 
   /** STUB resize: a real implementation would rescale pixels; the metadata

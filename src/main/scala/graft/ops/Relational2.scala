@@ -285,6 +285,29 @@ object Relational2 {
       |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS price_p50
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // The 100 TB twin of percentile_agg. The exact `percentile` above
+  // buffers EVERY value of a group in one aggregation buffer — on this
+  // 3-key grouping that is ~N/3 doubles in a single buffer, an OOM at
+  // scale; it stays in the catalog as the oracle anchor only.
+  // `percentile_approx` keeps a fixed-size Greenwald–Khanna quantile
+  // summary per group (rank error ≤ 1/accuracy) merged associatively —
+  // constant memory per group at any data size. DuckDB's approx_quantile
+  // is a t-digest (different sketch, different answers), so this entry is
+  // rows-only; QueriesSpec bounds its error against the exact aggregate.
+  private val PctAccuracy = 10000
+
+  private def approxPercentileAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_quantity").cast("double"), lit(0.5),
+          lit(PctAccuracy)).as("q50"),
+        percentile_approx(col("l_quantity").cast("double"), lit(0.95),
+          lit(PctAccuracy)).as("q95"),
+        percentile_approx(col("l_extendedprice").cast("double"), lit(0.5),
+          lit(PctAccuracy)).as("price_p50"))
+      .orderBy("l_returnflag")
+
   // String function battery (1-based substr semantics match).
   private def stringFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -420,6 +443,7 @@ object Relational2 {
     "events_sessionize" -> (sessionize _),
     "pivot_agg" -> (pivotAgg _),
     "percentile_agg" -> (percentileAgg _),
+    "approx_percentile" -> (approxPercentileAgg _),
     "interval_join" -> (intervalJoin _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "join_semi_anti" -> (semiAnti _),

@@ -98,6 +98,21 @@ class DedupSpec extends SparkSpec {
     assert(r.length == 20 && r.forall { case (d, k) => d == k })
   }
 
+  test("pointer jumping converges a 1000-doc chain in O(log n) rounds") {
+    // the pathological shape for plain min-label propagation: one chain
+    // A-B-C-… of diameter 1000 needs 1000 edge-propagation rounds; with
+    // label(label(d)) folded into each round the distance squares per
+    // iteration, so ceil(log2(1000)) + fixpoint-detection ≈ 11 suffice
+    import spark.implicits._
+    val chain = (0L until 999L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap)).toDF("u", "v")
+    val (labels, rounds) = graft.ops.DedupOps.propagateMin(edges)
+    assert(rounds <= 12, s"chain took $rounds rounds — pointer jumping broken")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1000 && got.forall(_._2 == 0L),
+      "chain did not collapse to the component minimum")
+  }
+
   test("dedup_simhash pairs the near-duplicates, not the unrelated doc") {
     val r = SparkEntry.queries("dedup_simhash")(spark, fixtureDir)
       .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"),

@@ -55,6 +55,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real PNG and JPEG blobs decode to actual dimensions and pixel stats") {
+    // real images through the same batch path: the JDK's ImageIO decodes
+    // them, so width/height are the true raster sizes (not the stub's
+    // byte-length fakes) and the checksum folds the actual ARGB pixels
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 31 + y * 17 + seed) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val blobs = Seq(
+      (1L, png(13, 7, 0)), (2L, png(64, 33, 5)), (3L, jpeg(20, 10)),
+      (4L, "not an image at all".getBytes("UTF-8"))) // → stub fallback
+      .toDF("doc_id", "media")
+    val out = MultimodalOps.decodeBatch(spark, blobs.repartition(3))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).width == 13 && out(1L).height == 7)
+    assert(out(2L).width == 64 && out(2L).height == 33)
+    assert(out(3L).width == 20 && out(3L).height == 10)
+    // checksum matches a driver-side decode of the same bytes exactly
+    val local = MultimodalOps.decodeImage(1L, png(13, 7, 0)).get
+    assert(out(1L).checksum == local.checksum && local.checksum != 0L)
+    // PNG is lossless: two pixel-identical encodes checksum identically
+    assert(MultimodalOps.decodeImage(9L, png(13, 7, 0)).get.checksum
+      == local.checksum)
+    // the non-image blob took the deterministic stub, not an error
+    assert(out(4L) == MultimodalOps.decodeStub(4L,
+      "not an image at all".getBytes("UTF-8")))
+  }
+
   test("decode runs distributed (partition-level batches, no collect)") {
     val plan = MultimodalOps.decodeBatch(spark, blobs)
       .queryExecution.executedPlan.toString

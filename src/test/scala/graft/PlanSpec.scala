@@ -67,6 +67,20 @@ class PlanSpec extends SparkSpec {
     assert(plan("percentile_agg").contains("Aggregate"), "no aggregate in percentile plan")
   }
 
+  test("approx_percentile aggregates a fixed-size sketch, not raw values") {
+    // the scale contract of the sketch twin: the aggregation must carry
+    // percentile_approx's constant-size quantile summary (an
+    // ObjectHashAggregate buffer) with NO exact percentile anywhere —
+    // that one buffers every group value and is the thing being replaced
+    val p = plan("approx_percentile")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected an object hash aggregate over the sketch buffer:\n$p")
+    assert(p.contains("percentile_approx") || p.contains("approx_percentile"),
+      s"approx function missing from plan:\n$p")
+    assert(!"\\bpercentile\\(".r.findFirstIn(p).isDefined,
+      s"exact percentile leaked into the sketch-path plan:\n$p")
+  }
+
   test("bucketed join is shuffle-free: no Exchange between scans and join") {
     // at sf0.001 Catalyst rightly broadcasts the tiny dim (also
     // shuffle-free); the 100 TB case is two unbroadcastable sides — model

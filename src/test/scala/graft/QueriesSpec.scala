@@ -41,6 +41,24 @@ class QueriesSpec extends SparkSpec {
     assert(sum == total)
   }
 
+  test("approx_percentile tracks the exact percentiles within 1%") {
+    // the sketch path must agree with its oracle-anchored exact twin to
+    // within the configured rank accuracy (1/10000 rank error is far
+    // tighter than 1% value error on these distributions)
+    val exact = q("percentile_agg").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val approx = q("approx_percentile").collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (e50, e95, ep50) = exact(r.getString(0))
+      def relErr(a: Double, e: Double) = math.abs(a - e) / math.max(math.abs(e), 1e-9)
+      assert(relErr(r.getDouble(1), e50) <= 0.01, s"q50 off: ${r.getDouble(1)} vs $e50")
+      assert(relErr(r.getDouble(2), e95) <= 0.01, s"q95 off: ${r.getDouble(2)} vs $e95")
+      assert(relErr(r.getDouble(3), ep50) <= 0.01, s"price_p50 off: ${r.getDouble(3)} vs $ep50")
+    }
+  }
+
   test("schedule_deviation diffs are clamped to ±600") {
     val bad = q("schedule_deviation")
       .filter(abs(col("avg_diff")) > 600).count()

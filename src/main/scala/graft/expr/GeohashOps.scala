@@ -84,6 +84,23 @@ object GeohashOps {
     z
   }
 
+  /** 3-D Morton key: bit i of x at position 3i, y at 3i+1, z at 3i+2
+    * (`bits` ≤ 21 keeps the key in a long). The layout key for
+    * (lat, lon, time-bucket)-style clustering — co-locates rows near in
+    * all three axes so footer stats prune 3-D range predicates. */
+  def zorder3(x: Int, y: Int, z: Int, bits: Int): Long = {
+    require(bits <= 21, s"zorder3 bits must be <= 21, got $bits")
+    var m = 0L
+    var i = 0
+    while (i < bits) {
+      m |= ((x >> i) & 1).toLong << (3 * i)
+      m |= ((y >> i) & 1).toLong << (3 * i + 1)
+      m |= ((z >> i) & 1).toLong << (3 * i + 2)
+      i += 1
+    }
+    m
+  }
+
   /** Decode to the cell-center point — used by tests (round-trip property)
     * and by the geohash-bucketed spatial join (SURVEY.md §7.5). */
   def decodeCenter(gh: String): (Double, Double) = {

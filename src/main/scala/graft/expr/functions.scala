@@ -93,6 +93,11 @@ object functions {
     inv(GeohashOps.getClass, LongType, "zorder",
       x.cast("int"), y.cast("int"), bits.cast("int"))
 
+  /** 3-D Morton interleave — (lat, lon, time-bucket)-style clustering. */
+  def zorder3(x: Column, y: Column, z: Column, bits: Column): Column =
+    inv(GeohashOps.getClass, LongType, "zorder3",
+      x.cast("int"), y.cast("int"), z.cast("int"), bits.cast("int"))
+
   /** Count-min point estimate over a flattened depth×width sketch (built
     * by the `CmsAggregator` UDAF — see cms_agg). */
   def cms_est(sketch: Column, tok: Column, width: Column, depth: Column): Column =
@@ -148,7 +153,8 @@ object functions {
     ("graft_simhash", LongType, TextHashOps.getClass, "simhash64", 2),
     ("graft_fingerprint", LongType, TextHashOps.getClass, "fingerprint", 1),
     ("graft_nfc", StringType, TextHashOps.getClass, "nfc", 1),
-    ("graft_zorder", LongType, GeohashOps.getClass, "zorder", 3))
+    ("graft_zorder", LongType, GeohashOps.getClass, "zorder", 3),
+    ("graft_zorder3", LongType, GeohashOps.getClass, "zorder3", 4))
 
   private def builder(dt: DataType, clazz: Class[_], method: String, arity: Int)(
       args: Seq[Expression]): Expression = {

@@ -47,15 +47,45 @@ object CompactOps {
     }
   }
 
+  /** Quantization width of the geo z-layout key (10 bits per axis ≈
+    * 0.35°×0.18° cells — far finer than a row group at any real density). */
+  private val ZBits = 10
+
+  /** Z-order key over the GeoParquet bbox corner: quantize lon/lat onto a
+    * 2^ZBits grid and Morton-interleave. Uses the covering struct the
+    * enrich step already wrote, so it works on any geo table. */
+  private def geoZKey: org.apache.spark.sql.Column = {
+    def q(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      least(greatest(
+        floor((c - lit(lo)) / lit(hi - lo) * lit((1 << ZBits) - 1)), lit(0.0)),
+        lit(((1 << ZBits) - 1).toDouble)).cast("int")
+    graft.expr.functions.zorder(
+      q(col("bbox.xmin"), -180.0, 180.0),
+      q(col("bbox.ymin"), -90.0, 90.0), lit(ZBits))
+  }
+
+  /** Compact `inPath` into `targetFiles` zstd files. Geo tables (those
+    * carrying the `bbox` covering struct) default to a z-ordered layout:
+    * range-partition the rewrite by the Morton key of the bbox corner and
+    * sort within each output file, so every file — and every row group
+    * inside it — covers a tight lat×lon cell and the bbox footer stats
+    * prune 2-D scans hard (CorpusSpec measures ~13× tighter footprints;
+    * IngestCompactSpec measures it on this exact path). The range
+    * repartition is a shuffle, but compaction rewrites every byte anyway
+    * and this is the rewrite order you want at 100 TB. Explicit
+    * `sortCols` (or `zorderGeo=false`) opts out. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
-      targetFiles: Int = 1, sortCols: Seq[String] = Nil): Unit = {
+      targetFiles: Int = 1, sortCols: Seq[String] = Nil,
+      zorderGeo: Boolean = true): Unit = {
     val df = spark.read.parquet(inPath)
-    val arranged = {
-      val coalesced = df.coalesce(targetFiles)
+    val isGeo = df.schema.fields.exists(f => f.name == "bbox" &&
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val arranged =
       if (sortCols.nonEmpty)
-        coalesced.sortWithinPartitions(sortCols.map(col): _*)
-      else coalesced
-    }
+        df.coalesce(targetFiles).sortWithinPartitions(sortCols.map(col): _*)
+      else if (zorderGeo && isGeo)
+        df.repartitionByRange(targetFiles, geoZKey).sortWithinPartitions(geoZKey)
+      else df.coalesce(targetFiles)
     arranged.write
       .option("compression", "zstd")
       .option("parquet.compression.codec.zstd.level", ZstdLevel.toString)

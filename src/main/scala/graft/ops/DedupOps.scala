@@ -194,21 +194,22 @@ object DedupOps {
   // IVF-bucketed embedding near-dup — the production-named scale path
   // (`dedup_embedding`), measured against the brute-force
   // `dedup_embedding_exact` oracle anchor: vectors indexed in
-  // their top-6 IVF cells (same sample-fit coarse quantizer as
-  // `simsearch_ivf`), candidate pairs from the cell equi-join only.
-  // Candidate volume ≈ (assign²/K)·N²/2, and K grows ~√N at scale, so the
-  // ratio collapses on real corpora; on these near-uniform synthetic
-  // embeddings pair-recall ≈ 0.9 vs brute at the 0.35 threshold (asserted
-  // in SimilaritySpec; real near-dups at cos ≥ 0.9 bucket together
-  // essentially always). Rows-only driver check (quantizer not
-  // DuckDB-expressible).
-  private val AnnAssign = 6
-
+  // their top IVF cells (same sample-fit coarse quantizer as
+  // `simsearch_ivf`; assignment count derived from the cell count via
+  // SimilarityOps.pairAssignFor — the symmetric pair join has no
+  // query-side probe, so it indexes wider than the search path), candidate
+  // pairs from the cell equi-join only. Candidate volume ≈
+  // (assign²/K)·N²/2, and K grows ~√N at scale, so the ratio collapses on
+  // real corpora; on these near-uniform synthetic embeddings pair-recall
+  // ≈ 0.9 vs brute at the 0.35 threshold (asserted in SimilaritySpec;
+  // real near-dups at cos ≥ 0.9 bucket together essentially always).
+  // Rows-only driver check (quantizer not DuckDB-expressible).
   private def embeddingCosineAnn(s: SparkSession, dir: String): DataFrame = {
     val (dim, cmat, _) = SimilarityOps.fitCentroids(s, dir)
+    val assign = SimilarityOps.pairAssignFor(cmat.length / dim)
     val cLit = typedLit(cmat.toSeq)
     val e = normed(s, dir).select(col("vec_id"), col("embedding"), col("norm"),
-      explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(AnnAssign)))
+      explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
         .as("cell"))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("norm").as("a_norm"), col("cell"))

@@ -20,8 +20,10 @@ import scala.jdk.CollectionConverters._
   * `end(extraMetadata)` writes a new footer carrying the original key-values
   * plus `geo`. The per-file bbox comes from the footer's own column
   * statistics for the covering struct — no data rescan. O(files),
-  * embarrassingly parallel across files (driver loop here; at cluster scale
-  * distribute the file list with `spark.parallelize(files).foreach`).
+  * embarrassingly parallel across files: sweeps larger than a couple of
+  * files run as a Spark job over the file list, so a cluster-scale lake
+  * sweep parallelizes across executors instead of serializing on the
+  * driver.
   */
 object GeoParquetMeta {
 
@@ -164,6 +166,37 @@ object GeoParquetMeta {
     *
     * Returns the number of files carrying the geo footer after the call
     * (newly stamped + already stamped); 0 for a non-geo table. */
+  /** Stamp one file in place (no-op when already stamped or when the
+    * schema lacks the geometry column). Returns whether the file carries
+    * the geometry column. A pure function of (conf, file) — safe to run
+    * on any executor. */
+  private def stampOne(conf: Configuration, file: Path,
+      primary: String, bboxCol: String): Boolean = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val (footer, schema, kv) = try {
+      val f = reader.getFooter
+      (f, f.getFileMetaData.getSchema,
+        f.getFileMetaData.getKeyValueMetaData.asScala.toMap)
+    } finally reader.close()
+    val hasGeom = schema.getFields.asScala.exists(_.getName == primary)
+    if (hasGeom && !kv.contains(GeoKey)) {
+      val hasBbox = schema.getFields.asScala.exists(_.getName == bboxCol)
+      val json = geoJson(primary,
+        if (hasBbox) Some(bboxCol) else None,
+        if (hasBbox) bboxFromStats(footer, bboxCol) else None)
+      val tmp = new Path(file.getParent, s".${file.getName}.geo.tmp")
+      val writer = new ParquetFileWriter(
+        HadoopOutputFile.fromPath(tmp, conf), schema,
+        ParquetFileWriter.Mode.OVERWRITE,
+        128L * 1024 * 1024, 0) // row-group size is moot: blocks raw-copied
+      writer.start()
+      writer.appendFile(HadoopInputFile.fromPath(file, conf))
+      writer.end((kv + (GeoKey -> json)).asJava)
+      promote(conf, tmp, file)
+    }
+    hasGeom
+  }
+
   def attach(spark: SparkSession, path: String,
       primary: String = "geometry", bboxCol: String = "bbox",
       onlyFiles: Option[Seq[Path]] = None): Int = {
@@ -171,33 +204,22 @@ object GeoParquetMeta {
     // full sweep (first write / healing pass): first restore anything a
     // crashed promotion left behind, so the listing below sees it
     if (onlyFiles.isEmpty) recoverOrphans(conf, path)
-    var geoFiles = 0
-    onlyFiles.getOrElse(parquetFiles(conf, path)).foreach { file =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-      val (footer, schema, kv) = try {
-        val f = reader.getFooter
-        (f, f.getFileMetaData.getSchema,
-          f.getFileMetaData.getKeyValueMetaData.asScala.toMap)
-      } finally reader.close()
-      val hasGeom = schema.getFields.asScala.exists(_.getName == primary)
-      if (hasGeom && !kv.contains(GeoKey)) {
-        val hasBbox = schema.getFields.asScala.exists(_.getName == bboxCol)
-        val json = geoJson(primary,
-          if (hasBbox) Some(bboxCol) else None,
-          if (hasBbox) bboxFromStats(footer, bboxCol) else None)
-        val tmp = new Path(file.getParent, s".${file.getName}.geo.tmp")
-        val writer = new ParquetFileWriter(
-          HadoopOutputFile.fromPath(tmp, conf), schema,
-          ParquetFileWriter.Mode.OVERWRITE,
-          128L * 1024 * 1024, 0) // row-group size is moot: blocks raw-copied
-        writer.start()
-        writer.appendFile(HadoopInputFile.fromPath(file, conf))
-        writer.end((kv + (GeoKey -> json)).asJava)
-        promote(conf, tmp, file)
-      }
-      if (hasGeom) geoFiles += 1
+    val files = onlyFiles.getOrElse(parquetFiles(conf, path))
+    if (files.isEmpty) return 0
+    // per-file stamping is embarrassingly parallel and IO-bound: big
+    // sweeps ship the file list to executors (at cluster scale a lake
+    // sweep is thousands of files — a driver loop would serialize it);
+    // tiny batches (a streaming append's 1-2 new files) stay on the
+    // driver to skip the job round-trip.
+    if (files.size <= 2) files.count(f => stampOne(conf, f, primary, bboxCol))
+    else {
+      val ser = new org.apache.spark.SerializableWritable(conf)
+      val sc = spark.sparkContext
+      sc.parallelize(files.map(_.toString),
+          math.min(files.size, sc.defaultParallelism))
+        .map(f => stampOne(ser.value, new Path(f), primary, bboxCol))
+        .filter(identity).count().toInt
     }
-    geoFiles
   }
 
   /** Commit-log-driven stamping for the streaming parquet sink (the

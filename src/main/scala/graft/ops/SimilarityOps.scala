@@ -121,16 +121,32 @@ object SimilarityOps {
   // deterministic hash-ordered sample (the model is K×dim ≈ a few KB —
   // like FAISS's sample-trained quantizer; fitting never scans full data),
   // then candidate generation is a pure cell-id equi-join: each vector is
-  // indexed under its top-`IvfAssign` cells, each query probes its top
-  // `probe` cells (probe and K both scale with corpus size — see
+  // indexed under its top [[assignFor]] cells, each query probes its top
+  // `probe` cells (assign, probe and K all scale with corpus size — see
   // [[ivfParams]]). On these near-uniform embeddings (mean cos to own
   // cluster centroid ≈ 0.14) single-probe hyperplane LSH tops out at
   // recall ≈ 0.3 (multi-probe recovers it — see [[queryProbes]]);
   // IVF with multi-assignment measures recall@5 ≈ 0.9 at ~45% candidate
   // fraction (asserted in SimilaritySpec). Rows-only driver check — the
   // quantizer is not DuckDB-expressible.
-  private val IvfAssign = 3
   private val IvfIters = 5
+
+  /** Index-side multi-assignment derived from the cell count, like probe:
+    * finer quantizers (more cells) put more vectors near cell boundaries,
+    * so each vector indexes under ~15% of √-scaled cells, clamped to
+    * [2, 8] because index size grows linearly with assign. At the test
+    * corpus (K≈22) this derives 3 — the value the recall assertions were
+    * measured at; SimilaritySpec measures the full assign∈{1,3,6} curve. */
+  private[graft] def assignFor(k: Int): Int =
+    math.max(2, math.min(8, math.round(k * 0.15f)))
+
+  /** Pair-join (symmetric) multi-assignment for the dedup path: capture
+    * needs BOTH vectors of a near-dup pair to co-occur in a cell — there
+    * is no query-side probe widening the net — so the fraction is roughly
+    * double the asymmetric case, clamped to [4, 12]. K≈22 derives the
+    * measured-at value 6. */
+  private[graft] def pairAssignFor(k: Int): Int =
+    math.max(4, math.min(12, math.round(k * 0.28f)))
 
   /** IVF parameters scaled by corpus size (the FAISS K ≈ √N guidance): a
     * fixed K tuned for one SF over-partitions tiny corpora and
@@ -212,13 +228,21 @@ object SimilarityOps {
     (dim, flat, probe)
   }
 
-  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopKAssign(s, dir, assignOverride = None)
+
+  /** IVF top-k with an explicit index-side assignment count — the recall/
+    * cost knob SimilaritySpec sweeps; production (`simsearch_ivf`) derives
+    * it from the cell count via [[assignFor]]. */
+  private[graft] def ivfTopKAssign(s: SparkSession, dir: String,
+      assignOverride: Option[Int]): DataFrame = {
     val (dim, cmat, probe) = fitCentroids(s, dir)
+    val assign = assignOverride.getOrElse(assignFor(cmat.length / dim))
     val cLit = typedLit(cmat.toSeq)
     val e = normed(s, dir)
     val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       col("norm").as("c_norm"),
-      explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(IvfAssign)))
+      explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
         .as("cell"))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

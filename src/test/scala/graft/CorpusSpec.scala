@@ -27,6 +27,24 @@ class CorpusSpec extends SparkSpec {
       GeohashOps.zorder(x2, y2, 10) >> 12)
   }
 
+  test("zorder3 kernel interleaves three axes (x at 3i, y at 3i+1, z at 3i+2)") {
+    assert(GeohashOps.zorder3(0, 0, 0, 10) == 0L)
+    assert(GeohashOps.zorder3(1, 0, 0, 1) == 1L)
+    assert(GeohashOps.zorder3(0, 1, 0, 1) == 2L)
+    assert(GeohashOps.zorder3(0, 0, 1, 1) == 4L)
+    // x=11,y=01,z=10 → bits z1 y1 x1 z0 y0 x0 = 1 0 1 0 1 1 = 43
+    assert(GeohashOps.zorder3(3, 1, 2, 2) == 43L)
+    assert(GeohashOps.zorder3(1023, 1023, 1023, 10) == (1L << 30) - 1)
+    // full 21-bit keys stay in a long; 22 bits is refused loudly
+    assert(GeohashOps.zorder3((1 << 21) - 1, (1 << 21) - 1, (1 << 21) - 1, 21)
+      == (1L << 63) - 1)
+    intercept[IllegalArgumentException](GeohashOps.zorder3(0, 0, 0, 22))
+    // SQL registration: the kernel is callable as graft_zorder3
+    val viaSql = spark.sql("SELECT graft_zorder3(3, 1, 2, 2) AS z")
+      .collect()(0).getLong(0)
+    assert(viaSql == 43L)
+  }
+
   test("text_normalize lowercases, collapses whitespace, composes NFC") {
     val r = SparkEntry.queries("text_normalize")(spark, sf0001).collect()
     assert(r.nonEmpty)

@@ -142,6 +142,56 @@ class IngestCompactSpec extends SparkSpec {
     assert(GeoParquetMeta.geoInfo(spark, victim.toString).isDefined)
   }
 
+  test("geo compaction defaults to a z-ordered layout with tighter per-file bboxes") {
+    // the geo lake carries the bbox covering struct, so compact() should
+    // range-partition the rewrite by the Morton key of the bbox corner —
+    // each output file then covers a tight lat×lon cell and its footer
+    // bbox stats prune 2-D scans. Compare against the same compaction
+    // with the z layout disabled, measuring real footers.
+    val in = Files.createTempDirectory("graft-zgeo-in").toString
+    val zOut = Files.createTempDirectory("graft-zgeo-z").toString
+    val hOut = Files.createTempDirectory("graft-zgeo-h").toString
+    enriched.write.mode("overwrite").parquet(in)
+    CompactOps.compact(spark, in, zOut, targetFiles = 6)
+    CompactOps.compact(spark, in, hOut, targetFiles = 6, zorderGeo = false)
+
+    def meanFileArea(dir: String): Double = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val areas = files.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), conf))
+        try {
+          def span(leaf: String): Double = {
+            val ss = r.getFooter.getBlocks.asScala.flatMap(
+              _.getColumns.asScala
+                .filter(_.getPath.toArray.toSeq == Seq("bbox", leaf))
+                .map(_.getStatistics))
+            ss.map(_.genericGetMax.asInstanceOf[Double]).max -
+              ss.map(_.genericGetMin.asInstanceOf[Double]).min
+          }
+          (span("ymax")) * (span("xmax"))
+        } finally r.close()
+      }
+      areas.sum / areas.length
+    }
+    val (zArea, hArea) = (meanFileArea(zOut), meanFileArea(hOut))
+    info(f"mean per-file bbox area: z-layout $zArea%.5f vs unsorted $hArea%.5f")
+    assert(zArea < hArea * 0.5,
+      f"z-layout compaction should at least halve per-file bbox area " +
+        f"($zArea%.5f vs $hArea%.5f)")
+    // the z rewrite is still a faithful, geo-stamped compaction
+    assert(spark.read.parquet(zOut).count() == enriched.count())
+    val zFile = new java.io.File(zOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(graft.ops.GeoParquetMeta.keyValueMeta(spark, zFile.toString)
+      .contains(graft.ops.GeoParquetMeta.GeoKey), "z output lost the geo footer")
+  }
+
   test("compacted footers: zstd codec, row groups within the reference bound") {
     val hot = Files.createTempDirectory("graft-hot2").toString
     val cold = Files.createTempDirectory("graft-cold2").toString

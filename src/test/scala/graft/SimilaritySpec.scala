@@ -53,6 +53,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"pair recall $recall%.2f below 0.8")
   }
 
+  test("IVF recall/cost curve: recall grows with index-side assignment") {
+    // the trade-off behind assignFor: each extra assignment multiplies
+    // index (and candidate) volume, buying recall. Measure the curve at
+    // assign ∈ {1, 3, 6} instead of asserting one point.
+    import graft.ops.SimilarityOps
+    val brute = SparkEntry.queries("simsearch_topk")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"))).toSet
+    val curve = Seq(1, 3, 6).map { a =>
+      val got = SimilarityOps.ivfTopKAssign(spark, sf0001, Some(a))
+        .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"))).toSet
+      a -> (brute & got).size.toDouble / brute.size
+    }
+    curve.foreach { case (a, r) => info(f"assign=$a recall@5 = $r%.2f") }
+    val byAssign = curve.toMap
+    // monotone within measurement noise: more assignments never cost recall
+    assert(byAssign(1) <= byAssign(3) + 0.02 && byAssign(3) <= byAssign(6) + 0.02,
+      s"recall curve not monotone: $curve")
+    // the spread is real: the knob must matter, or deriving it is theater
+    assert(byAssign(6) > byAssign(1),
+      s"assign=6 should beat assign=1: $curve")
+    // the derived operating point (assignFor(K≈22) = 3) meets the bar
+    assert(byAssign(3) >= 0.8, f"derived-assign recall ${byAssign(3)}%.2f < 0.8")
+  }
+
+  test("assign derivations scale with the cell count and stay clamped") {
+    import graft.ops.SimilarityOps.{assignFor, pairAssignFor}
+    assert(assignFor(22) == 3, "test-scale operating point moved")
+    assert(pairAssignFor(22) == 6, "test-scale pair operating point moved")
+    assert(assignFor(16) == 2 && pairAssignFor(16) == 4) // floors
+    assert(assignFor(4096) == 8 && pairAssignFor(4096) == 12) // caps
+    // monotone in K between the clamps
+    val ks = Seq(16, 22, 32, 48, 64, 4096)
+    assert(ks.map(assignFor) == ks.map(assignFor).sorted)
+    assert(ks.map(pairAssignFor) == ks.map(pairAssignFor).sorted)
+  }
+
   test("IVF parameters scale as sqrt(N) with bounded sample and probe fraction") {
     import graft.ops.SimilarityOps.ivfParams
     val (k500, p500, s500) = ivfParams(500)

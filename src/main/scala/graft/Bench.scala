@@ -106,7 +106,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Streaming end-to-end latency (HTTP poll → decode → enrich → hive
+    // write), per-trigger p50/p95 from the engine's progress events —
+    // published with the batch numbers so streaming regressions are
+    // visible round over round. Failure degrades to an empty object, not
+    // a dead bench.
+    val stream =
+      try {
+        val (p50, p95, n) =
+          graft.streaming.StreamLatency.measure(spark, triggers = 12)
+        System.err.println(
+          f"[bench] stream e2e p50=$p50%.3fs p95=$p95%.3fs over $n triggers")
+        s"""{"e2e_p50":$p50,"e2e_p95":$p95,"triggers":$n}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream e2e failed: ${e.getMessage}")
+        "{}"
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream":$stream,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

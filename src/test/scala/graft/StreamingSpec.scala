@@ -290,6 +290,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream e2e latency harness measures non-empty poll triggers") {
+    // the Bench-published p50/p95 source: serve a generated feed over
+    // loopback HTTP, poll → decode → enrich → hive-write, and read
+    // per-trigger durations off the engine's progress events
+    val (p50, p95, n) =
+      graft.streaming.StreamLatency.measure(spark, triggers = 3,
+        vehicles = 50, deadlineSec = 60)
+    assert(n >= 3, s"expected >= 3 measured triggers, got $n")
+    assert(p50 > 0 && p95 >= p50, s"bad percentiles: p50=$p50 p95=$p95")
+    assert(p95 < 30, s"poll trigger took $p95 s — something is hung")
+  }
+
   test("streaming parquet sink writes hive partitions exactly once") {
     val out = Files.createTempDirectory("graft-stream-out").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString

@@ -1,33 +1,10 @@
 package graft
 
-import java.io.ByteArrayOutputStream
-
-/** Tiny protobuf wire-format writer for building GTFS-rt FeedMessage test
-  * vectors (shared by GtfsRtSpec and the HTTP-poller e2e test). */
+/** GTFS-rt FeedMessage test vectors (shared by GtfsRtSpec and the
+  * HTTP-poller e2e test), built on the main-source wire writer
+  * [[graft.streaming.FeedGen.W]]. */
 object TestProto {
-  class W {
-    val out = new ByteArrayOutputStream()
-    def varint(v: Long): W = {
-      var x = v
-      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
-      out.write(x.toInt); this
-    }
-    def tag(field: Int, wire: Int): W = varint((field << 3) | wire)
-    def str(field: Int, s: String): W = {
-      val b = s.getBytes("UTF-8"); tag(field, 2).varint(b.length); out.write(b); this
-    }
-    def float32(field: Int, f: Float): W = {
-      tag(field, 5)
-      val bits = java.lang.Float.floatToIntBits(f)
-      (0 until 4).foreach(i => out.write((bits >>> (8 * i)) & 0xff)); this
-    }
-    def uint(field: Int, v: Long): W = tag(field, 0).varint(v)
-    def msg(field: Int, inner: W): W = {
-      val b = inner.out.toByteArray
-      tag(field, 2).varint(b.length); out.write(b); this
-    }
-    def bytes: Array[Byte] = out.toByteArray
-  }
+  type W = graft.streaming.FeedGen.W
 
   /** A one-vehicle FeedMessage: trip T77 on route R9, position
     * (43.65, -79.38), timestamp `epoch`. */

@@ -78,8 +78,17 @@ object CompactOps {
       targetFiles: Int = 1, sortCols: Seq[String] = Nil,
       zorderGeo: Boolean = true): Unit = {
     val df = spark.read.parquet(inPath)
+    // the z path reads bbox.xmin/ymin — engage it only when they exist
+    // and are numeric, so an unrelated table that happens to carry a
+    // `bbox` struct of its own still compacts instead of failing
     val isGeo = df.schema.fields.exists(f => f.name == "bbox" &&
-      f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+      (f.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          Seq("xmin", "ymin").forall(n => st.fields.exists(sf =>
+            sf.name == n &&
+              sf.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+        case _ => false
+      }))
     val arranged =
       if (sortCols.nonEmpty)
         df.coalesce(targetFiles).sortWithinPartitions(sortCols.map(col): _*)

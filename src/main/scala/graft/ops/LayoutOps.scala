@@ -74,9 +74,19 @@ object LayoutOps {
     *    a single file. The bucket spec lives in the catalog entry, so
     *    re-declaring it with the same (count, column, sort) the files
     *    were written with restores the shuffle-free join. */
+  /** Content key of the bucketed copies for `dir`. Covers the DERIVATION
+    * (bucket count, key columns, projected schema) as well as the source
+    * content: adopting on-disk buckets re-declares CLUSTERED BY from
+    * these constants, so a build with a different bucket spec must land
+    * in a different key-dir — adopting old-layout files under a new spec
+    * would silently mis-join. */
+  private[graft] def bucketKey(s: SparkSession, dir: String): String =
+    ContentKey.md5(
+      ContentKey.of(s, Seq(s"$dir/orders.parquet", s"$dir/customer.parquet")) +
+        s"|spec=$BucketN:o_custkey,o_orderkey,o_totalprice:c_custkey,c_mktsegment")
+
   private[ops] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val key = ContentKey.of(s,
-      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+    val key = bucketKey(s, dir)
     val (ordT, custT) = (s"graft_bkt_ord_$key", s"graft_bkt_cust_$key")
     bucketLock.synchronized {
       val parent = new java.io.File(

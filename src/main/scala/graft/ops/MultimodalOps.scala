@@ -37,17 +37,22 @@ object MultimodalOps {
     * JDK has no codec for the bytes — the caller falls back to the stub. */
   def decodeImage(id: Long, bytes: Array[Byte]): Option[MediaMeta] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // MemoryCacheImageInputStream keeps the decode fully in memory —
+      // ImageIO's default path spools every blob through an executor-disk
+      // temp file, a per-row file create/delete on the batch hot path
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
       if (img == null) None
       else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        // one bulk ARGB grab instead of a per-pixel getRGB (which pays a
+        // color-model conversion per call)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) { sum = sum * 131 + img.getRGB(x, y); x += 1 }
-          y += 1
-        }
-        Some(MediaMeta(id, bytes.length, img.getWidth, img.getHeight, 1, sum))
+        var i = 0
+        while (i < px.length) { sum = sum * 131 + px(i); i += 1 }
+        Some(MediaMeta(id, bytes.length, w, h, 1, sum))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

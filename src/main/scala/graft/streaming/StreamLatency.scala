@@ -21,6 +21,9 @@ object StreamLatency {
     * then carries however many completed). Returns (p50, p95, n). */
   def measure(spark: SparkSession, triggers: Int, vehicles: Int = 200,
       deadlineSec: Int = 120): (Double, Double, Int) = {
+    // everything after server.start()/addListener nests in try/finally:
+    // a leaked HttpServer keeps a non-daemon dispatcher thread alive and
+    // the Bench JVM would never exit
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val polls = new java.util.concurrent.atomic.AtomicLong(0)
     server.createContext("/feed", new HttpHandler {
@@ -32,36 +35,55 @@ object StreamLatency {
       }
     })
     server.start()
-    val url = s"http://127.0.0.1:${server.getAddress.getPort}/feed"
-    val durations = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
-    val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-        // rate-source ticks arrive ~1/s; sub-second triggers in between
-        // carry no rows and do no ingest work — skip them
-        if (e.progress.numInputRows > 0)
-          Option(e.progress.durationMs.get("triggerExecution"))
-            .foreach(ms => durations.add(ms.toDouble / 1000.0))
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/feed"
+      val durations = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
+      // only the poll query's triggers count: the listener is session-
+      // global, and a concurrent stream's progress events must not be
+      // attributed to this measurement
+      @volatile var measuredId: java.util.UUID = null
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          // rate-source ticks arrive ~1/s; sub-second triggers in between
+          // carry no rows and do no ingest work — skip them
+          if (measuredId != null && e.progress.id == measuredId &&
+              e.progress.numInputRows > 0)
+            Option(e.progress.durationMs.get("triggerExecution"))
+              .foreach(ms => durations.add(ms.toDouble / 1000.0))
+      }
+      spark.streams.addListener(listener)
+      val out = Files.createTempDirectory("graft-e2e-out")
+      val ckpt = Files.createTempDirectory("graft-e2e-ckpt")
+      try {
+        val q = HttpFeedSource.pollQuery(spark, url, out.toString, ckpt.toString,
+          trigger = Trigger.ProcessingTime("500 milliseconds"))
+        measuredId = q.id
+        val deadline = System.nanoTime() + deadlineSec * 1e9.toLong
+        try
+          while (durations.size < triggers && System.nanoTime() < deadline)
+            Thread.sleep(100)
+        finally q.stop()
+        val ds = durations.asScala.map(_.doubleValue()).toSeq.sorted
+        require(ds.nonEmpty, "no non-empty triggers completed before the deadline")
+        def pct(p: Double): Double =
+          ds(math.min(ds.size - 1, math.ceil(p * ds.size).toInt - 1).max(0))
+        (pct(0.5), pct(0.95), ds.size)
+      } finally {
+        spark.streams.removeListener(listener)
+        rmTree(out); rmTree(ckpt) // recurring bench path must not grow /tmp
+      }
+    } finally server.stop(0)
+  }
+
+  private def rmTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files => F}
+    if (F.exists(root)) {
+      val walk = F.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
     }
-    spark.streams.addListener(listener)
-    val out = Files.createTempDirectory("graft-e2e-out").toString
-    val ckpt = Files.createTempDirectory("graft-e2e-ckpt").toString
-    val q = HttpFeedSource.pollQuery(spark, url, out, ckpt,
-      trigger = Trigger.ProcessingTime("500 milliseconds"))
-    val deadline = System.nanoTime() + deadlineSec * 1e9.toLong
-    try
-      while (durations.size < triggers && System.nanoTime() < deadline)
-        Thread.sleep(100)
-    finally {
-      q.stop()
-      spark.streams.removeListener(listener)
-      server.stop(0)
-    }
-    val ds = durations.asScala.map(_.doubleValue()).toSeq.sorted
-    require(ds.nonEmpty, "no non-empty triggers completed before the deadline")
-    def pct(p: Double): Double =
-      ds(math.min(ds.size - 1, math.ceil(p * ds.size).toInt - 1).max(0))
-    (pct(0.5), pct(0.95), ds.size)
   }
 }

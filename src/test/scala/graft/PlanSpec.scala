@@ -119,8 +119,7 @@ class PlanSpec extends SparkSpec {
     // JVM's empty in-memory catalog over a warm tmp dir (a second
     // SparkContext can't coexist in one test JVM).
     val before = SparkEntry.queries("bucketed_join")(spark, sf0001).collect()
-    val key = graft.ops.ContentKey.of(spark,
-      Seq(s"$sf0001/orders.parquet", s"$sf0001/customer.parquet"))
+    val key = graft.ops.LayoutOps.bucketKey(spark, sf0001)
     val base = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
         s"${graft.ops.ContentKey.md5(sf0001)}/$key")
@@ -150,8 +149,7 @@ class PlanSpec extends SparkSpec {
 
   test("a catalog entry whose tmp data was deleted is dropped and rebuilt") {
     SparkEntry.queries("bucketed_join")(spark, sf0001).collect()
-    val key = graft.ops.ContentKey.of(spark,
-      Seq(s"$sf0001/orders.parquet", s"$sf0001/customer.parquet"))
+    val key = graft.ops.LayoutOps.bucketKey(spark, sf0001)
     val base = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
         s"${graft.ops.ContentKey.md5(sf0001)}/$key")

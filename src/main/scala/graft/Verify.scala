@@ -20,7 +20,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.expr.functions.register(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 restricts the dump
+    // (the driver never sets it, so its run covers the full catalog).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1,0 +1,192 @@
+package graft.ops
+
+import graft.Tables
+import graft.expr.{functions => gf}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Batch-assembly operators for the training-data pipeline extension:
+  * sequence packing (concat-and-chunk into fixed token budgets), dataset
+  * mixture weighting, deterministic stratified sampling, and single-pass
+  * table profiling.
+  *
+  * Determinism: anything that "randomizes" uses the cross-engine
+  * `graft_fingerprint` rolling hash (content-addressed, like
+  * CorpusOps.sampleSplit), never a seeded RNG — re-running the pipeline on
+  * re-ingested data reproduces the same packs/samples byte-for-byte.
+  *
+  * Scale notes: packing's running sum is windowed per shard (fingerprint
+  * mod NShards), NOT a global ORDER BY — at 100 TB each shard's prefix sum
+  * is an independent local sort after one hash shuffle; real pipelines pack
+  * per output shard exactly like this. Mixture weighting aggregates to
+  * |sources| rows then does arithmetic on the driver-side-sized result.
+  * Stratified sampling broadcasts the |strata|-row rate table. Profiling
+  * is one scan (multi-distinct via Expand; swap countDistinct for
+  * approx_count_distinct at the 100 TB tier if exactness isn't required).
+  */
+object PackOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Whitespace token count, mirroring TextOps token parity
+    * (`size(split(_, "\\s+"))` ↔ `len(regexp_split_to_array(_, '\s+'))`). */
+  private def nTok(c: Column): Column = size(split(c, "\\s+"))
+  private def nTokSql(col: String): String =
+    s"len(regexp_split_to_array($col, '\\s+'))"
+
+  // ---- sequence packing (concat-and-chunk) ----
+  // Deterministic order within each shard: (fingerprint, doc_id). Each
+  // doc's start offset is the exclusive prefix sum of token counts; its
+  // pack is floor(start / SeqBudget) — the standard concatenate-then-chunk
+  // assignment (docs straddling a boundary contribute their tail to the
+  // next chunk at materialization time; assignment is by start offset).
+
+  private val SeqBudget = 2048L
+  private val NShards = 8L
+
+  private def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      col("doc_id"),
+      gf.fingerprint(col("text")).as("fp"),
+      nTok(col("text")).as("n_tok"))
+    val w = Window.partitionBy("shard").orderBy("fp", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("shard", col("fp") % NShards)
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .groupBy(col("shard"),
+        floor(col("start_off").cast("double") / SeqBudget).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("shard", "bin")
+  }
+
+  private val seqPackSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${TextOps.fingerprintFoldSql("text")} AS fp,
+       |    ${nTokSql("text")} AS n_tok
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, fp % $NShards AS shard, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY fp % $NShards ORDER BY fp, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+       |  FROM d)
+       |SELECT shard, CAST(floor(CAST(start_off AS DOUBLE) / $SeqBudget) AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+
+  // ---- dataset mixture weights ----
+  // Per-source token mass → per-source sampling weight targeting a uniform
+  // token share across sources, with a 2× upsampling cap (the usual guard
+  // against tiny sources dominating by repetition). expected_tokens uses
+  // the UNROUNDED weight; `weight` is rounded for presentation only.
+
+  private val UpsampleCap = 2.0
+
+  private def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents").groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(nTok(col("text"))).as("n_tokens"))
+    val tot = src.agg(
+      sum(col("n_tokens")).cast("double").as("tot_tok"),
+      count(lit(1)).as("n_src"))
+    val rawW = least(
+      col("tot_tok") / col("n_src") / col("n_tokens").cast("double"),
+      lit(UpsampleCap))
+    src.crossJoin(tot) // 1-row totals: broadcast
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(rawW, 6).as("weight"),
+        floor(rawW * col("n_tokens")).cast("long").as("expected_tokens"))
+      .orderBy("source")
+  }
+
+  private val mixtureWeightsSql =
+    s"""WITH s AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(${nTokSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tok, count(*) AS n_src FROM s)
+       |SELECT source, n_docs, n_tokens,
+       |  round(least(tot.tot_tok / tot.n_src / CAST(n_tokens AS DOUBLE), $UpsampleCap), 6) AS weight,
+       |  CAST(floor(least(tot.tot_tok / tot.n_src / CAST(n_tokens AS DOUBLE), $UpsampleCap) * n_tokens) AS BIGINT) AS expected_tokens
+       |FROM s, tot ORDER BY source""".stripMargin
+
+  // ---- deterministic stratified (balanced) sampling ----
+  // Downsample every language stratum toward the smallest stratum's size:
+  // rate_pct = ceil(100 · min_n / n) per stratum, membership by
+  // fingerprint mod 100 — content-addressed, so the same document is
+  // kept/dropped consistently across runs and re-ingestions.
+
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val st = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val mn = st.agg(min(col("n")).as("min_n"))
+    val r = st.crossJoin(mn) // 1-row min: broadcast
+      .select(col("lang"), col("n"),
+        least(lit(100L), ceil(lit(100.0) * col("min_n") / col("n"))).as("rate_pct"))
+    d.join(broadcast(r), "lang")
+      .filter(gf.fingerprint(col("text")) % 100 < col("rate_pct"))
+      .groupBy(col("lang"), col("n").as("n_total"), col("rate_pct"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
+  private val sampleStratifiedSql =
+    s"""WITH st AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |mn AS (SELECT min(n) AS min_n FROM st),
+       |r AS (SELECT st.lang, st.n,
+       |  least(100, CAST(ceil(100.0 * mn.min_n / st.n) AS BIGINT)) AS rate_pct
+       |  FROM st, mn)
+       |SELECT r.lang, r.n AS n_total, r.rate_pct, count(*) AS n_sampled
+       |FROM documents d JOIN r ON d.lang = r.lang
+       |WHERE (${TextOps.fingerprintFoldSql("text")}) % 100 < r.rate_pct
+       |GROUP BY 1, 2, 3 ORDER BY r.lang""".stripMargin
+
+  // ---- single-pass numeric table profile ----
+  // One scan computes count/nulls/distinct/min/max for every profiled
+  // column at once (A8 DESCRIBE, extended); stack() unpivots the 1-row
+  // aggregate into a per-column report.
+
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val measures: Seq[Column] = count(lit(1)).as("n") +: ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"c_$c"), countDistinct(col(c)).as(s"d_$c"),
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+    }
+    val a = li.agg(measures.head, measures.tail: _*)
+    val stackArgs = ProfileCols.map { c =>
+      s"'$c', n, n - c_$c, d_$c, CAST(mn_$c AS DOUBLE), CAST(mx_$c AS DOUBLE)"
+    }.mkString(", ")
+    a.select(expr(
+        s"stack(${ProfileCols.size}, $stackArgs) AS (col_name, n, n_null, n_distinct, min_v, max_v)"))
+      .orderBy("col_name")
+  }
+
+  private val tableProfileSql = {
+    val pieces = ProfileCols.map { c =>
+      s"SELECT '$c' AS col_name, n, n - c_$c AS n_null, d_$c AS n_distinct, CAST(mn_$c AS DOUBLE) AS min_v, CAST(mx_$c AS DOUBLE) AS max_v FROM a"
+    }.mkString("\n  UNION ALL ")
+    val aggs = ProfileCols.map { c =>
+      s"count($c) AS c_$c, count(DISTINCT $c) AS d_$c, min($c) AS mn_$c, max($c) AS mx_$c"
+    }.mkString(",\n    ")
+    s"""WITH a AS (
+       |  SELECT count(*) AS n,
+       |    $aggs
+       |  FROM lineitem)
+       |SELECT col_name, n, n_null, n_distinct, min_v, max_v FROM (
+       |  $pieces) u
+       |ORDER BY col_name""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq_pack" -> (seqPack _),
+    "mixture_weights" -> (mixtureWeights _),
+    "sample_stratified" -> (sampleStratified _),
+    "table_profile" -> (tableProfile _))
+
+  val oracle: Map[String, String] = Map(
+    "seq_pack" -> seqPackSql,
+    "mixture_weights" -> mixtureWeightsSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "table_profile" -> tableProfileSql)
+}

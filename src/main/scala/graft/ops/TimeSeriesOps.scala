@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Time-series operators over the `events` table — the monitoring /
+  * feature-engineering layer a feed-analytics engine needs on top of the
+  * reference's windowed aggregates (reference analogue: the notebook's
+  * per-trip ordered sequences, cells 63902a57/f208d562, which it processes
+  * with DuckDB window functions):
+  *
+  *   - headway / inter-arrival gaps (lag over an event-time window),
+  *   - z-score anomaly detection (exact two-pass moments, broadcast join),
+  *   - resample + last-observation-carried-forward gap fill.
+  *
+  * Scale notes: every window here is partitioned by a bounded key
+  * (`event_type`), never a global ORDER BY — at 100 TB each partition's
+  * window sorts locally after one hash shuffle. The anomaly join
+  * broadcasts a per-type stats table (|types| rows). The resample spine is
+  * |types| × |buckets| rows — generated, not scanned.
+  *
+  * Gap arithmetic is done in exact integer microseconds (`unix_micros`)
+  * and converted to double only at the end, per the [[Num]] convention.
+  */
+object TimeSeriesOps {
+
+  private val D = DecimalType(18, 2)
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---- headway / inter-arrival analysis ----
+  // lag() over (type, ts) — the transit "headway between consecutive
+  // vehicles" measure, computed on exact microseconds. The (ts, event_id)
+  // ordering tiebreak makes the lag deterministic under equal timestamps.
+
+  private def headway(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .groupBy("event_type")
+      .agg(
+        count(col("gap_us")).as("n_gaps"),
+        (sum(col("gap_us")).cast("double") / count(col("gap_us")) / lit(1000000))
+          .as("avg_gap_s"),
+        (max(col("gap_us")).cast("double") / lit(1000000)).as("max_gap_s"))
+      .orderBy("event_type")
+  }
+
+  private val headwaySql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, count(gap_us) AS n_gaps,
+      |  CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000 AS avg_gap_s,
+      |  CAST(max(gap_us) AS DOUBLE) / 1000000 AS max_gap_s
+      |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ---- z-score anomaly detection ----
+  // Two passes: exact per-type moments (decimal sums per Num), then a
+  // broadcast join back onto the stream to score each event. The stats
+  // side is |event_type| rows — broadcast, no second shuffle of the fact
+  // table. Moments use the same order-independent decimal-sum formulation
+  // as Num.dstddev so the z-scores are bit-identical across engines.
+
+  private def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val dec = col("value").cast(D)
+    val st = e.groupBy("event_type").agg(
+      count(col("value")).as("n"),
+      sum(dec).as("s"),
+      sum(dec * dec).as("s2"))
+    val mean = col("s").cast("double") / col("n")
+    val sd = Num.stddevFromSums(col("n"), col("s"), col("s2"))
+    val zs = (col("value").cast("double") - mean) / sd
+    e.join(broadcast(st), "event_type")
+      .select(col("event_type"), zs.as("zs"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(abs(col("zs")) > 3, lit(1))).as("n_anom"),
+        round(max(abs(col("zs"))), 6).as("max_abs_z"))
+      .orderBy("event_type")
+  }
+
+  private val anomalyZscoreSql =
+    s"""WITH st AS (
+       |  SELECT event_type, count(value) AS n,
+       |    sum(CAST(value AS DECIMAL(18,2))) AS s,
+       |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+       |  FROM events GROUP BY 1),
+       |z AS (
+       |  SELECT e.event_type,
+       |    (CAST(e.value AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n) /
+       |      (${Num.stddevSql("st.n", "st.s", "st.s2")}) AS zs
+       |  FROM events e JOIN st USING (event_type))
+       |SELECT event_type, count(*) AS n,
+       |  count(CASE WHEN abs(zs) > 3 THEN 1 END) AS n_anom,
+       |  round(max(abs(zs)), 6) AS max_abs_z
+       |FROM z GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ---- resample + LOCF gap fill ----
+  // 10-minute buckets per type; a generated dense spine (sequence over the
+  // observed bucket range) left-joined with the observed aggregates, then
+  // last-observation-carried-forward via last(_, ignoreNulls) over a
+  // per-type window. Buckets before the first observation stay null by
+  // design. `filled` marks spine rows that had no observation.
+
+  private val Step = 600L
+
+  private def bucketCol: org.apache.spark.sql.Column =
+    (floor(unix_timestamp(col("ts")) / Step) * Step).as("bucket")
+
+  private def resampleLocf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val b = e.groupBy(col("event_type"), bucketCol)
+      .agg(Num.davg(col("value")).as("v"))
+    val bounds = b.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(bounds) // 1-row bounds: broadcast, no real shuffle
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(Step))).as("bucket"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(b, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_locf"),
+        when(col("v").isNull, lit(1L)).otherwise(lit(0L)).as("filled"))
+      .orderBy("event_type", "bucket")
+  }
+
+  private val resampleLocfSql =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / $Step) AS BIGINT) * $Step AS bucket,
+       |    ${Num.davgSql("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+       |spine AS (
+       |  SELECT t.event_type, unnest(range(bounds.lo, bounds.hi + $Step, $Step)) AS bucket
+       |  FROM (SELECT DISTINCT event_type FROM events) t, bounds)
+       |SELECT s.event_type, s.bucket,
+       |  last_value(b.v IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+       |  CASE WHEN b.v IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS filled
+       |FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
+       |ORDER BY s.event_type, s.bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_headway" -> (headway _),
+    "anomaly_zscore" -> (anomalyZscore _),
+    "resample_locf" -> (resampleLocf _))
+
+  val oracle: Map[String, String] = Map(
+    "events_headway" -> headwaySql,
+    "anomaly_zscore" -> anomalyZscoreSql,
+    "resample_locf" -> resampleLocfSql)
+}

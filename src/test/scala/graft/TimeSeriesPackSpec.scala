@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-4 time-series and batch-assembly
+  * operators (exact values are the DuckDB oracle's job; these pin the
+  * properties that must hold at any scale) plus their plan shapes. */
+class TimeSeriesPackSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan.toString
+
+  // ---- events_headway ----
+
+  test("headway: n_gaps per type is exactly count-1, gaps are ordered") {
+    val events = Tables(spark, sf0001, "events")
+    val perType = events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("events_headway").collect().foreach { r =>
+      val (tpe, nGaps) = (r.getString(0), r.getLong(1))
+      assert(nGaps == perType(tpe) - 1, s"$tpe: $nGaps gaps for ${perType(tpe)} events")
+      assert(r.getDouble(2) <= r.getDouble(3), s"$tpe: avg gap above max gap")
+      assert(r.getDouble(2) > 0, s"$tpe: non-positive average gap")
+    }
+  }
+
+  // ---- anomaly_zscore ----
+
+  test("zscore anomalies: anomalies are a strict minority; threshold respected") {
+    q("anomaly_zscore").collect().foreach { r =>
+      val (n, nAnom, maxZ) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nAnom < n / 10, s"${r.getString(0)}: $nAnom anomalies of $n is not a tail")
+      if (nAnom > 0) assert(maxZ > 3, "anomalies flagged but max |z| <= 3")
+      else assert(maxZ <= 3, "no anomalies flagged but max |z| > 3")
+    }
+  }
+
+  // ---- resample_locf ----
+
+  test("LOCF resample: dense spine, carried values match the previous bucket") {
+    val rows = q("resample_locf").collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (tpe, rs) =>
+      val buckets = rs.map(_.getLong(1)).sorted
+      // dense: every 600-second step present between min and max
+      assert(buckets.sliding(2).forall(p => p.length < 2 || p(1) - p(0) == 600),
+        s"$tpe: spine has holes")
+      // LOCF: a filled row carries exactly the previous row's value
+      val ordered = rs.sortBy(_.getLong(1))
+      ordered.sliding(2).foreach {
+        case Array(prev, cur) if cur.getLong(3) == 1L && !prev.isNullAt(2) =>
+          assert(cur.getDouble(2) == prev.getDouble(2),
+            s"$tpe bucket ${cur.getLong(1)}: filled value differs from carried value")
+        case _ =>
+      }
+    }
+    // some gaps must actually have been filled for the test to mean anything
+    assert(rows.count(_.getLong(3) == 1L) > 0, "no filled buckets — spine degenerate")
+  }
+
+  // ---- seq_pack ----
+
+  test("sequence packing conserves docs and tokens; bins contiguous per shard") {
+    val docs = Tables(spark, sf0001, "documents")
+    val totDocs = docs.count()
+    val totToks = docs.select(sum(size(split(col("text"), "\\s+"))))
+      .collect().head.getLong(0)
+    val packs = q("seq_pack").collect()
+    assert(packs.map(_.getLong(2)).sum == totDocs, "docs not conserved")
+    assert(packs.map(_.getLong(3)).sum == totToks, "tokens not conserved")
+    packs.groupBy(_.getLong(0)).foreach { case (shard, rs) =>
+      val bins = rs.map(_.getLong(1)).sorted
+      assert(bins.head == 0 && bins.last == bins.length - 1,
+        s"shard $shard: bins not contiguous from 0: ${bins.toSeq}")
+    }
+  }
+
+  // ---- mixture_weights ----
+
+  test("mixture weights: capped at 2x, expectation bounded by cap and total") {
+    val rows = q("mixture_weights").collect()
+    val totTok = rows.map(_.getLong(2)).sum.toDouble
+    val nSrc = rows.length
+    rows.foreach { r =>
+      val (w, exp, toks) = (r.getDouble(3), r.getLong(4), r.getLong(2))
+      assert(w > 0 && w <= 2.0, s"${r.getString(0)}: weight $w out of (0, 2]")
+      assert(exp <= 2L * toks, "expectation exceeds the upsample cap")
+      // an uncapped source lands exactly on the uniform token share
+      if (w < 2.0)
+        assert(math.abs(exp - totTok / nSrc) <= 1.0,
+          s"${r.getString(0)}: uncapped source missed the uniform share")
+    }
+  }
+
+  // ---- sample_stratified ----
+
+  test("stratified sample: rates honored, large strata downsampled toward min") {
+    val rows = q("sample_stratified").collect()
+    val minTotal = rows.map(_.getLong(1)).min
+    rows.foreach { r =>
+      val (total, rate, sampled) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sampled <= total, "sampled more than the stratum holds")
+      if (total == minTotal) assert(rate == 100, "smallest stratum must keep all")
+      // fingerprint-mod sampling tracks the nominal rate (binomial, loose 3σ)
+      val expected = total * rate / 100.0
+      val sigma = math.sqrt(expected) max 1.0
+      assert(math.abs(sampled - expected) <= 4 * sigma,
+        s"${r.getString(0)}: $sampled vs expected $expected (rate $rate%)")
+    }
+  }
+
+  // ---- table_profile ----
+
+  test("profile: one row per column, consistent bounds, matches table count") {
+    val n = Tables(spark, sf0001, "lineitem").count()
+    val rows = q("table_profile").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, s"${r.getString(0)}: row count mismatch")
+      assert(r.getLong(3) <= n - r.getLong(2), "distinct exceeds non-null count")
+      assert(r.getDouble(4) <= r.getDouble(5), "min above max")
+    }
+  }
+
+  // ---- plan shapes ----
+
+  test("time-series windows are partitioned — no single-partition exchange") {
+    for (name <- Seq("events_headway", "resample_locf", "seq_pack")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+        s"$name funnels a window through one partition:\n$p")
+    }
+  }
+
+  test("anomaly and stratified-sample stats joins broadcast") {
+    for (name <- Seq("anomaly_zscore", "sample_stratified")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: stats join not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
+    }
+  }
+
+  test("table_profile is a single scan of lineitem") {
+    val p = plan("table_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profile scans the table more than once:\n$p")
+  }
+}

@@ -80,6 +80,68 @@ object EmbedOps {
     ArrayData.toArrayData(out)
   }
 
+  /** Product-quantization encode: split the first `dim` floats into `m`
+    * subvectors of dim/m, and for each pick the nearest (L2) code from that
+    * subspace's `ks`-entry codebook. `codebook` is flattened row-major
+    * [(sub * ks + code) * subDim + i] doubles. Returns `m` code indices —
+    * the 100 TB payoff: an index entry is m small ints instead of dim
+    * floats (32× smaller at dim=64, m=8), so the ANN shuffle and the
+    * resident index shrink by that factor. Ties break to the lower code,
+    * deterministic across executors. */
+  def pqEncode(vec: ArrayData, codebook: ArrayData, dim: Int, m: Int, ks: Int): ArrayData = {
+    val subDim = dim / m
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bd = Double.MaxValue
+      var code = 0
+      while (code < ks) {
+        val base = (sub * ks + code) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = vec.getFloat(sub * subDim + i).toDouble - codebook.getDouble(base + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bd) { bd = d; best = code }
+        code += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Asymmetric-distance cosine: exact query vector vs the PQ
+    * reconstruction of a candidate (concatenated per-subspace centroids).
+    * Computes q·recon / (|q|·|recon|) in one pass over the codebook rows
+    * the codes select — the candidate's floats are never needed, so the
+    * join can carry codes only. */
+  def pqAdcCos(q: ArrayData, codes: ArrayData, codebook: ArrayData, dim: Int, m: Int, ks: Int): Double = {
+    val subDim = dim / m
+    var dot = 0.0
+    var qn = 0.0
+    var rn = 0.0
+    var sub = 0
+    while (sub < m) {
+      val base = (sub * ks + codes.getInt(sub)) * subDim
+      var i = 0
+      while (i < subDim) {
+        val qv = q.getFloat(sub * subDim + i).toDouble
+        val rv = codebook.getDouble(base + i)
+        dot += qv * rv
+        qn += qv * qv
+        rn += rv * rv
+        i += 1
+      }
+      sub += 1
+    }
+    val denom = math.sqrt(qn) * math.sqrt(rn)
+    if (denom == 0) 0.0 else dot / denom
+  }
+
   /** `bits`-bit random-hyperplane signature of a float vector. Vectors with
     * small cosine distance agree on most bits, so an equi-join on the
     * bucket (or on band sub-keys) finds near neighbors without the n²

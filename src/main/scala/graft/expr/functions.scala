@@ -132,6 +132,17 @@ object functions {
     inv(EmbedOps.getClass, IntegerType, "lshBucketOffset", vec,
       bits.cast("int"), offset.cast("int"))
 
+  /** Product-quantization codes (m small ints) of a float vector against a
+    * flattened m×ks×(dim/m) codebook literal. */
+  def pq_encode(vec: Column, codebook: Column, dim: Column, m: Column, ks: Column): Column =
+    inv(EmbedOps.getClass, ArrayType(IntegerType, containsNull = false),
+      "pqEncode", vec, codebook, dim.cast("int"), m.cast("int"), ks.cast("int"))
+
+  /** Asymmetric-distance cosine: raw query vector vs a PQ-coded candidate. */
+  def pq_adc_cos(q: Column, codes: Column, codebook: Column, dim: Column, m: Column, ks: Column): Column =
+    inv(EmbedOps.getClass, DoubleType,
+      "pqAdcCos", q, codes, codebook, dim.cast("int"), m.cast("int"), ks.cast("int"))
+
   /** A2: GTFS-Realtime FeedMessage decode — binary → array of vehicle
     * rows; `explode` it to get one row per vehicle entity. */
   def gtfsrt_decode(feed: Column): Column =

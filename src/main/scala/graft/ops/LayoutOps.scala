@@ -150,11 +150,48 @@ object LayoutOps {
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  // Runtime bloom-filter (semi-join reduction) join: the selective dim
+  // filter's surviving keys are folded into a bloom filter (public
+  // `stat.bloomFilter`, one pass over the already-filtered dim), and the
+  // fact side is pre-filtered by `mightContain` BEFORE its shuffle — so at
+  // 100 TB the exchange carries ~selectivity·N rows plus the bloom's false
+  // positives instead of all of N. The join itself re-checks equality, so
+  // false positives cost I/O, never correctness — which is why this stays
+  // exactly oracle-checkable. The merge-join hint models the regime where
+  // the filtered dim is still too big to broadcast (the case where a bloom
+  // matters; with a broadcastable dim you'd just broadcast). Spark's own
+  // InjectRuntimeFilter does this automatically when stats clear its
+  // size thresholds; the explicit form is planner-independent and keeps
+  // the bloom parameters (1% fpp ≈ 1.2 MB/M keys) in the program.
+  private val BloomPriceFloor = 480000.0
+
+  private def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").filter(col("o_totalprice") > BloomPriceFloor)
+    val bf = o.stat.bloomFilter("o_orderkey",
+      expectedNumItems = 1000000L, fpp = 0.01)
+    val might = udf((k: Long) => bf.mightContain(k))
+    val l = Tables(s, dir, "lineitem").filter(might(col("l_orderkey")))
+    l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        Num.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bloomJoinSql =
+    s"""SELECT o_orderpriority, count(*) AS n_lines,
+       |  ${Num.dsumSql("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_totalprice > $BloomPriceFloor
+       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_layout" -> (zorderLayout _),
-    "bucketed_join" -> (bucketedJoin _))
+    "bucketed_join" -> (bucketedJoin _),
+    "bloom_join" -> (bloomJoin _))
 
   val oracle: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
-    "bucketed_join" -> bucketedJoinSql)
+    "bucketed_join" -> bucketedJoinSql,
+    "bloom_join" -> bloomJoinSql)
 }

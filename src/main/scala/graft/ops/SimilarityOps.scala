@@ -263,10 +263,138 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  // IVF-PQ: the same coarse-cell candidate generation as `simsearch_ivf`,
+  // but the indexed side carries product-quantization codes (M small ints)
+  // instead of the raw `dim`-float embedding — at 100 TB that shrinks the
+  // resident index and the cell-join shuffle ~32×, which is the difference
+  // between an in-memory index and a disk-bound one. Ranking is two-stage:
+  // asymmetric-distance cosine (query floats vs per-subspace centroid
+  // reconstructions) keeps the top `RerankC` per query, then those few ids
+  // re-join the embeddings table for exact-cosine re-ranking of the final
+  // top-k — so reported similarities are exact, and PQ error only risks
+  // dropping a true neighbor from the shortlist (recall measured in
+  // SimilaritySpec). Rows-only driver check: the trained quantizer is not
+  // DuckDB-expressible.
+  private[graft] val PqM = 8 // subspaces → one code (≤ 1 byte at Ks ≤ 256) each
+  // Ks=32 (5-bit codes) and a 10×k re-rank shortlist: these embeddings are
+  // near-uniform (no cluster structure — PQ's worst case, mean self-cosine
+  // ≈ 0.7), so ADC ranking is noisy and the shortlist must be generous.
+  // On real text/image embeddings (anisotropic, low intrinsic dimension)
+  // the standard 16-entry books and shorter shortlists suffice. Shortlist
+  // size only scales the re-rank join (|queries|·RerankC rows) — cheap.
+  private[graft] val PqKs = 32
+  private val PqIters = 5
+  private val RerankC = 10 * TopK
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Array[Double])]()
+
+  /** Returns (dim, flattened [(sub·Ks + code)·subDim + i] codebook). */
+  private[graft] def fitPq(s: SparkSession, dir: String): (Int, Array[Double]) = {
+    val key = ContentKey.of(s, Seq(s"$dir/embeddings.parquet"))
+    pqCache.computeIfAbsent(key, _ => fitPqUncached(s, dir))
+  }
+
+  /** Per-subspace Lloyd iterations on the same bounded deterministic
+    * sample discipline as [[fitCentroidsUncached]] — the codebook is
+    * M×Ks×subDim doubles (≈4 KB), fit on the driver, shipped as a literal. */
+  private def fitPqUncached(s: SparkSession, dir: String): (Int, Array[Double]) = {
+    val n = t(s, dir, "embeddings").count()
+    val (_, _, sampleN) = ivfParams(n)
+    val sample = t(s, dir, "embeddings")
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(sampleN)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    require(dim % PqM == 0, s"dim $dim not divisible into $PqM subspaces")
+    val subDim = dim / PqM
+    val book = new Array[Double](PqM * PqKs * subDim)
+    for (sub <- 0 until PqM) {
+      // seed codes with the first Ks distinct sample subvectors
+      var cents = Array.tabulate(PqKs, subDim)((c, i) =>
+        sample(c % sample.length)(sub * subDim + i).toDouble)
+      for (_ <- 0 until PqIters) {
+        val sums = Array.ofDim[Double](PqKs, subDim)
+        val counts = new Array[Int](PqKs)
+        for (v <- sample) {
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < PqKs) {
+            var d = 0.0
+            var i = 0
+            while (i < subDim) {
+              val diff = v(sub * subDim + i) - cents(c)(i)
+              d += diff * diff
+              i += 1
+            }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(sub * subDim + i); i += 1 }
+        }
+        cents = Array.tabulate(PqKs, subDim)((c, i) =>
+          if (counts(c) > 0) sums(c)(i) / counts(c) else cents(c)(i))
+      }
+      for (c <- 0 until PqKs; i <- 0 until subDim)
+        book((sub * PqKs + c) * subDim + i) = cents(c)(i)
+    }
+    (dim, book)
+  }
+
+  private def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val (dim, cmat, probe) = fitCentroids(s, dir)
+    val (pdim, book) = fitPq(s, dir)
+    require(pdim == dim)
+    val assign = assignFor(cmat.length / dim)
+    val cLit = typedLit(cmat.toSeq)
+    val bLit = typedLit(book.toSeq)
+    val e = normed(s, dir)
+    // compressed index: (cell, c_id, codes) — no embedding column
+    val cand = e.select(col("vec_id").as("c_id"),
+        gf.pq_encode(col("embedding"), bLit, lit(dim), lit(PqM), lit(PqKs))
+          .as("codes"),
+        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
+          .as("cell"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"),
+        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(probe)))
+          .as("cell"))
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc").desc, col("c_id"))
+    val shortlist = q.join(cand, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_id"),
+        gf.pq_adc_cos(col("q_emb"), col("codes"), bLit,
+          lit(dim), lit(PqM), lit(PqKs)).as("adc"))
+      .dropDuplicates("q_id", "c_id")
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= RerankC)
+    // exact re-rank: only |queries|·RerankC ids revisit the raw embeddings
+    val full = normed(s, dir).select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val wExact = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    broadcast(shortlist.select("q_id", "q_emb", "q_norm", "c_id"))
+      .join(full, "c_id")
+      .select(col("q_id"), col("c_id"),
+        (vdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_topk" -> (bruteTopK _),
     "simsearch_lsh" -> (lshTopK _),
-    "simsearch_ivf" -> (ivfTopK _))
+    "simsearch_ivf" -> (ivfTopK _),
+    "simsearch_ivfpq" -> (ivfPqTopK _))
 
   val oracle: Map[String, String] = Map(
     "simsearch_topk" -> bruteTopKSql)

@@ -48,7 +48,7 @@ class PlanSpec extends SparkSpec {
 
   test("LSH/bucketed operators never degenerate into cross products") {
     for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "simsearch_lsh", "simsearch_ivf", "dedup_embedding",
+        "simsearch_lsh", "simsearch_ivf", "simsearch_ivfpq", "dedup_embedding",
         "spatial_join_geohash", "asof_join_bucketed")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
@@ -79,6 +79,20 @@ class PlanSpec extends SparkSpec {
       s"approx function missing from plan:\n$p")
     assert(!"\\bpercentile\\(".r.findFirstIn(p).isDefined,
       s"exact percentile leaked into the sketch-path plan:\n$p")
+  }
+
+  test("bloom join: fact side is bloom-filtered below its shuffle") {
+    val p = SparkEntry.queries("bloom_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      s"merge hint not honored (dim modeled as unbroadcastable):\n$p")
+    // the mightContain UDF must sit in a Filter over the lineitem scan —
+    // i.e. the semi-join reduction happens before the join's exchange
+    val factScanIdx = p.indexOf("l_orderkey")
+    assert(factScanIdx >= 0 && p.contains("UDF"),
+      s"bloom pre-filter missing from the fact side:\n$p")
+    val filterIdx = p.indexOf("UDF(")
+    assert(filterIdx >= 0, s"no UDF filter in plan:\n$p")
   }
 
   test("bucketed join is shuffle-free: no Exchange between scans and join") {

@@ -112,4 +112,55 @@ class SimilaritySpec extends SparkSpec {
     // to ~0.95 here; 0.7 leaves headroom for hyperplane-seed sensitivity
     assert(recall >= 0.7, f"multi-probe LSH recall@5 $recall%.2f below 0.7")
   }
+
+  test("IVF-PQ: exact re-ranked similarities, recall@5 >= 0.8 vs brute force") {
+    val brute = SparkEntry.queries("simsearch_topk")(spark, sf0001)
+      .collect().map(x => ((x.getAs[Long]("q_id"), x.getAs[Long]("c_id")),
+        x.getAs[Double]("cos_sim"))).toMap
+    val pq = SparkEntry.queries("simsearch_ivfpq")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"),
+        x.getAs[Int]("rank"), x.getAs[Double]("cos_sim")))
+    pq.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "similarities must be non-increasing in rank")
+    }
+    // the re-rank stage reports EXACT cosines: any returned pair that brute
+    // force also returned must carry the identical similarity
+    pq.foreach { case (q, c, _, cos) =>
+      brute.get((q, c)).foreach(b =>
+        assert(b == cos, s"($q,$c): re-ranked cos $cos != exact $b"))
+    }
+    val recall = (brute.keySet & pq.map(x => (x._1, x._2)).toSet).size.toDouble /
+      brute.size
+    info(f"IVF-PQ recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"IVF-PQ recall@5 $recall%.2f below 0.8")
+  }
+
+  test("PQ codes are compact and reconstruction preserves cosine ordering") {
+    import graft.ops.SimilarityOps
+    import graft.ops.SimilarityOps.{PqM, PqKs}
+    import graft.expr.{functions => gf}
+    val (dim, book) = SimilarityOps.fitPq(spark, sf0001)
+    assert(book.length == PqM * PqKs * (dim / PqM), "codebook shape m*ks*subDim")
+    val bLit = typedLit(book.toSeq)
+    val rows = Tables(spark, sf0001, "embeddings")
+      .select(col("embedding"),
+        gf.pq_encode(col("embedding"), bLit, lit(dim), lit(PqM), lit(PqKs))
+          .as("codes"),
+        gf.pq_adc_cos(col("embedding"), // self-ADC ≈ cos(v, recon(v))
+          gf.pq_encode(col("embedding"), bLit, lit(dim), lit(PqM), lit(PqKs)),
+          bLit, lit(dim), lit(PqM), lit(PqKs)).as("self_cos"))
+      .collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == PqM && codes.forall(c => c >= 0 && c < PqKs),
+        s"codes out of the m=$PqM, ks=$PqKs envelope")
+    }
+    // reconstruction must point roughly at the original vector: the
+    // average self-cosine is the quantizer's fidelity measure
+    val avgSelf = rows.map(_.getDouble(2)).sum / rows.length
+    info(f"PQ mean self-cosine = $avgSelf%.3f")
+    assert(avgSelf > 0.5, f"PQ reconstruction mean self-cos $avgSelf%.3f too low")
+  }
 }

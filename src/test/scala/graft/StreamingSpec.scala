@@ -264,6 +264,78 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming z-score monitor flags outliers against cross-batch moments") {
+    import graft.streaming.AnomalyMonitor
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-anom").toString
+    // warmup batch: 40 values alternating 9.5/10.5 (sd ≈ 0.5) for key "a";
+    // only 5 values for key "b" — below the minSamples gate
+    val warm = (0 until 40).map(i => ("a", i.toLong, 10.0 + (i % 2) - 0.5)) ++
+      (0 until 5).map(i => ("b", i.toLong, 10.0 + (i % 2) - 0.5))
+    warm.toDF("k", "ts", "v").write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = spark.readStream
+        .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+      val q = AnomalyMonitor.anomalies(feed, "k", "ts", "v")
+        .writeStream.format("memory").queryName("anom").outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("anom").isEmpty,
+          "warmup values within 1 sigma must not be flagged")
+        // outliers score against the moments carried over from batch 1;
+        // "b" never reached minSamples, so its spike must stay silent
+        Seq(("a", 100L, 100.0), ("a", 101L, 10.0), ("b", 100L, 100.0))
+          .toDF("k", "ts", "v").write.parquet(s"$dir/b2")
+        q.processAllAvailable()
+        val out = spark.table("anom").collect()
+          .map(r => (r.getAs[String]("key"), r.getAs[Long]("ts"),
+            r.getAs[Double]("zscore")))
+        assert(out.map(x => (x._1, x._2)).toSeq == Seq(("a", 100L)),
+          s"expected exactly the key-a spike, got ${out.toSeq}")
+        assert(out.head._3 > 50, s"spike z-score implausibly low: ${out.head._3}")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("event-time timers flag keys that went silent; re-armed keys stay quiet") {
+    import graft.streaming.GapMonitor
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-03-05T10:00:00Z")
+    def ts(plus: Long) = java.sql.Timestamp.from(t0.plusSeconds(plus))
+    val dir = Files.createTempDirectory("graft-gap").toString
+    // b1: both keys alive at t0 — timers armed at t0+300
+    Seq(("A", ts(0)), ("B", ts(0))).toDF("k", "ts").write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = spark.readStream
+        .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+      val q = GapMonitor.gaps(feed, "k", "ts", thresholdSec = 300L)
+        .writeStream.format("memory").queryName("gaps").outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        // b2: A reports again at +600 (re-arms A, advances max event time);
+        // B stays silent. The watermark still trails b1's max, so no timer
+        // fires within this batch.
+        Seq(("A", ts(600))).toDF("k", "ts").write.parquet(s"$dir/b2")
+        q.processAllAvailable()
+        // b3: one more A ping pushes the watermark past +300: B's t0 timer
+        // fires (silent since t0); A's t0 timer is stale (re-armed at +600)
+        Seq(("A", ts(610))).toDF("k", "ts").write.parquet(s"$dir/b3")
+        q.processAllAvailable()
+        val out = spark.table("gaps").collect()
+          .map(r => (r.getAs[String]("key"), r.getAs[Long]("last_seen_ts"),
+            r.getAs[Long]("silent_sec")))
+        assert(out.toSeq == Seq(("B", t0.getEpochSecond, 300L)),
+          s"expected exactly B's silence alert, got ${out.toSeq}")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-03-05T10:00:00Z")

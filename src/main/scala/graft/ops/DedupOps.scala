@@ -364,6 +364,50 @@ object DedupOps {
       |SELECT id AS doc_id, min(label) AS keep_id FROM walk
       |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // Benchmark decontamination: flag training documents that share any
+  // word 4-gram with the held-out eval set (doc_id % EvalMod stands in
+  // for a benchmark membership list). The eval side's DISTINCT shingle
+  // set is small — |benchmarks| × |grams per doc| — so it BROADCASTS:
+  // at 100 TB the corpus is never shuffled, each task streams its
+  // partition against the in-memory contaminated-shingle set. Exact
+  // integer counts → exact oracle. 4-grams are the locality/precision
+  // trade: 3-grams over-flag boilerplate, ≥5-grams miss paraphrase
+  // overlap on short documents.
+  private val EvalMod = 53
+  private val ContamN = 4
+
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(gf.shingles(col("text"), lit(ContamN))).as("shingle"))
+    val ev = sh.filter(col("doc_id") % EvalMod === 0)
+      .select("shingle").distinct()
+    sh.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(ev), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // shingles are per-doc distinct
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql = {
+    val gram = (0 until ContamN).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= $ContamN THEN
+       |      list_distinct(list_transform(range(1, len(toks) - ${ContamN - 2}),
+       |        i -> $gram))
+       |    ELSE [] END AS shs
+       |  FROM tk),
+       |ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+       |ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % $EvalMod = 0)
+       |SELECT e.doc_id, count(*) AS n_shared
+       |FROM ex e JOIN ev ON e.shingle = ev.shingle
+       |WHERE e.doc_id % $EvalMod <> 0
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -371,11 +415,13 @@ object DedupOps {
     "dedup_simhash" -> (simhashPairs _),
     "dedup_embedding_exact" -> (embeddingCosine _),
     "dedup_embedding" -> (embeddingCosineAnn _),
-    "dedup_resolve" -> (resolve _))
+    "dedup_resolve" -> (resolve _),
+    "decontaminate" -> (decontaminate _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_embedding_exact" -> embeddingCosineSql,
-    "dedup_resolve" -> resolveSql)
+    "dedup_resolve" -> resolveSql,
+    "decontaminate" -> decontaminateSql)
 }

@@ -178,13 +178,62 @@ object PackOps {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ---- data-quality expectations ----
+  // Declarative rule checks over a table — the validation gate a pipeline
+  // runs before promoting a batch. Row-level rules (range, null, ordering)
+  // compile into ONE aggregation pass (a conditional count per rule);
+  // the referential rule is a left-anti join against the (broadcastable)
+  // key side. Output is (rule, n_violations) — a healthy table is all
+  // zeros, and the oracle checks the zeros exactly, which pins both the
+  // rule SQL and the data generator's invariants.
+
+  private def dqCheck(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val rowRules = li.agg(
+      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, lit(1)))
+        .as("quantity_range"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 0.1, lit(1)))
+        .as("discount_range"),
+      count(when(col("l_shipdate").isNull, lit(1))).as("shipdate_null"),
+      count(when(col("l_extendedprice") <= 0, lit(1))).as("price_positive"))
+    val rowsOut = rowRules.select(expr(
+      """stack(4,
+        |  'discount_range', discount_range,
+        |  'price_positive', price_positive,
+        |  'quantity_range', quantity_range,
+        |  'shipdate_null', shipdate_null) AS (rule, n_violations)""".stripMargin))
+    val orphans = li.join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orphan_orderkey").as("rule"), col("n_violations"))
+    rowsOut.unionByName(orphans).orderBy("rule")
+  }
+
+  private val dqCheckSql =
+    """SELECT rule, n_violations FROM (
+      |  SELECT 'quantity_range' AS rule,
+      |    count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS n_violations
+      |  FROM lineitem
+      |  UNION ALL SELECT 'discount_range',
+      |    count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) FROM lineitem
+      |  UNION ALL SELECT 'shipdate_null',
+      |    count(CASE WHEN l_shipdate IS NULL THEN 1 END) FROM lineitem
+      |  UNION ALL SELECT 'price_positive',
+      |    count(CASE WHEN l_extendedprice <= 0 THEN 1 END) FROM lineitem
+      |  UNION ALL SELECT 'orphan_orderkey',
+      |    (SELECT count(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |) u ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_check" -> (dqCheck _),
     "seq_pack" -> (seqPack _),
     "mixture_weights" -> (mixtureWeights _),
     "sample_stratified" -> (sampleStratified _),
     "table_profile" -> (tableProfile _))
 
   val oracle: Map[String, String] = Map(
+    "dq_check" -> dqCheckSql,
     "seq_pack" -> seqPackSql,
     "mixture_weights" -> mixtureWeightsSql,
     "sample_stratified" -> sampleStratifiedSql,

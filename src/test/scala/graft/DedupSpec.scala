@@ -120,4 +120,18 @@ class DedupSpec extends SparkSpec {
     val exact = r.find(p => p._1 == 0L && p._2 == 1L)
     assert(exact.isDefined && exact.get._3 == 0)
   }
+
+  test("decontaminate flags only non-eval docs and broadcasts the eval set") {
+    val df = SparkEntry.queries("decontaminate")(spark, sf0001)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty, "generator corpus should contain 4-gram collisions")
+    rows.foreach { case (id, n) =>
+      assert(id % 53 != 0, s"eval doc $id flagged as contaminated training doc")
+      assert(n >= 1)
+    }
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingle set must broadcast — the corpus side never shuffles:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

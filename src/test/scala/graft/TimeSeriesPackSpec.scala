@@ -123,6 +123,17 @@ class TimeSeriesPackSpec extends SparkSpec {
     }
   }
 
+  // ---- dq_check ----
+
+  test("data-quality gate: generator data passes every rule with zero violations") {
+    val rows = q("dq_check").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq == Seq("discount_range", "orphan_orderkey",
+      "price_positive", "quantity_range", "shipdate_null"))
+    rows.foreach { case (rule, n) =>
+      assert(n == 0, s"rule $rule reports $n violations on healthy data")
+    }
+  }
+
   // ---- plan shapes ----
 
   test("time-series windows are partitioned — no single-partition exchange") {

@@ -117,6 +117,34 @@ object Relational2 {
        |GROUP BY ROLLUP (n_name, l_returnflag)
        |ORDER BY nation NULLS FIRST, flag NULLS FIRST""".stripMargin
 
+  // CUBE: all 2² grouping sets in one pass (Expand), with GROUPING()
+  // indicators distinguishing a subtotal NULL from a data NULL — the
+  // completion of the rollup family. Same SQL-view route as rollupAgg.
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+        col("l_quantity"))
+      .createOrReplaceTempView("graft_cube_input")
+    s.sql(
+      s"""SELECT flag, status,
+         |  CAST(grouping(flag) AS INT) AS g_flag,
+         |  CAST(grouping(status) AS INT) AS g_status,
+         |  count(*) AS n, ${dsumSql("l_quantity")} AS qty
+         |FROM graft_cube_input
+         |GROUP BY CUBE (flag, status)
+         |ORDER BY g_flag, g_status, flag ASC NULLS FIRST,
+         |  status ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val cubeAggSql =
+    s"""SELECT l_returnflag AS flag, l_linestatus AS status,
+       |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       |  count(*) AS n, ${dsumSql("l_quantity")} AS qty
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY g_flag, g_status, flag NULLS FIRST, status NULLS FIRST""".stripMargin
+
   // Distinct aggregation (exact) + conditional (pivot-style) aggregation.
   private def distinctAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -450,6 +478,7 @@ object Relational2 {
     "join_outer" -> (outerJoin _),
     "set_ops" -> (setOps _),
     "rollup_agg" -> (rollupAgg _),
+    "cube_agg" -> (cubeAgg _),
     "distinct_agg" -> (distinctAgg _),
     "window_funcs" -> (windowFuncs _),
     "string_funcs" -> (stringFuncs _),
@@ -466,6 +495,7 @@ object Relational2 {
     "join_outer" -> outerJoinSql,
     "set_ops" -> setOpsSql,
     "rollup_agg" -> rollupAggSql,
+    "cube_agg" -> cubeAggSql,
     "distinct_agg" -> distinctAggSql,
     "window_funcs" -> windowFuncsSql,
     "string_funcs" -> stringFuncsSql,

@@ -141,17 +141,74 @@ object TextOps {
        |  ${fingerprintFoldSql("text")} AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // Collocation mining: top word bigrams by a PMI-style association score
+  // over raw (non-distinct) occurrence counts — the phrase-discovery pass
+  // a tokenizer-training pipeline runs before merging frequent pairs.
+  // score = round(ln(N·c(xy) / (c(x)·c(y))) · 10⁴) in fixed point (the
+  // tfidf determinism trick: the ×10⁴ rounding absorbs any ulp drift
+  // between the engines' ln). The c(xy) ≥ MinPairCount support filter
+  // kills one-off flukes, and top-K goes through orderBy+limit
+  // (TakeOrderedAndProject — per-partition top-K, no global window).
+  private val CollocK = 25
+  private val MinPairCount = 5
+
+  private def collocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val n = toks.agg(count(lit(1)).as("n_tok"))
+    // adjacent pairs, NON-distinct (occurrence counts, unlike shingles)
+    val pairs = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("ts"))
+      .select(explode(expr(
+        "transform(slice(ts, 1, size(ts) - 1), (x, i) -> struct(x AS w1, element_at(ts, i + 2) AS w2))"))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= MinPairCount)
+    val a = uni.select(col("tok").as("w1"), col("c1").as("c_w1"))
+    val b = uni.select(col("tok").as("w2"), col("c1").as("c_w2"))
+    pairs.join(a, "w1").join(b, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_fp",
+        round(log(col("c12").cast("double") * col("n_tok") /
+          (col("c_w1") * col("c_w2"))) * 10000).cast("bigint"))
+      .select("w1", "w2", "c12", "c_w1", "c_w2", "pmi_fp")
+      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+      .limit(CollocK)
+  }
+
+  private val collocationsSql =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
+       |n AS (SELECT count(*) AS n_tok FROM toks),
+       |pr AS (
+       |  SELECT p.w1, p.w2, count(*) AS c12 FROM (
+       |    SELECT unnest(list_transform(range(1, len(ts)),
+       |      i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS p
+       |    FROM (SELECT string_split(text, ' ') AS ts FROM documents)) q
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinPairCount)
+       |SELECT pr.w1, pr.w2, pr.c12, a.c1 AS c_w1, b.c1 AS c_w2,
+       |  CAST(round(ln(CAST(pr.c12 AS DOUBLE) * n.n_tok /
+       |    (a.c1 * b.c1)) * 10000) AS BIGINT) AS pmi_fp
+       |FROM pr JOIN uni a ON pr.w1 = a.tok JOIN uni b ON pr.w2 = b.tok
+       |CROSS JOIN n
+       |ORDER BY pmi_fp DESC, w1, w2 LIMIT $CollocK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
     "text_tokens" -> (tokens _),
     "text_tokens_bpe" -> (tokensBpe _),
-    "text_fingerprint" -> (fingerprintQ _))
+    "text_fingerprint" -> (fingerprintQ _),
+    "text_collocations" -> (collocations _))
 
   val oracle: Map[String, String] = Map(
     "text_quality" -> qualitySql,
     "text_langid" -> langidSql,
     "text_tokens" -> tokensSql,
     "text_tokens_bpe" -> tokensBpeSql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "text_collocations" -> collocationsSql)
 }

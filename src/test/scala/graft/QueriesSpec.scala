@@ -34,6 +34,26 @@ class QueriesSpec extends SparkSpec {
     assert(df.select("l_orderkey").distinct().count() == total)
   }
 
+  test("cube_agg covers all grouping sets; grand total matches global count") {
+    val rows = q("cube_agg").collect()
+    val sets = rows.map(r => (r.getInt(2), r.getInt(3))).toSet
+    assert(sets == Set((0, 0), (0, 1), (1, 0), (1, 1)),
+      s"missing grouping sets: $sets")
+    val grand = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)
+    val total = q("global_count").collect().head.getLong(0)
+    assert(grand.length == 1 && grand.head.getLong(4) == total,
+      "grand-total row must equal the global row count")
+  }
+
+  test("text_collocations are support-filtered and rank-ordered by PMI") {
+    val rows = q("text_collocations").collect()
+    assert(rows.nonEmpty)
+    val pmis = rows.map(_.getLong(5))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b },
+      "PMI scores must be non-increasing")
+    rows.foreach(r => assert(r.getLong(2) >= 5, "support filter violated"))
+  }
+
   test("agg_stats group counts sum to global count") {
     val total = q("global_count").collect().head.getLong(0)
     val sum = q("agg_stats").agg(org.apache.spark.sql.functions.sum("n_rows"))

@@ -150,12 +150,48 @@ object TimeSeriesOps {
        |FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
        |ORDER BY s.event_type, s.bucket""".stripMargin
 
+  // ---- semi-structured (JSON) property extraction ----
+  // The `props` column is a JSON payload; `from_json` with an explicit
+  // schema turns it into a typed struct at scan time (codegen'd
+  // JsonToStructs — one parse per row, then ordinary columnar aggs).
+  // Prefer this over repeated get_json_object calls, which re-parse the
+  // document per extracted field; with many fields or 100 TB of rows the
+  // difference is a full extra scan per field.
+
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))))("k")
+    t(s, dir, "events")
+      .select(col("event_type"), col("props"), k.as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("props").isNull, lit(1))).as("n_null"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  private val jsonExtractSql =
+    """SELECT event_type, count(*) AS n,
+      |  count(CASE WHEN props IS NULL THEN 1 END) AS n_null,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  count(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k,
+      |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_extract" -> (jsonExtract _),
     "events_headway" -> (headway _),
     "anomaly_zscore" -> (anomalyZscore _),
     "resample_locf" -> (resampleLocf _))
 
   val oracle: Map[String, String] = Map(
+    "json_extract" -> jsonExtractSql,
     "events_headway" -> headwaySql,
     "anomaly_zscore" -> anomalyZscoreSql,
     "resample_locf" -> resampleLocfSql)

@@ -136,4 +136,42 @@ object PropertySpec extends Properties("graft.kernels") {
       val out = graft.expr.GtfsRtOps.decodeFeed(trunc)
       out != null && out.numElements() >= 0
     }
+
+  // ---- product quantization ----
+
+  private val pqDim = 16 // 4 subspaces × subDim 4 at m=4
+  private val pqM = 4
+  private val pqKs = 4
+  private val vecGen = Gen.listOfN(pqDim, Gen.chooseNum(-1.0f, 1.0f))
+  private val bookGen =
+    Gen.listOfN(pqM * pqKs * (pqDim / pqM), Gen.chooseNum(-1.0, 1.0))
+
+  private def arr(fs: Seq[Float]) =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(fs.toArray)
+  private def arrD(ds: Seq[Double]) =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ds.toArray)
+
+  property("pq codes pick the L2-nearest code in every subspace") =
+    forAll(vecGen, bookGen) { (v, book) =>
+      val codes = graft.expr.EmbedOps.pqEncode(arr(v), arrD(book),
+        pqDim, pqM, pqKs)
+      val subDim = pqDim / pqM
+      (0 until pqM).forall { sub =>
+        def d2(code: Int): Double = (0 until subDim).map { i =>
+          val diff = v(sub * subDim + i) - book((sub * pqKs + code) * subDim + i)
+          diff * diff
+        }.sum
+        val got = codes.getInt(sub)
+        (0 until pqKs).forall(c => d2(got) <= d2(c) + 1e-12)
+      }
+    }
+
+  property("pq ADC cosine of the reconstruction stays in [-1, 1]") =
+    forAll(vecGen, bookGen) { (v, book) =>
+      val codes = graft.expr.EmbedOps.pqEncode(arr(v), arrD(book),
+        pqDim, pqM, pqKs)
+      val cos = graft.expr.EmbedOps.pqAdcCos(arr(v), codes, arrD(book),
+        pqDim, pqM, pqKs)
+      cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9
+    }
 }

@@ -184,13 +184,103 @@ object TimeSeriesOps {
       |  max(CAST(props->>'k' AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---- funnel analysis ----
+  // Ordered-step conversion: first view → first click within 24 h of it →
+  // first purchase within 24 h of that. Each step is a per-user MIN
+  // aggregate joined to the previous step's (1 row per user, shrinking)
+  // frame — set algebra over aggregates, no per-user event-sequence
+  // buffering, so the heaviest shuffle is one user-keyed agg per step and
+  // later steps join ever-smaller frames.
+
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val h24 = expr("INTERVAL 24 HOURS")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + h24)
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + h24)
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    val step = (n: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n_users")).withColumn("step", lit(n))
+    step("step1_view", v)
+      .unionByName(step("step2_click", c))
+      .unionByName(step("step3_purchase", p))
+      .select("step", "n_users")
+      .orderBy("step")
+  }
+
+  private val funnelSql =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+      |  GROUP BY 1)
+      |SELECT 'step1_view' AS step, count(*) AS n_users FROM v
+      |UNION ALL SELECT 'step2_click', count(*) FROM c
+      |UNION ALL SELECT 'step3_purchase', count(*) FROM p
+      |ORDER BY step""".stripMargin
+
+  // ---- cohort retention ----
+  // Users grouped by first-seen day; activity counted at day offsets 0–7.
+  // Two user-keyed aggregates and one join — the cohort frame is 1 row
+  // per user and the activity frame ≤ |users| × |days|, both shuffling on
+  // user_id; the output is |cohorts| × 8 rows.
+
+  private val CohortMaxOffset = 7
+
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val f = e.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+    val act = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    act.join(f, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .filter(col("day_offset") <= CohortMaxOffset)
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        col("day_offset"), col("n_active"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  private val cohortRetentionSql =
+    s"""WITH f AS (
+       |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+       |  FROM events GROUP BY 1),
+       |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       |r AS (
+       |  SELECT f.cohort_day,
+       |    date_diff('day', f.cohort_day, a.d) AS day_offset,
+       |    count(DISTINCT a.user_id) AS n_active
+       |  FROM act a JOIN f ON a.user_id = f.user_id
+       |  GROUP BY 1, 2)
+       |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort, day_offset, n_active
+       |FROM r WHERE day_offset <= $CohortMaxOffset
+       |ORDER BY cohort, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel" -> (funnel _),
+    "cohort_retention" -> (cohortRetention _),
     "json_extract" -> (jsonExtract _),
     "events_headway" -> (headway _),
     "anomaly_zscore" -> (anomalyZscore _),
     "resample_locf" -> (resampleLocf _))
 
   val oracle: Map[String, String] = Map(
+    "funnel" -> funnelSql,
+    "cohort_retention" -> cohortRetentionSql,
     "json_extract" -> jsonExtractSql,
     "events_headway" -> headwaySql,
     "anomaly_zscore" -> anomalyZscoreSql,

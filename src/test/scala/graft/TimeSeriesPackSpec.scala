@@ -123,6 +123,34 @@ class TimeSeriesPackSpec extends SparkSpec {
     }
   }
 
+  // ---- funnel / cohort ----
+
+  test("funnel steps are monotonically shrinking") {
+    val steps = q("funnel").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(steps.keySet == Set("step1_view", "step2_click", "step3_purchase"))
+    assert(steps("step1_view") >= steps("step2_click"),
+      "a later funnel step cannot exceed an earlier one")
+    assert(steps("step2_click") >= steps("step3_purchase"))
+    assert(steps("step1_view") > 0)
+  }
+
+  test("cohort retention: offset 0 equals cohort size, offsets within cap") {
+    val events = Tables(spark, sf0001, "events")
+    val cohortSizes = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = q("cohort_retention").collect()
+    rows.foreach { r =>
+      val (cohort, off, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(off >= 0 && off <= 7, s"offset $off out of range")
+      assert(n <= cohortSizes(cohort), "active users exceed the cohort size")
+      // every user is active on their first-seen day by construction
+      if (off == 0) assert(n == cohortSizes(cohort),
+        s"cohort $cohort: day-0 actives $n != cohort size ${cohortSizes(cohort)}")
+    }
+  }
+
   // ---- dq_check ----
 
   test("data-quality gate: generator data passes every rule with zero violations") {

@@ -84,6 +84,24 @@ object IngestStream {
       .toDF("vehicle_id", "n_pings", "last_ts")
   }
 
+  /** G5 extension: streaming sessionization — the streaming twin of the
+    * batch `events_sessionize` catalog query, on the built-in
+    * `session_window` (gap-merged event-time sessions). A session closes —
+    * and its single aggregate row is emitted (append mode) — once the
+    * watermark passes its end + gap; open-session state is bounded by the
+    * watermark horizon per key, so it never grows with stream length. */
+  def liveSessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        (unix_timestamp(col("session_window.end"))
+          - unix_timestamp(col("session_window.start"))).as("span_sec"),
+        col("n_events"))
+
   /** G5 extension: streaming dedup — the streaming form of E2's ranked
     * dedup for at-least-once upstream delivery (the reference's Lambda can
     * re-fire on retry): duplicate pings (same vehicle, same event time)

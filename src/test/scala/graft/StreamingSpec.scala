@@ -300,6 +300,35 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming session windows merge by gap and close at the watermark") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-03-05T10:00:00Z")
+    def ts(plus: Long) = java.sql.Timestamp.from(t0.plusSeconds(plus))
+    val dir = Files.createTempDirectory("graft-sess").toString
+    // u1: two events 60 s apart (one session); u2: one event
+    Seq((1L, ts(0)), (1L, ts(60)), (2L, ts(0)))
+      .toDF("user_id", "ts").write.parquet(s"$dir/b1")
+    val feed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+    val q = IngestStream.liveSessions(feed)
+      .writeStream.format("memory").queryName("sess").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess").isEmpty, "no session may close before the watermark")
+      // u1 reappears 2 h later: the watermark passes both open sessions'
+      // end+gap, closing them; the new event opens a fresh session
+      Seq((1L, ts(7200))).toDF("user_id", "ts").write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val out = spark.table("sess").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("span_sec"),
+          r.getAs[Long]("n_events"))).sortBy(x => (x._1, x._2))
+      // span = (last event − first) + gap: 60+1800 for u1, 0+1800 for u2
+      assert(out.toSeq == Seq((1L, 1860L, 2L), (2L, 1800L, 1L)),
+        s"unexpected closed sessions: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("event-time timers flag keys that went silent; re-armed keys stay quiet") {
     import graft.streaming.GapMonitor
     import spark.implicits._

@@ -408,6 +408,73 @@ object DedupOps {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  // End-to-end corpus preparation — the composed pipeline a training run
+  // actually executes, as ONE declarative plan Catalyst optimizes whole:
+  // exact dedup (keep the canonical copy) → drop the eval set and every
+  // document contaminated by it (4-gram collision, broadcast shingle set)
+  // → content-addressed train/val/test split → per-split token accounting.
+  // Every stage is an already-oracled operator; composing them in one
+  // query is the integration check (and mirrors how the stages share
+  // scans: the planner reuses the documents relation rather than
+  // re-reading it per stage). Exact end-to-end oracle.
+
+  private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val sh = docs.select(col("doc_id"),
+      explode(gf.shingles(col("text"), lit(ContamN))).as("shingle"))
+    val ev = sh.filter(col("doc_id") % EvalMod === 0)
+      .select("shingle").distinct()
+    val contaminated = sh.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(ev), "shingle").select("doc_id").distinct()
+    docs.join(keep, "doc_id")
+      .filter(col("doc_id") % EvalMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("lang"),
+        (gf.fingerprint(col("text")) % 100).as("bucket"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("split", "lang")
+  }
+
+  private val corpusPipelineSql = {
+    val gram = (0 until ContamN).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= $ContamN THEN
+       |      list_distinct(list_transform(range(1, len(toks) - ${ContamN - 2}),
+       |        i -> $gram))
+       |    ELSE [] END AS shs
+       |  FROM tk),
+       |ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+       |ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % $EvalMod = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT e.doc_id FROM ex e JOIN ev ON e.shingle = ev.shingle
+       |  WHERE e.doc_id % $EvalMod <> 0),
+       |clean AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM documents d
+       |  JOIN keep k ON d.doc_id = k.doc_id
+       |  WHERE d.doc_id % $EvalMod <> 0
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |b AS (
+       |  SELECT lang, (${TextOps.fingerprintFoldSql("text")}) % 100 AS bucket,
+       |    len(string_split(text, ' ')) AS n_tok
+       |  FROM clean)
+       |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -416,12 +483,14 @@ object DedupOps {
     "dedup_embedding_exact" -> (embeddingCosine _),
     "dedup_embedding" -> (embeddingCosineAnn _),
     "dedup_resolve" -> (resolve _),
-    "decontaminate" -> (decontaminate _))
+    "decontaminate" -> (decontaminate _),
+    "corpus_pipeline" -> (corpusPipeline _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_embedding_exact" -> embeddingCosineSql,
     "dedup_resolve" -> resolveSql,
-    "decontaminate" -> decontaminateSql)
+    "decontaminate" -> decontaminateSql,
+    "corpus_pipeline" -> corpusPipelineSql)
 }

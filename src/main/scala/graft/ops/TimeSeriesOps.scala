@@ -270,7 +270,42 @@ object TimeSeriesOps {
        |FROM r WHERE day_offset <= $CohortMaxOffset
        |ORDER BY cohort, day_offset""".stripMargin
 
+  // ---- equi-width histogram ----
+  // Global min/max (1-row broadcast) then a fixed-arithmetic bin per row
+  // and one hash agg — the two-pass distribution profile. The top edge is
+  // clamped into the last bin (max lands on the open boundary).
+
+  private val HistBins = 20
+
+  private def valueHistogram(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    e.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("lo")) /
+              ((col("hi") - col("lo")) / HistBins)).cast("long"),
+            lit(HistBins - 1L))).as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin")
+  }
+
+  private val valueHistogramSql =
+    s"""WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+       |b AS (
+       |  SELECT event_type,
+       |    CASE WHEN bounds.hi = bounds.lo THEN CAST(0 AS BIGINT)
+       |         ELSE least(CAST(floor((value - bounds.lo) /
+       |           ((bounds.hi - bounds.lo) / $HistBins)) AS BIGINT),
+       |           ${HistBins - 1}) END AS bin
+       |  FROM events, bounds)
+       |SELECT event_type, bin, count(*) AS n
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "value_histogram" -> (valueHistogram _),
     "funnel" -> (funnel _),
     "cohort_retention" -> (cohortRetention _),
     "json_extract" -> (jsonExtract _),
@@ -279,6 +314,7 @@ object TimeSeriesOps {
     "resample_locf" -> (resampleLocf _))
 
   val oracle: Map[String, String] = Map(
+    "value_histogram" -> valueHistogramSql,
     "funnel" -> funnelSql,
     "cohort_retention" -> cohortRetentionSql,
     "json_extract" -> jsonExtractSql,

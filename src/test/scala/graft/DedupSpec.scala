@@ -134,4 +134,22 @@ class DedupSpec extends SparkSpec {
       s"eval shingle set must broadcast — the corpus side never shuffles:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("corpus_pipeline output reconciles with its component operators") {
+    val docs = Tables(spark, sf0001, "documents")
+    val total = docs.count()
+    val nKept = SparkEntry.queries("dedup_exact")(spark, sf0001).count()
+    val nContam = SparkEntry.queries("decontaminate")(spark, sf0001).count()
+    val nEvalKept = SparkEntry.queries("dedup_exact")(spark, sf0001)
+      .filter(col("keep_id") % 53 === 0).count()
+    val rows = SparkEntry.queries("corpus_pipeline")(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    val out = rows.map(_.getLong(2)).sum
+    // the pipeline keeps: canonical copies − eval canonicals − contaminated
+    // canonicals. Contaminated docs are all canonical in this corpus, so
+    // the identity is exact; assert both the identity and the bound.
+    assert(out <= nKept - nEvalKept, "pipeline kept more than dedup allows")
+    assert(out >= nKept - nEvalKept - nContam,
+      s"pipeline dropped more than eval+contaminated can explain ($out of $total)")
+  }
 }

@@ -130,16 +130,19 @@ object TextHashOps {
     out
   }
 
-  /** Rolling polynomial fingerprint over UTF-8 bytes:
-    * acc = (acc * 31 + byte) mod 1_000_000_007 — exactly mirrorable in the
-    * DuckDB oracle via list_reduce over characters. */
+  /** Rolling polynomial fingerprint over Unicode CODE POINTS:
+    * acc = (acc * 31 + codePoint) mod 1_000_000_007. Code points, not UTF-8
+    * bytes, because the DuckDB oracle mirror folds `ascii(c)` per character
+    * (the code point) — a byte fold would silently desync the two engines
+    * on the first non-ASCII document. */
   def fingerprint(text: UTF8String): Long = {
-    val b = text.getBytes
+    val s = text.toString
     var acc = 0L
     var i = 0
-    while (i < b.length) {
-      acc = (acc * 31 + (b(i) & 0xff)) % 1000000007L
-      i += 1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
     }
     acc
   }

@@ -376,7 +376,11 @@ object DedupOps {
   private val EvalMod = 53
   private val ContamN = 4
 
-  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  /** (train doc_id, shared shingle) rows: each non-eval document's
+    * 4-grams that collide with the broadcast eval-shingle set — the ONE
+    * definition of "contaminated" both `decontaminate` and
+    * `corpus_pipeline` build on (a semantics change here reaches both). */
+  private def contamRows(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(gf.shingles(col("text"), lit(ContamN))).as("shingle"))
@@ -384,15 +388,13 @@ object DedupOps {
       .select("shingle").distinct()
     sh.filter(col("doc_id") % EvalMod =!= 0)
       .join(broadcast(ev), "shingle")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared")) // shingles are per-doc distinct
-      .orderBy("doc_id")
   }
 
-  private val decontaminateSql = {
+  /** The matching DuckDB CTE chain (tk/sh/ex/ev/contam_rows), the single
+    * SQL mirror of [[contamRows]]. */
+  private val contamRowsCtes = {
     val gram = (0 until ContamN).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
-    s"""WITH tk AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(toks) >= $ContamN THEN
@@ -401,12 +403,23 @@ object DedupOps {
        |    ELSE [] END AS shs
        |  FROM tk),
        |ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
-       |ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % $EvalMod = 0)
-       |SELECT e.doc_id, count(*) AS n_shared
-       |FROM ex e JOIN ev ON e.shingle = ev.shingle
-       |WHERE e.doc_id % $EvalMod <> 0
-       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+       |ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % $EvalMod = 0),
+       |contam_rows AS (
+       |  SELECT e.doc_id, e.shingle FROM ex e JOIN ev ON e.shingle = ev.shingle
+       |  WHERE e.doc_id % $EvalMod <> 0)""".stripMargin
   }
+
+  private def decontaminate(s: SparkSession, dir: String): DataFrame =
+    contamRows(s, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // shingles are per-doc distinct
+      .orderBy("doc_id")
+
+  private val decontaminateSql =
+    s"""WITH $contamRowsCtes
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM contam_rows
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   // End-to-end corpus preparation — the composed pipeline a training run
   // actually executes, as ONE declarative plan Catalyst optimizes whole:
@@ -422,12 +435,7 @@ object DedupOps {
     val docs = t(s, dir, "documents")
     val keep = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val sh = docs.select(col("doc_id"),
-      explode(gf.shingles(col("text"), lit(ContamN))).as("shingle"))
-    val ev = sh.filter(col("doc_id") % EvalMod === 0)
-      .select("shingle").distinct()
-    val contaminated = sh.filter(col("doc_id") % EvalMod =!= 0)
-      .join(broadcast(ev), "shingle").select("doc_id").distinct()
+    val contaminated = contamRows(s, dir).select("doc_id").distinct()
     docs.join(keep, "doc_id")
       .filter(col("doc_id") % EvalMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -443,23 +451,11 @@ object DedupOps {
       .orderBy("split", "lang")
   }
 
-  private val corpusPipelineSql = {
-    val gram = (0 until ContamN).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+  private val corpusPipelineSql =
     s"""WITH keep AS (
        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |sh AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(toks) >= $ContamN THEN
-       |      list_distinct(list_transform(range(1, len(toks) - ${ContamN - 2}),
-       |        i -> $gram))
-       |    ELSE [] END AS shs
-       |  FROM tk),
-       |ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
-       |ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % $EvalMod = 0),
-       |contaminated AS (
-       |  SELECT DISTINCT e.doc_id FROM ex e JOIN ev ON e.shingle = ev.shingle
-       |  WHERE e.doc_id % $EvalMod <> 0),
+       |$contamRowsCtes,
+       |contaminated AS (SELECT DISTINCT doc_id FROM contam_rows),
        |clean AS (
        |  SELECT d.doc_id, d.lang, d.text FROM documents d
        |  JOIN keep k ON d.doc_id = k.doc_id
@@ -473,7 +469,6 @@ object DedupOps {
        |            ELSE 'test' END AS split,
        |  lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
        |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),

@@ -96,7 +96,17 @@ object LayoutOps {
       def ensure(table: String, sub: String, bucketCol: String)(
           write: String => Unit): Unit = {
         val path = new java.io.File(base, sub)
-        val dataOk = new java.io.File(path, "_SUCCESS").exists()
+        val manifest = new java.io.File(path, ".graft_files")
+        // _SUCCESS alone is not integrity: a tmp cleaner can remove part
+        // files and leave the marker, and adopting such a dir makes the
+        // bucketed join silently drop rows. The write records its data
+        // files; adoption requires every one of them to still exist.
+        def dataOk: Boolean =
+          new java.io.File(path, "_SUCCESS").exists() && manifest.exists() && {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.readAllLines(manifest.toPath).asScala
+              .forall(n => new java.io.File(path, n).exists())
+          }
         if (s.catalog.tableExists(table)) {
           if (dataOk) return
           s.sql(s"DROP TABLE `$table`") // entry outlived its tmp data
@@ -111,6 +121,12 @@ object LayoutOps {
         } else {
           ContentKey.evictStale(parent, key)
           write(path.toString)
+          val parts = Option(path.listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isFile && f.getName.startsWith("part-"))
+            .map(_.getName)
+          java.nio.file.Files.write(manifest.toPath,
+            parts.sorted.mkString("\n").getBytes("UTF-8"))
         }
       }
 

@@ -76,7 +76,10 @@ object TimeSeriesOps {
       sum(dec * dec).as("s2"))
     val mean = col("s").cast("double") / col("n")
     val sd = Num.stddevFromSums(col("n"), col("s"), col("s2"))
-    val zs = (col("value").cast("double") - mean) / sd
+    // sd = 0 (constant series) must yield NULL z, not 0/0: NaN orders as
+    // the LARGEST double in Spark but is skipped by DuckDB's max — an
+    // engine divergence — and ANSI mode could reject the division outright
+    val zs = when(sd > 0, (col("value").cast("double") - mean) / sd)
     e.join(broadcast(st), "event_type")
       .select(col("event_type"), zs.as("zs"))
       .groupBy("event_type")
@@ -96,7 +99,7 @@ object TimeSeriesOps {
        |z AS (
        |  SELECT e.event_type,
        |    (CAST(e.value AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n) /
-       |      (${Num.stddevSql("st.n", "st.s", "st.s2")}) AS zs
+       |      NULLIF(${Num.stddevSql("st.n", "st.s", "st.s2")}, 0) AS zs
        |  FROM events e JOIN st USING (event_type))
        |SELECT event_type, count(*) AS n,
        |  count(CASE WHEN abs(zs) > 3 THEN 1 END) AS n_anom,

@@ -23,11 +23,16 @@ case class AnomalyEvent(key: String, ts: Long, value: Double, zscore: Double)
   * — never by stream length — at any scale.
   *
   * Estimates are order-dependent (each value is scored against the stats
-  * BEFORE it — the only causal option online) and per-batch arrival order
-  * is made deterministic by a (ts, value) sort; the exact, order-free
-  * answer remains the batch query's job. Values are folded into the
-  * moments after scoring, outliers included: robustness refinements
-  * (trimming, EWMA forgetting) layer on the same state shape. */
+  * BEFORE it — the only causal option online); rows are folded in
+  * iterator order, ONE PASS, nothing buffered — a hot key delivering
+  * millions of rows in a trigger streams through in O(1) memory, which
+  * is what keeps the three-numbers-per-key claim true under skew. If
+  * strict within-batch event-time order matters, sort upstream
+  * (`repartition(key).sortWithinPartitions(key, ts)`); the exact,
+  * order-free answer remains the batch query's job. Values are folded
+  * into the moments after scoring, outliers included: robustness
+  * refinements (trimming, EWMA forgetting) layer on the same state
+  * shape. */
 class AnomalyProcessor(zThreshold: Double, minSamples: Long)
     extends StatefulProcessor[String, (String, Long, Double), AnomalyEvent] {
 
@@ -42,7 +47,7 @@ class AnomalyProcessor(zThreshold: Double, minSamples: Long)
       timers: TimerValues): Iterator[AnomalyEvent] = {
     var st = if (state.exists()) state.get() else MomentState(0L, 0.0, 0.0)
     val out = Seq.newBuilder[AnomalyEvent]
-    for ((_, ts, x) <- rows.toSeq.sortBy(r => (r._2, r._3))) {
+    for ((_, ts, x) <- rows) {
       if (st.n >= minSamples) {
         val sd = math.sqrt(st.m2 / (st.n - 1))
         if (sd > 0) {

@@ -95,6 +95,15 @@ class ExprSpec extends AnyFunSuite {
     assert(TextHashOps.fingerprint(u("")) == 0L)
   }
 
+  test("fingerprint folds code points — matches the DuckDB ascii() mirror on non-ASCII") {
+    // vectors computed with the oracle's own fold (list_transform +
+    // ascii(c)): a byte-fold kernel desyncs on every one of these
+    assert(TextHashOps.fingerprint(u("café latte")) == 99490332L)
+    assert(TextHashOps.fingerprint(u("héllo wörld")) == 309710581L)
+    assert(TextHashOps.fingerprint(u("数据 管道")) == 741342092L)
+    assert(TextHashOps.fingerprint(u("a😀b")) == 4077187L) // surrogate pair
+  }
+
   test("shingles are distinct, ordered word n-grams") {
     val sh = TextHashOps.shingleStrings(u("a b c d a b c d"), 3)
     val strs = (0 until sh.numElements()).map(i => sh.getUTF8String(i).toString)

@@ -86,13 +86,15 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("SortMergeJoin"),
       s"merge hint not honored (dim modeled as unbroadcastable):\n$p")
-    // the mightContain UDF must sit in a Filter over the lineitem scan —
-    // i.e. the semi-join reduction happens before the join's exchange
-    val factScanIdx = p.indexOf("l_orderkey")
-    assert(factScanIdx >= 0 && p.contains("UDF"),
-      s"bloom pre-filter missing from the fact side:\n$p")
-    val filterIdx = p.indexOf("UDF(")
-    assert(filterIdx >= 0, s"no UDF filter in plan:\n$p")
+    // the semi-join reduction must happen BELOW the fact side's shuffle:
+    // in tree-printed order that is Exchange(l_orderkey) above a
+    // Filter containing the mightContain UDF above the lineitem scan.
+    // A plan that applies the UDF above the exchange (no reduction of
+    // shuffled rows) breaks this ordering and must fail here.
+    val re = ("(?s)Exchange hashpartitioning\\(l_orderkey.*?" +
+      "Filter .*?UDF\\([^)]{0,60}l_orderkey.*?Scan parquet").r
+    assert(re.findFirstIn(p).isDefined,
+      s"mightContain filter is not between the fact scan and its exchange:\n$p")
   }
 
   test("bucketed join is shuffle-free: no Exchange between scans and join") {
@@ -177,6 +179,25 @@ class PlanSpec extends SparkSpec {
     assert(rows.nonEmpty, "rebuild after tmp loss returned nothing")
     assert(new java.io.File(base, "orders/_SUCCESS").exists(),
       "bucketed data not rebuilt on disk")
+  }
+
+  test("partially-deleted bucket dir (marker intact) is rebuilt, not adopted") {
+    val expected = SparkEntry.queries("bucketed_join")(spark, sf0001).collect()
+      .map(_.toString).sorted
+    val key = graft.ops.LayoutOps.bucketKey(spark, sf0001)
+    val ordDir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
+        s"${graft.ops.ContentKey.md5(sf0001)}/$key/orders")
+    // a tmp cleaner removes one bucket file but leaves _SUCCESS — without
+    // a manifest check this dir would be adopted and silently drop rows
+    val part = ordDir.listFiles().filter(_.getName.startsWith("part-")).head
+    assert(part.delete())
+    spark.sql(s"DROP TABLE IF EXISTS `graft_bkt_ord_$key`")
+    spark.sql(s"DROP TABLE IF EXISTS `graft_bkt_cust_$key`")
+    val rows = SparkEntry.queries("bucketed_join")(spark, sf0001).collect()
+      .map(_.toString).sorted
+    assert(rows.toSeq == expected.toSeq,
+      "join over a partially-deleted bucket dir lost rows instead of rebuilding")
   }
 
   test("naive st_dwithin join is rewritten to a geohash equi-join by the rule") {

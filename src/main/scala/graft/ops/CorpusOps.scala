@@ -291,7 +291,43 @@ object CorpusOps {
       .orderBy("tok")
   }
 
+  // ---- higher-order array function surface ----
+  // The lambda-function family (transform / filter / aggregate / zip_with
+  // / exists) over the embedding column, with exact DuckDB list-function
+  // mirrors. Both engines fold left-to-right, so even the double
+  // accumulations match bit-for-bit (the vdot convention). These are the
+  // codegen'd building blocks the similarity/quantization operators
+  // compose; this query pins their cross-engine semantics directly.
+
+  private def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x > lit(0f))).cast("long").as("n_pos"),
+        aggregate(transform(col("embedding"), x => x.cast("double") * 2),
+          lit(0.0), (acc, x) => acc + x).as("sum2x"),
+        aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("norm2"),
+        when(exists(col("embedding"), x => x > lit(0.25f)), lit(1L))
+          .otherwise(lit(0L)).as("has_big"))
+      .orderBy("vec_id")
+
+  private val arrayFuncsSql =
+    """SELECT vec_id,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)),
+      |    (a, b) -> a + b) AS sum2x,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |    (a, b) -> a + b) AS norm2,
+      |  CASE WHEN len(list_filter(embedding, x -> x > CAST(0.25 AS FLOAT))) > 0
+      |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS has_big
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_funcs" -> (arrayFuncs _),
     "text_normalize" -> (normalize _),
     "pii_redact" -> (piiRedact _),
     "sample_split" -> (sampleSplit _),
@@ -301,6 +337,7 @@ object CorpusOps {
     "freq_sketch" -> (freqSketch _))
 
   val oracle: Map[String, String] = Map(
+    "array_funcs" -> arrayFuncsSql,
     "text_normalize" -> normalizeSql,
     "pii_redact" -> piiRedactSql,
     "sample_split" -> sampleSplitSql,

@@ -307,7 +307,40 @@ object TimeSeriesOps {
        |SELECT event_type, bin, count(*) AS n
        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- time-based RANGE window frames ----
+  // A 10-minute moving sum per type: the frame is VALUE-based (all rows
+  // within 600 s of the current row's timestamp), not row-count-based —
+  // the windowing mode `window_funcs`' ROWS frames can't express. Frames
+  // over decimal sums keep the oracle exact; tie rows (equal tsec) are
+  // RANGE peers in both engines, so the result is order-independent.
+
+  private def windowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("tsec")
+      .rangeBetween(-Step, 0)
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsec"),
+        col("value").cast(D).as("v"))
+      .select(col("event_type"), col("event_id"),
+        sum(col("v")).over(w).cast("double").as("moving_sum"),
+        count(lit(1)).over(w).as("n_window"))
+      .orderBy("event_type", "event_id")
+  }
+
+  private val windowRangeSql =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+       |    CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events)
+       |SELECT event_type, event_id,
+       |  CAST(sum(v) OVER (PARTITION BY event_type ORDER BY tsec
+       |    RANGE BETWEEN $Step PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+       |  count(*) OVER (PARTITION BY event_type ORDER BY tsec
+       |    RANGE BETWEEN $Step PRECEDING AND CURRENT ROW) AS n_window
+       |FROM e ORDER BY event_type, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_range" -> (windowRange _),
     "value_histogram" -> (valueHistogram _),
     "funnel" -> (funnel _),
     "cohort_retention" -> (cohortRetention _),
@@ -317,6 +350,7 @@ object TimeSeriesOps {
     "resample_locf" -> (resampleLocf _))
 
   val oracle: Map[String, String] = Map(
+    "window_range" -> windowRangeSql,
     "value_histogram" -> valueHistogramSql,
     "funnel" -> funnelSql,
     "cohort_retention" -> cohortRetentionSql,

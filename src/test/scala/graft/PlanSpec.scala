@@ -81,6 +81,32 @@ class PlanSpec extends SparkSpec {
       s"exact percentile leaked into the sketch-path plan:\n$p")
   }
 
+  test("catalog-wide: no query degenerates into an unplanned cross product") {
+    // BroadcastNestedLoopJoin is legitimate ONLY for the documented brute
+    // anchors and for 1-row bounds/totals cross joins (sequence spines,
+    // histogram bounds, mixture totals, PQ/IVF model-free brute ranking) —
+    // every other catalog entry must keep an equi-join shape. A new
+    // operator accidentally joining without keys fails here by default.
+    val bruteAnchors = Set("simsearch_topk", "dedup_embedding_exact")
+    val oneRowBounds = Set("resample_locf", "sample_stratified",
+      "mixture_weights", "value_histogram", "date_range",
+      "text_collocations", "tfidf_topk")
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)
+        if !bruteAnchors(name) && !oneRowBounds(name)) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: unplanned cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name: unplanned nested-loop join")
+    }
+    // the allowlisted 1-row joins must really be 1-row (nested loop over a
+    // single-row side is a broadcast of one tuple, not a blowup)
+    for (name <- oneRowBounds) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
+    }
+  }
+
   test("bloom join: fact side is bloom-filtered below its shuffle") {
     val p = SparkEntry.queries("bloom_join")(spark, sf0001)
       .queryExecution.executedPlan.toString

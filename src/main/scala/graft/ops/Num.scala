@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.DecimalType
   * `stddev_samp`, whose Welford merges are order-dependent across engines.
   */
 object Num {
-  private val D = DecimalType(18, 2)
+  private[ops] val D = DecimalType(18, 2)
 
   /** Exact decimal sum surfaced as double. */
   def dsum(c: Column): Column = sum(c.cast(D)).cast("double")

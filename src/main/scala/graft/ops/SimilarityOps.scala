@@ -168,6 +168,26 @@ object SimilarityOps {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Array[Double], Int)]()
 
+  /** The bounded deterministic training sample both quantizer fits (IVF
+    * coarse cells and PQ codebooks) draw from — cached per dataset so
+    * fitting both models costs one scan, not two. */
+  private val sampleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  private def trainingSample(s: SparkSession, dir: String): Array[Array[Float]] = {
+    val key = ContentKey.of(s, Seq(s"$dir/embeddings.parquet"))
+    sampleCache.computeIfAbsent(key, _ => {
+      val n = t(s, dir, "embeddings").count()
+      val (_, _, sampleN) = ivfParams(n)
+      t(s, dir, "embeddings")
+        .orderBy(xxhash64(col("vec_id")))
+        .limit(sampleN)
+        .select("embedding")
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
+    })
+  }
+
   /** Returns (dim, flattened K×dim centroid matrix, probe count). */
   private[ops] def fitCentroids(s: SparkSession, dir: String): (Int, Array[Double], Int) = {
     // content-addressed (ContentKey recurses into partitioned layouts) so
@@ -182,13 +202,8 @@ object SimilarityOps {
     * a dot product ranks cells by cosine). */
   private def fitCentroidsUncached(s: SparkSession, dir: String): (Int, Array[Double], Int) = {
     val n = t(s, dir, "embeddings").count()
-    val (cells, _, sampleN) = ivfParams(n)
-    val sample = t(s, dir, "embeddings")
-      .orderBy(xxhash64(col("vec_id")))
-      .limit(sampleN)
-      .select("embedding")
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    val (cells, _, _) = ivfParams(n)
+    val sample = trainingSample(s, dir)
     val dim = sample.head.length
     val k = math.min(cells, sample.length)
     // probe derives from the FINAL k: if the sample capped k below the
@@ -299,14 +314,7 @@ object SimilarityOps {
     * sample discipline as [[fitCentroidsUncached]] — the codebook is
     * M×Ks×subDim doubles (≈4 KB), fit on the driver, shipped as a literal. */
   private def fitPqUncached(s: SparkSession, dir: String): (Int, Array[Double]) = {
-    val n = t(s, dir, "embeddings").count()
-    val (_, _, sampleN) = ivfParams(n)
-    val sample = t(s, dir, "embeddings")
-      .orderBy(xxhash64(col("vec_id")))
-      .limit(sampleN)
-      .select("embedding")
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = trainingSample(s, dir)
     val dim = sample.head.length
     require(dim % PqM == 0, s"dim $dim not divisible into $PqM subspaces")
     val subDim = dim / PqM

@@ -3,7 +3,6 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Time-series operators over the `events` table — the monitoring /
@@ -27,7 +26,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TimeSeriesOps {
 
-  private val D = DecimalType(18, 2)
+  private val D = Num.D
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
@@ -162,9 +161,7 @@ object TimeSeriesOps {
   // difference is a full extra scan per field.
 
   private def jsonExtract(s: SparkSession, dir: String): DataFrame = {
-    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(
-      Seq(org.apache.spark.sql.types.StructField("k",
-        org.apache.spark.sql.types.LongType))))("k")
+    val k = from_json(col("props"), "k BIGINT", Map.empty[String, String])("k")
     t(s, dir, "events")
       .select(col("event_type"), col("props"), k.as("k"))
       .groupBy("event_type")

@@ -117,6 +117,38 @@ object Relational2 {
        |GROUP BY ROLLUP (n_name, l_returnflag)
        |ORDER BY nation NULLS FIRST, flag NULLS FIRST""".stripMargin
 
+  // The rank-distribution window family: ntile, percent_rank, cume_dist,
+  // first/nth_value over an explicit whole-partition frame. percent_rank
+  // and cume_dist are small-integer ratios evaluated in double — identical
+  // IEEE results in both engines.
+  private def windowRankFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"),
+      col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        first(col("o_orderkey")).over(full).as("first_order"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val windowRankFuncsSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist,
+      |  first_value(o_orderkey) OVER wf AS first_order,
+      |  nth_value(o_orderkey, 2) OVER wf AS second_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // CUBE: all 2² grouping sets in one pass (Expand), with GROUPING()
   // indicators distinguishing a subtotal NULL from a data NULL — the
   // completion of the rollup family. Same SQL-view route as rollupAgg.
@@ -481,6 +513,7 @@ object Relational2 {
     "cube_agg" -> (cubeAgg _),
     "distinct_agg" -> (distinctAgg _),
     "window_funcs" -> (windowFuncs _),
+    "window_rank_funcs" -> (windowRankFuncs _),
     "string_funcs" -> (stringFuncs _),
     "null_handling" -> (nullHandling _))
 
@@ -498,6 +531,7 @@ object Relational2 {
     "cube_agg" -> cubeAggSql,
     "distinct_agg" -> distinctAggSql,
     "window_funcs" -> windowFuncsSql,
+    "window_rank_funcs" -> windowRankFuncsSql,
     "string_funcs" -> stringFuncsSql,
     "null_handling" -> nullHandlingSql)
 }

@@ -197,12 +197,48 @@ object IngestOps {
       |WHERE lon >= -79.5 AND lon <= -79.2 AND lat >= 43.2 AND lat <= 43.6
       |GROUP BY route_id ORDER BY route_id""".stripMargin
 
+  // Vehicle headway per route — the transit "how regular is service"
+  // measure over the decoded positions stream (the domain form of
+  // TimeSeriesOps' events_headway): per (route, vehicle) inter-ping gaps
+  // via a lag window, aggregated per route. Second-granularity ties make
+  // the same multiset of gaps under any tie order, so the lag needs no
+  // tiebreak column to stay deterministic. Window partitioned by
+  // (route, vehicle); one shuffle then local sorts at any scale.
+  private def vehicleHeadway(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = decode(Tables(s, dir, "events"))
+      .select(col("route_id"), col("vehicle_id"), col("timestamp").as("t"))
+    val w = Window.partitionBy("route_id", "vehicle_id").orderBy("t")
+    pos.withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .groupBy("route_id")
+      .agg(count(col("gap")).as("n_gaps"),
+        (sum(col("gap")).cast("double") / count(col("gap"))).as("avg_gap_s"),
+        max(col("gap")).as("max_gap_s"))
+      .orderBy("route_id")
+  }
+
+  private val vehicleHeadwaySql =
+    """WITH pos AS (
+      |  SELECT 'route_' || CAST(user_id % 10 AS VARCHAR) AS route_id,
+      |    'veh_' || CAST(event_id % 100 AS VARCHAR) AS vehicle_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+      |  FROM events),
+      |g AS (
+      |  SELECT route_id,
+      |    t - lag(t) OVER (PARTITION BY route_id, vehicle_id ORDER BY t) AS gap
+      |  FROM pos)
+      |SELECT route_id, count(gap) AS n_gaps,
+      |  CAST(sum(gap) AS DOUBLE) / count(gap) AS avg_gap_s, max(gap) AS max_gap_s
+      |FROM g GROUP BY 1 ORDER BY route_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_schema" -> (ingestSchema _),
     "ingest_enrich" -> (ingestEnrich _),
+    "vehicle_headway" -> (vehicleHeadway _),
     "bbox_prune" -> (bboxPrune _))
 
   val oracle: Map[String, String] = Map(
     "ingest_schema" -> ingestSchemaSql,
+    "vehicle_headway" -> vehicleHeadwaySql,
     "bbox_prune" -> bboxPruneSql)
 }

@@ -69,10 +69,13 @@ object Relational {
        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
   // E2: ranked dedup — top-1 per key via ROW_NUMBER (reference window dedup,
-  // cell 63902a57). Deterministic tiebreak on l_linenumber.
+  // cell 63902a57). The tiebreak must be a TOTAL order: this synthetic
+  // lineitem (unlike real TPC-H) repeats (orderkey, shipdate, linenumber),
+  // and any residual tie lets each engine pick a different row — caught at
+  // sf0.1, where 84 such combos exist. l_partkey completes the order.
   private def windowDedup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_shipdate"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_linenumber"), col("l_partkey"))
     t(s, dir, "lineitem")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -86,7 +89,8 @@ object Relational {
       |  strftime(l_shipdate, '%Y-%m-%d') AS first_ship
       |FROM (
       |  SELECT *, row_number() OVER (
-      |    PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+      |    PARTITION BY l_orderkey
+      |    ORDER BY l_shipdate, l_linenumber, l_partkey) AS rn
       |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
 
   // C5: negated, case-sensitive regexp predicate (reference: arrival_time

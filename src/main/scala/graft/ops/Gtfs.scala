@@ -75,10 +75,16 @@ object Gtfs {
       (todSecondsTs(from_utc_timestamp(positions("timestamp"), timezone)) -
         todSecondsStr(col("arrival_time"))).cast("long")) // F2
       .filter(col("diff").between(-600, 600)) // C7
+    // E2 (F10 in ORDER BY). The tiebreak must reach a total order: two
+    // pings at +d and −d tie on abs(diff) alone, and an arbitrary pick
+    // would flip avg_diff's sign contribution between runs/engines —
+    // the same latent class the sf0.1 sweep caught in window_dedup.
+    // signed diff then the ping's instant complete it (two pings with the
+    // same instant and signed diff are interchangeable duplicates).
     val w = Window
       .partitionBy(dims("trip_id"), col("stop_id"), col("arrival_time"),
         col("stop_sequence"))
-      .orderBy(col("arrival_time"), abs(col("diff"))) // E2 (F10)
+      .orderBy(abs(col("diff")), col("diff"), positions("timestamp"))
     withDiff
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

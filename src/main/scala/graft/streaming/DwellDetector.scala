@@ -32,8 +32,11 @@ class DwellProcessor(thresholdSec: Long)
   override def handleInputRows(key: String,
       rows: Iterator[(String, String, Long)],
       timers: TimerValues): Iterator[DwellEvent] = {
-    // micro-batch rows are not time-ordered; sort the (small) per-key batch
-    val sorted = rows.toSeq.sortBy(_._3)
+    // micro-batch rows are not time-ordered; sort the (small) per-key
+    // batch. The cell tiebreak makes same-instant pings in different
+    // cells resolve identically across batch replays (iterator order is
+    // not stable under retry).
+    val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
     var st = if (state.exists()) state.get() else null
     val out = Seq.newBuilder[DwellEvent]
     for ((_, cell, ts) <- sorted) {

@@ -56,17 +56,47 @@ object MultimodalOps {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real audio decode via the JDK's sampled-sound stack (WAV/AIFF/AU PCM
+    * — no external deps). The MediaMeta fields carry the audio analogues:
+    * width = sample rate (Hz), height = channels, frames = sample frames,
+    * checksum = order-deterministic fold over the raw PCM bytes (the
+    * signal stats a feature extractor starts from). None when the bytes
+    * are not a parseable audio container — the caller falls through. */
+  def decodeAudio(id: Long, bytes: Array[Byte]): Option[MediaMeta] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        var sum = 0L
+        val buf = new Array[Byte](8192)
+        var n = ais.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) { sum = sum * 131 + (buf(i) & 0xff); i += 1 }
+          n = ais.read(buf)
+        }
+        Some(MediaMeta(id, bytes.length, fmt.getSampleRate.toInt,
+          fmt.getChannels, frames.toInt, sum))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Batch decode over a binary column — mapPartitions so the decoder
     * amortizes per-batch init (codec context, scratch buffers) exactly
-    * like a pandas-UDF batch would. Real ImageIO decode first; blobs the
-    * JDK cannot decode take the deterministic stub, so one bad or
-    * unsupported blob never poisons the batch. */
+    * like a pandas-UDF batch would. Real decoders first (ImageIO for
+    * raster formats, the sampled-sound stack for PCM audio); bytes the
+    * JDK has no codec for (video containers, corrupt blobs) take the
+    * deterministic stub, so one bad blob never poisons the batch. */
   def decodeBatch(spark: SparkSession, blobs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     blobs.select(col("doc_id").cast("long"), col("media").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, b) => decodeImage(id, b).getOrElse(decodeStub(id, b)) }
+        it.map { case (id, b) =>
+          decodeImage(id, b).orElse(decodeAudio(id, b))
+            .getOrElse(decodeStub(id, b))
+        }
       }
   }
 

@@ -96,6 +96,42 @@ class MultimodalSpec extends SparkSpec {
       "not an image at all".getBytes("UTF-8")))
   }
 
+  test("real WAV blobs decode to true sample rate, channels, and frame count") {
+    // a synthesized PCM sine through the same batch path: the JDK's
+    // sampled-sound stack parses the container, so the metadata is the
+    // true audio shape and the checksum folds the actual PCM bytes
+    def wav(sampleRate: Int, channels: Int, nFrames: Int, freq: Double): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * channels * 2)
+      for (i <- 0 until nFrames; c <- 0 until channels) {
+        val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toInt
+        val off = (i * channels + c) * 2
+        pcm(off) = (s & 0xff).toByte
+        pcm(off + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val blobs = Seq(
+      (1L, wav(8000, 1, 1600, 440.0)),
+      (2L, wav(16000, 2, 800, 220.0)),
+      (3L, "definitely not audio".getBytes("UTF-8"))) // → stub fallback
+      .toDF("doc_id", "media")
+    val out = MultimodalOps.decodeBatch(spark, blobs.repartition(2))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).width == 8000 && out(1L).height == 1 && out(1L).frames == 1600)
+    assert(out(2L).width == 16000 && out(2L).height == 2 && out(2L).frames == 800)
+    // checksum matches a driver-side decode of the same bytes exactly
+    val local = MultimodalOps.decodeAudio(1L, wav(8000, 1, 1600, 440.0)).get
+    assert(out(1L).checksum == local.checksum && local.checksum != 0L)
+    assert(out(3L) == MultimodalOps.decodeStub(3L,
+      "definitely not audio".getBytes("UTF-8")))
+  }
+
   test("decode runs distributed (partition-level batches, no collect)") {
     val plan = MultimodalOps.decodeBatch(spark, blobs)
       .queryExecution.executedPlan.toString

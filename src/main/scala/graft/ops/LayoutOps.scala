@@ -209,13 +209,78 @@ object LayoutOps {
        |WHERE o_totalprice > $BloomPriceFloor
        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // ---- dynamic partition pruning ----
+  // The fact side lives in a hive-partitioned (day=) lake; joining it to a
+  // selective dim on the partition column lets Spark inject a runtime
+  // subquery into the SCAN's PartitionFilters — at 100 TB only the joined
+  // days' directories are read at all, without any static predicate in
+  // the query text. The lake is a content-addressed derived artifact
+  // (same discipline as geoLake/bucketedTables); the dim is the top-3
+  // busiest days, small and broadcast. PlanSpec asserts the
+  // dynamicpruning filter actually reaches the scan. The oracle computes
+  // the identical semantics from the raw events.
+
+  private val dayLakeLock = new Object
+
+  private[ops] def dayLake(s: SparkSession, dir: String): String = {
+    val parent = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_daylake/${ContentKey.md5(dir)}")
+    val key = ContentKey.of(s, Seq(s"$dir/events.parquet"))
+    val root = new java.io.File(parent, key)
+    dayLakeLock.synchronized {
+      if (!new java.io.File(root, "_SUCCESS").exists()) {
+        ContentKey.evictStale(parent, key)
+        Tables(s, dir, "events")
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("overwrite").partitionBy("day").parquet(root.toString)
+      }
+    }
+    root.toString
+  }
+
+  private def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    val lake = s.read.parquet(dayLake(s, dir))
+    // "audit days" dim: a generated date spine filtered by a literal
+    // comparison. Two DPP preconditions live here: the filter must be
+    // "likely selective" (a comparison — an aggregate+limit dim never
+    // triggers the rule), and the dim subtree must be CHEAP relative to
+    // the partitioned scan (a dim that re-aggregates the fact table fails
+    // the rule's cost check at any scale where the test runs) — which is
+    // also why real lakes join calendar/dimension tables, not self-aggs.
+    val busy = Tables(s, dir, "nation").limit(1)
+      .select(explode(sequence(
+        lit(java.sql.Date.valueOf("2024-01-01")),
+        lit(java.sql.Date.valueOf("2024-01-30")))).as("d"))
+      .filter(dayofmonth(col("d")) % 7 === 5) // days 5, 12, 19, 26
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+    lake.join(broadcast(busy), "day")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Num.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val dppJoinSql =
+    s"""WITH busy AS (
+       |  SELECT strftime(d, '%Y-%m-%d') AS day
+       |  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+       |    INTERVAL 1 DAY) g(d)
+       |  WHERE dayofmonth(d) % 7 = 5)
+       |SELECT e.event_type, count(*) AS n_events,
+       |  ${Num.dsumSql("e.value")} AS sum_value
+       |FROM events e
+       |JOIN busy b ON strftime(CAST(e.ts AS DATE), '%Y-%m-%d') = b.day
+       |GROUP BY 1 ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_layout" -> (zorderLayout _),
     "bucketed_join" -> (bucketedJoin _),
-    "bloom_join" -> (bloomJoin _))
+    "bloom_join" -> (bloomJoin _),
+    "dpp_join" -> (dppJoin _))
 
   val oracle: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
     "bucketed_join" -> bucketedJoinSql,
-    "bloom_join" -> bloomJoinSql)
+    "bloom_join" -> bloomJoinSql,
+    "dpp_join" -> dppJoinSql)
 }

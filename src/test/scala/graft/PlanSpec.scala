@@ -107,6 +107,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dpp join: the lake scan carries a dynamic-pruning partition filter") {
+    val p = SparkEntry.queries("dpp_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no runtime partition-pruning subquery injected into the scan:\n$p")
+    // only the audit days' directories may be listed at execution time
+    assert(p.contains("PartitionFilters"), s"scan has no partition filters:\n$p")
+  }
+
   test("bloom join: fact side is bloom-filtered below its shuffle") {
     val p = SparkEntry.queries("bloom_join")(spark, sf0001)
       .queryExecution.executedPlan.toString

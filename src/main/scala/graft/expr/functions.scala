@@ -75,7 +75,9 @@ object functions {
   def simhash(text: Column, shingle: Column): Column =
     inv(TextHashOps.getClass, LongType, "simhash64", text, shingle.cast("int"))
 
-  /** Rolling polynomial fingerprint (mod 1e9+7) over UTF-8 bytes. */
+  /** Rolling polynomial fingerprint (mod 1e9+7) over Unicode code points
+    * (NOT UTF-8 bytes — the DuckDB oracle mirror folds `ascii(c)` per
+    * character, and a byte fold desyncs on non-ASCII text). */
   def fingerprint(text: Column): Column =
     inv(TextHashOps.getClass, LongType, "fingerprint", text)
 

@@ -49,4 +49,55 @@ private[graft] object ContentKey {
         }
         rm(stale)
       }
+
+  // ---- derived-directory integrity manifest ----
+  // _SUCCESS alone is not integrity: a tmp cleaner can delete part files
+  // and leave the marker, and adopting such a dir silently drops rows.
+  // After a successful write, record every data file (relative path,
+  // recursive — partitioned layouts included); adoption requires the
+  // marker AND every recorded file to still exist.
+
+  private val ManifestName = ".graft_files"
+
+  private def dataFiles(root: java.io.File): Seq[String] = {
+    val base = root.toPath
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(root).filter(_.getName.startsWith("part-"))
+      .map(f => base.relativize(f.toPath).toString)
+  }
+
+  /** Record the data files currently under `root`. Call after the write
+    * completes; a crash before this leaves no manifest → next reader
+    * rebuilds (safe). */
+  def writeManifest(root: java.io.File): Unit =
+    java.nio.file.Files.write(new java.io.File(root, ManifestName).toPath,
+      dataFiles(root).sorted.mkString("\n").getBytes("UTF-8"))
+
+  /** True iff the write marker is present AND every manifest-recorded
+    * data file still exists. */
+  def manifestOk(root: java.io.File): Boolean = {
+    val manifest = new java.io.File(root, ManifestName)
+    new java.io.File(root, "_SUCCESS").exists() && manifest.exists() && {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(manifest.toPath).asScala
+        .forall(n => new java.io.File(root, n).exists())
+    }
+  }
+
+  /** Bounded LRU for in-memory derived models (quantizer samples,
+    * codebooks, bloom filters): content-keyed entries for regenerated
+    * datasets would otherwise accumulate for the JVM lifetime. */
+  final class Lru[V](max: Int) {
+    private val m = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]) =
+        size() > max
+    }
+    def get(key: String)(compute: => V): V = m.synchronized {
+      val hit = m.get(key)
+      if (hit != null || m.containsKey(key)) hit
+      else { val v = compute; m.put(key, v); v }
+    }
+  }
 }

@@ -169,11 +169,12 @@ object IngestOps {
     val key = ContentKey.of(s, Seq(s"$dir/events.parquet"))
     val root = new java.io.File(parent, key)
     geoLakeLock.synchronized {
-      if (!new java.io.File(root, "_SUCCESS").exists()) {
+      if (!ContentKey.manifestOk(root)) { // _SUCCESS alone ≠ integrity
         ContentKey.evictStale(parent, key)
         enrich(decode(Tables(s, dir, "events")))
           .sortWithinPartitions(col("bbox.xmin"))
           .write.mode("overwrite").parquet(root.toString)
+        ContentKey.writeManifest(root)
       }
     }
     root.toString

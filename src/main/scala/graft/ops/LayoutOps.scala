@@ -96,22 +96,13 @@ object LayoutOps {
       def ensure(table: String, sub: String, bucketCol: String)(
           write: String => Unit): Unit = {
         val path = new java.io.File(base, sub)
-        val manifest = new java.io.File(path, ".graft_files")
-        // _SUCCESS alone is not integrity: a tmp cleaner can remove part
-        // files and leave the marker, and adopting such a dir makes the
-        // bucketed join silently drop rows. The write records its data
-        // files; adoption requires every one of them to still exist.
-        def dataOk: Boolean =
-          new java.io.File(path, "_SUCCESS").exists() && manifest.exists() && {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.readAllLines(manifest.toPath).asScala
-              .forall(n => new java.io.File(path, n).exists())
-          }
+        // manifest-validated adoption (ContentKey.manifestOk): _SUCCESS
+        // alone would adopt a partially-deleted dir and silently drop rows
         if (s.catalog.tableExists(table)) {
-          if (dataOk) return
+          if (ContentKey.manifestOk(path)) return
           s.sql(s"DROP TABLE `$table`") // entry outlived its tmp data
         }
-        if (dataOk) {
+        if (ContentKey.manifestOk(path)) {
           val ddl = s.read.parquet(path.toString).schema.toDDL
           s.sql(
             s"""CREATE TABLE `$table` ($ddl) USING parquet
@@ -121,12 +112,7 @@ object LayoutOps {
         } else {
           ContentKey.evictStale(parent, key)
           write(path.toString)
-          val parts = Option(path.listFiles())
-            .getOrElse(Array.empty[java.io.File])
-            .filter(f => f.isFile && f.getName.startsWith("part-"))
-            .map(_.getName)
-          java.nio.file.Files.write(manifest.toPath,
-            parts.sorted.mkString("\n").getBytes("UTF-8"))
+          ContentKey.writeManifest(path)
         }
       }
 
@@ -181,18 +167,19 @@ object LayoutOps {
   // the bloom parameters (1% fpp ≈ 1.2 MB/M keys) in the program.
   private val BloomPriceFloor = 480000.0
 
-  /** Build-once cache (same ContentKey discipline as the ANN model
-    * caches): the bloom build is a full dim-side pass, and repeated
-    * invocations on unchanged data should not re-pay it. */
-  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.util.sketch.BloomFilter]()
+  /** Build-once bounded cache (same ContentKey discipline as the ANN
+    * model caches): the bloom build is a full dim-side pass, and repeated
+    * invocations on unchanged data should not re-pay it; the LRU bound
+    * keeps regenerated datasets from accumulating ~1.2 MB filters for the
+    * JVM lifetime. */
+  private val bloomCache =
+    new ContentKey.Lru[org.apache.spark.util.sketch.BloomFilter](8)
 
   private def bloomJoin(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders").filter(col("o_totalprice") > BloomPriceFloor)
-    val bf = bloomCache.computeIfAbsent(
-      ContentKey.of(s, Seq(s"$dir/orders.parquet")),
-      _ => o.stat.bloomFilter("o_orderkey",
-        expectedNumItems = 1000000L, fpp = 0.01))
+    val bf = bloomCache.get(ContentKey.of(s, Seq(s"$dir/orders.parquet"))) {
+      o.stat.bloomFilter("o_orderkey", expectedNumItems = 1000000L, fpp = 0.01)
+    }
     val might = udf((k: Long) => bf.mightContain(k))
     val l = Tables(s, dir, "lineitem").filter(might(col("l_orderkey")))
     l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
@@ -228,11 +215,12 @@ object LayoutOps {
     val key = ContentKey.of(s, Seq(s"$dir/events.parquet"))
     val root = new java.io.File(parent, key)
     dayLakeLock.synchronized {
-      if (!new java.io.File(root, "_SUCCESS").exists()) {
+      if (!ContentKey.manifestOk(root)) { // _SUCCESS alone ≠ integrity
         ContentKey.evictStale(parent, key)
         Tables(s, dir, "events")
           .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
           .write.mode("overwrite").partitionBy("day").parquet(root.toString)
+        ContentKey.writeManifest(root)
       }
     }
     root.toString

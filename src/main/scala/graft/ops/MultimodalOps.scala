@@ -69,6 +69,10 @@ object MultimodalOps {
       try {
         val fmt = ais.getFormat
         val frames = ais.getFrameLength
+        // AudioSystem.NOT_SPECIFIED (-1, legal for streaming-writer AU
+        // files) or an int-overflowing length is not real metadata —
+        // fall through to the stub rather than report frames = -1
+        if (frames < 0 || frames > Int.MaxValue) return None
         var sum = 0L
         val buf = new Array[Byte](8192)
         var n = ais.read(buf)

@@ -162,30 +162,31 @@ object SimilarityOps {
     (k, probe, sample)
   }
 
-  /** Fit-once cache: the quantizer is deterministic per dataset, so
-    * repeated invocations (both ANN queries, repeated bench passes) reuse
-    * one model instead of re-collecting the sample. */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Array[Double], Int)]()
+  /** Fit-once bounded caches: the quantizers are deterministic per
+    * dataset, so repeated invocations (both ANN queries, repeated bench
+    * passes) reuse one model instead of re-collecting the sample; the LRU
+    * bound keeps regenerated datasets from accumulating multi-MB samples
+    * and codebooks for the JVM lifetime. */
+  private val centroidCache = new ContentKey.Lru[(Int, Array[Double], Int)](8)
 
-  /** The bounded deterministic training sample both quantizer fits (IVF
-    * coarse cells and PQ codebooks) draw from — cached per dataset so
-    * fitting both models costs one scan, not two. */
-  private val sampleCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+  private val sampleCache = new ContentKey.Lru[(Long, Array[Array[Float]])](8)
 
-  private def trainingSample(s: SparkSession, dir: String): Array[Array[Float]] = {
+  /** (corpus size, bounded deterministic training sample) — the ONE
+    * count+scan both quantizer fits (IVF coarse cells and PQ codebooks)
+    * draw from. */
+  private def trainingSample(s: SparkSession, dir: String): (Long, Array[Array[Float]]) = {
     val key = ContentKey.of(s, Seq(s"$dir/embeddings.parquet"))
-    sampleCache.computeIfAbsent(key, _ => {
+    sampleCache.get(key) {
       val n = t(s, dir, "embeddings").count()
       val (_, _, sampleN) = ivfParams(n)
-      t(s, dir, "embeddings")
+      val sample = t(s, dir, "embeddings")
         .orderBy(xxhash64(col("vec_id")))
         .limit(sampleN)
         .select("embedding")
         .collect()
         .map(_.getSeq[Float](0).toArray)
-    })
+      (n, sample)
+    }
   }
 
   /** Returns (dim, flattened K×dim centroid matrix, probe count). */
@@ -194,16 +195,15 @@ object SimilarityOps {
     // regenerated data in the same JVM refits the quantizer instead of
     // silently reusing a stale model
     val key = ContentKey.of(s, Seq(s"$dir/embeddings.parquet"))
-    centroidCache.computeIfAbsent(key, _ => fitCentroidsUncached(s, dir))
+    centroidCache.get(key)(fitCentroidsUncached(s, dir))
   }
 
   /** Driver-side Lloyd iterations on a bounded deterministic sample.
     * Returns (dim, flattened row-major K×dim matrix, rows L2-normalized so
     * a dot product ranks cells by cosine). */
   private def fitCentroidsUncached(s: SparkSession, dir: String): (Int, Array[Double], Int) = {
-    val n = t(s, dir, "embeddings").count()
+    val (n, sample) = trainingSample(s, dir)
     val (cells, _, _) = ivfParams(n)
-    val sample = trainingSample(s, dir)
     val dim = sample.head.length
     val k = math.min(cells, sample.length)
     // probe derives from the FINAL k: if the sample capped k below the
@@ -301,20 +301,19 @@ object SimilarityOps {
   private val PqIters = 5
   private val RerankC = 10 * TopK
 
-  private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Array[Double])]()
+  private val pqCache = new ContentKey.Lru[(Int, Array[Double])](8)
 
   /** Returns (dim, flattened [(sub·Ks + code)·subDim + i] codebook). */
   private[graft] def fitPq(s: SparkSession, dir: String): (Int, Array[Double]) = {
     val key = ContentKey.of(s, Seq(s"$dir/embeddings.parquet"))
-    pqCache.computeIfAbsent(key, _ => fitPqUncached(s, dir))
+    pqCache.get(key)(fitPqUncached(s, dir))
   }
 
   /** Per-subspace Lloyd iterations on the same bounded deterministic
     * sample discipline as [[fitCentroidsUncached]] — the codebook is
     * M×Ks×subDim doubles (≈4 KB), fit on the driver, shipped as a literal. */
   private def fitPqUncached(s: SparkSession, dir: String): (Int, Array[Double]) = {
-    val sample = trainingSample(s, dir)
+    val (_, sample) = trainingSample(s, dir)
     val dim = sample.head.length
     require(dim % PqM == 0, s"dim $dim not divisible into $PqM subspaces")
     val subDim = dim / PqM

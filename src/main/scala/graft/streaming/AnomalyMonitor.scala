@@ -22,17 +22,16 @@ case class AnomalyEvent(key: String, ts: Long, value: Double, zscore: Double)
   * key (route, event type, sensor…), so it is bounded by key cardinality
   * — never by stream length — at any scale.
   *
-  * Estimates are order-dependent (each value is scored against the stats
-  * BEFORE it — the only causal option online); rows are folded in
-  * iterator order, ONE PASS, nothing buffered — a hot key delivering
-  * millions of rows in a trigger streams through in O(1) memory, which
-  * is what keeps the three-numbers-per-key claim true under skew. If
-  * strict within-batch event-time order matters, sort upstream
-  * (`repartition(key).sortWithinPartitions(key, ts)`); the exact,
-  * order-free answer remains the batch query's job. Values are folded
-  * into the moments after scoring, outliers included: robustness
-  * refinements (trimming, EWMA forgetting) layer on the same state
-  * shape. */
+  * Every value in a micro-batch is scored against the moments AS OF THE
+  * PREVIOUS batch, and the batch folds into the state once, as a merged
+  * partial — so flag decisions are a pure function of (state, row set),
+  * identical on any shuffle arrival order and on batch replay after
+  * failure, AND the pass stays single-sweep O(1) memory under a hot key
+  * (no per-batch buffering or sorting). The alternatives fail one side
+  * each: scoring against running in-batch moments makes retries emit
+  * different events; sorting the batch first buffers it. Values fold in
+  * outliers included; robustness refinements (trimming, EWMA
+  * forgetting) layer on the same state shape. */
 class AnomalyProcessor(zThreshold: Double, minSamples: Long)
     extends StatefulProcessor[String, (String, Long, Double), AnomalyEvent] {
 
@@ -45,22 +44,33 @@ class AnomalyProcessor(zThreshold: Double, minSamples: Long)
   override def handleInputRows(key: String,
       rows: Iterator[(String, Long, Double)],
       timers: TimerValues): Iterator[AnomalyEvent] = {
-    var st = if (state.exists()) state.get() else MomentState(0L, 0.0, 0.0)
+    val pre = if (state.exists()) state.get() else MomentState(0L, 0.0, 0.0)
+    val preSd =
+      if (pre.n > 1) math.sqrt(pre.m2 / (pre.n - 1)) else 0.0
+    val score = pre.n >= minSamples && preSd > 0
     val out = Seq.newBuilder[AnomalyEvent]
+    // batch partials (count / mean / M2 in Welford form), merged into the
+    // state once below via the parallel-moments combination
+    var bn = 0L
+    var bMean = 0.0
+    var bM2 = 0.0
     for ((_, ts, x) <- rows) {
-      if (st.n >= minSamples) {
-        val sd = math.sqrt(st.m2 / (st.n - 1))
-        if (sd > 0) {
-          val z = (x - st.mean) / sd
-          if (math.abs(z) >= zThreshold) out += AnomalyEvent(key, ts, x, z)
-        }
+      if (score) {
+        val z = (x - pre.mean) / preSd
+        if (math.abs(z) >= zThreshold) out += AnomalyEvent(key, ts, x, z)
       }
-      val n1 = st.n + 1
-      val d = x - st.mean
-      val mean1 = st.mean + d / n1
-      st = MomentState(n1, mean1, st.m2 + d * (x - mean1))
+      bn += 1
+      val d = x - bMean
+      bMean += d / bn
+      bM2 += d * (x - bMean)
     }
-    state.update(st)
+    if (bn > 0) {
+      val n = pre.n + bn
+      val delta = bMean - pre.mean
+      state.update(MomentState(n,
+        pre.mean + delta * bn / n,
+        pre.m2 + bM2 + delta * delta * pre.n * bn / n))
+    }
     out.result().iterator
   }
 }

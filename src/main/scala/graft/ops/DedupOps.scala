@@ -65,7 +65,9 @@ object DedupOps {
 
   private val ngramJaccardSql =
     s"""WITH tk AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
       |sh AS (
       |  SELECT doc_id,
       |    CASE WHEN len(toks) >= 3 THEN
@@ -322,7 +324,9 @@ object DedupOps {
 
   private val resolveSql =
     s"""WITH RECURSIVE tk AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
       |sh AS (
       |  SELECT doc_id,
       |    CASE WHEN len(toks) >= 3 THEN
@@ -394,7 +398,9 @@ object DedupOps {
     * SQL mirror of [[contamRows]]. */
   private val contamRowsCtes = {
     val gram = (0 until ContamN).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
-    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""tk AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
        |sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(toks) >= $ContamN THEN

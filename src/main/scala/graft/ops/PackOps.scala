@@ -55,7 +55,9 @@ object PackOps {
     d.withColumn("shard", col("fp") % NShards)
       .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
       .groupBy(col("shard"),
-        floor(col("start_off").cast("double") / SeqBudget).cast("long").as("bin"))
+        // BIGINT division: exact at any offset (floor == truncate for the
+        // nonnegative prefix sums), where a double floor loses past 2^53
+        expr(s"start_off DIV $SeqBudget").as("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy("shard", "bin")
   }
@@ -70,7 +72,7 @@ object PackOps {
        |    sum(n_tok) OVER (PARTITION BY fp % $NShards ORDER BY fp, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
        |  FROM d)
-       |SELECT shard, CAST(floor(CAST(start_off AS DOUBLE) / $SeqBudget) AS BIGINT) AS bin,
+       |SELECT shard, CAST(start_off AS BIGINT) // $SeqBudget AS bin,
        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
        |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
 

@@ -319,7 +319,9 @@ object SimilarityOps {
     val subDim = dim / PqM
     val book = new Array[Double](PqM * PqKs * subDim)
     for (sub <- 0 until PqM) {
-      // seed codes with the first Ks distinct sample subvectors
+      // seed codes with the first Ks sample subvectors (possibly
+      // duplicated — the empty-cluster respawn below re-separates any
+      // codebook entries that collapse onto the same seed)
       var cents = Array.tabulate(PqKs, subDim)((c, i) =>
         sample(c % sample.length)(sub * subDim + i).toDouble)
       for (_ <- 0 until PqIters) {

@@ -24,9 +24,13 @@ case class AnomalyEvent(key: String, ts: Long, value: Double, zscore: Double)
   *
   * Every value in a micro-batch is scored against the moments AS OF THE
   * PREVIOUS batch, and the batch folds into the state once, as a merged
-  * partial — so flag decisions are a pure function of (state, row set),
-  * identical on any shuffle arrival order and on batch replay after
-  * failure, AND the pass stays single-sweep O(1) memory under a hot key
+  * partial — so the batch's flag decisions are a pure function of
+  * (state, row set), identical on any shuffle arrival order and on batch
+  * replay after failure. The in-batch Welford partial itself accumulates
+  * in iterator order, so the merged state may drift by float ulps across
+  * row orderings — later batches' flags could differ only at an exact
+  * threshold ulp-edge, never this batch's. In exchange the pass stays
+  * single-sweep O(1) memory under a hot key
   * (no per-batch buffering or sorting). The alternatives fail one side
   * each: scoring against running in-batch moments makes retries emit
   * different events; sorting the batch first buffers it. Values fold in

@@ -15,11 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - z-score anomaly detection (exact two-pass moments, broadcast join),
   *   - resample + last-observation-carried-forward gap fill.
   *
-  * Scale notes: every window here is partitioned by a bounded key
-  * (`event_type`), never a global ORDER BY — at 100 TB each partition's
-  * window sorts locally after one hash shuffle. The anomaly join
-  * broadcasts a per-type stats table (|types| rows). The resample spine is
-  * |types| × |buckets| rows — generated, not scanned.
+  * Scale notes: no query here does a global ORDER BY over the fact, and
+  * the two full-fact windows (`events_headway`, `window_range`) are
+  * CHUNKED: keyed by (event_type, UTC day) with a boundary carry, so
+  * window parallelism scales with data volume instead of capping at
+  * |event_type| tasks (see each query's comment for the equivalence
+  * argument). The anomaly join broadcasts a per-type stats table
+  * (|types| rows). The resample spine is |types| × |buckets| rows —
+  * generated, not scanned; its LOCF window is per-type over spine rows
+  * only, which is bounded by the bucket calendar, not the fact.
   *
   * Gap arithmetic is done in exact integer microseconds (`unix_micros`)
   * and converted to double only at the end, per the [[Num]] convention.
@@ -34,18 +38,48 @@ object TimeSeriesOps {
   // lag() over (type, ts) — the transit "headway between consecutive
   // vehicles" measure, computed on exact microseconds. The (ts, event_id)
   // ordering tiebreak makes the lag deterministic under equal timestamps.
+  //
+  // CHUNKED TWO-LEVEL WINDOW: `event_type` has a handful of values, so a
+  // plain per-type window caps parallelism at |types| tasks — fine at sf,
+  // a single-task sort of the whole fact at 100 TB. Instead the lag runs
+  // per (type, UTC day): level 1 computes in-chunk gaps locally after a
+  // composite-key shuffle (parallelism scales with data volume), level 2
+  // recovers the one gap that crosses each chunk boundary from per-chunk
+  // (first, last) summaries — a |types|×|days|-row frame, so ITS per-type
+  // window is trivially small. Equal timestamps never span a day
+  // boundary, so chunk order is consistent with the global (ts, event_id)
+  // order and the gap multiset is identical to the single-window form.
+
+  private val DayUs = 86400L * 1000000L
 
   private def headway(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    t(s, dir, "events")
-      .select(col("event_type"), col("ts"), col("event_id"))
-      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+    val wLoc = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    val chunks = t(s, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("day", expr(s"us DIV $DayUs"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(wLoc))
+      .groupBy("event_type", "day")
+      .agg(
+        count(col("gap_us")).as("n_loc"),
+        sum(col("gap_us")).as("s_loc"),
+        max(col("gap_us")).as("m_loc"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"))
+    val wChunk = Window.partitionBy("event_type").orderBy("day")
+    chunks
+      .withColumn("bgap_us", col("first_us") - lag(col("last_us"), 1).over(wChunk))
       .groupBy("event_type")
       .agg(
-        count(col("gap_us")).as("n_gaps"),
-        (sum(col("gap_us")).cast("double") / count(col("gap_us")) / lit(1000000))
-          .as("avg_gap_s"),
-        (max(col("gap_us")).cast("double") / lit(1000000)).as("max_gap_s"))
+        (sum(col("n_loc")) + count(col("bgap_us"))).as("n_gaps"),
+        // total gap sum is exact-integer (in-chunk sums telescope to
+        // last−first); null only when there are no gaps at all, matching
+        // the single-window form's sum-of-empty = null
+        when(sum(col("n_loc")) + count(col("bgap_us")) > 0,
+          (coalesce(sum(col("s_loc")), lit(0L)) + coalesce(sum(col("bgap_us")), lit(0L)))
+            .cast("double") /
+            (sum(col("n_loc")) + count(col("bgap_us"))) / lit(1000000)).as("avg_gap_s"),
+        (greatest(max(col("m_loc")), max(col("bgap_us"))).cast("double") / lit(1000000))
+          .as("max_gap_s"))
       .orderBy("event_type")
   }
 
@@ -310,17 +344,37 @@ object TimeSeriesOps {
   // the windowing mode `window_funcs`' ROWS frames can't express. Frames
   // over decimal sums keep the oracle exact; tie rows (equal tsec) are
   // RANGE peers in both engines, so the result is order-independent.
+  //
+  // CHUNKED TWO-LEVEL WINDOW: like `events_headway`, the window is keyed
+  // by (type, UTC day) so parallelism scales with data, not |types|. The
+  // frame reaches back ≤ Step s < a day, so a row's frame can only cross
+  // into the previous day: each day's trailing Step-second tail is
+  // duplicated into the NEXT day's chunk as frame-member-only rows
+  // (`own` = false — they aggregate into others' frames but emit no
+  // output row). The carried fraction is Step/86400 ≈ 0.7 % of the fact,
+  // so the union costs a second (filter-pushed) scan of that sliver, and
+  // every frame is provably complete inside its chunk.
+
+  private val DaySec = 86400L
 
   private def windowRange(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("tsec")
-      .rangeBetween(-Step, 0)
-    t(s, dir, "events")
+    val e = t(s, dir, "events")
       .select(col("event_type"), col("event_id"),
         unix_timestamp(col("ts")).as("tsec"),
         col("value").cast(D).as("v"))
-      .select(col("event_type"), col("event_id"),
+      .withColumn("day", expr(s"tsec DIV $DaySec"))
+    val carried = e
+      .filter(col("tsec") >= (col("day") + 1) * DaySec - Step)
+      .withColumn("day", col("day") + 1)
+    val w = Window.partitionBy("event_type", "day").orderBy("tsec")
+      .rangeBetween(-Step, 0)
+    e.withColumn("own", lit(true))
+      .unionByName(carried.withColumn("own", lit(false)))
+      .select(col("event_type"), col("event_id"), col("own"),
         sum(col("v")).over(w).cast("double").as("moving_sum"),
         count(lit(1)).over(w).as("n_window"))
+      .filter(col("own"))
+      .select("event_type", "event_id", "moving_sum", "n_window")
       .orderBy("event_type", "event_id")
   }
 

@@ -260,6 +260,21 @@ class PlanSpec extends SparkSpec {
     assert(!g.contains("CodegenFallback"), "geo kernels fell back")
   }
 
+  test("full-fact windows shuffle on the chunked (type, day) composite key") {
+    // events_headway / window_range must NOT cap parallelism at
+    // |event_type|: their fact-sized window exchange has to carry the
+    // day-bucket chunk key so task count scales with data volume. The
+    // tiny level-2 per-type window (chunk summaries / spine rows) may
+    // still partition on event_type alone.
+    for (q <- Seq("events_headway", "window_range")) {
+      val p = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(event_type#\\d+, day#\\d+".r
+               .findFirstIn(p).isDefined,
+        s"$q window exchange lost the (event_type, day) chunk key:\n$p")
+    }
+  }
+
   test("window dedup shuffles once on the key plus the presentation sort") {
     // exchanges are inserted by EnsureRequirements → inspect executedPlan
     val p = SparkEntry.queries("window_dedup")(spark, sf0001)

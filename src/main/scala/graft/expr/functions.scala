@@ -51,6 +51,15 @@ object functions {
   def st_ashexwkb(geom: Column): Column =
     org.apache.spark.sql.functions.upper(org.apache.spark.sql.functions.hex(geom))
 
+  // ---- sketch probes ----
+
+  /** Codegen bloom-filter membership probe: `filter` is the serialized
+    * `spark.util.sketch.BloomFilter` as a binary literal, `key` a long.
+    * Deserialization is memoized per task thread (see [[BloomProbe]]). */
+  def bloom_might_contain(filter: Column, key: Column): Column =
+    inv(BloomProbe.getClass, BooleanType, "mightContainLong",
+      filter, key.cast("long"))
+
   // ---- stats (F11) ----
 
   def erf(x: Column): Column =

@@ -180,8 +180,12 @@ object LayoutOps {
     val bf = bloomCache.get(ContentKey.of(s, Seq(s"$dir/orders.parquet"))) {
       o.stat.bloomFilter("o_orderkey", expectedNumItems = 1000000L, fpp = 0.01)
     }
-    val might = udf((k: Long) => bf.mightContain(k))
-    val l = Tables(s, dir, "lineitem").filter(might(col("l_orderkey")))
+    // codegen StaticInvoke probe over the serialized filter (binary
+    // literal, per-thread deserialization memo) — keeps the fact scan's
+    // hot filter inside whole-stage codegen; see graft.expr.BloomProbe
+    val bytes = { val o = new java.io.ByteArrayOutputStream(); bf.writeTo(o); o.toByteArray }
+    val l = Tables(s, dir, "lineitem")
+      .filter(gf.bloom_might_contain(lit(bytes), col("l_orderkey")))
     l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"),

@@ -123,11 +123,11 @@ class PlanSpec extends SparkSpec {
       s"merge hint not honored (dim modeled as unbroadcastable):\n$p")
     // the semi-join reduction must happen BELOW the fact side's shuffle:
     // in tree-printed order that is Exchange(l_orderkey) above a
-    // Filter containing the mightContain UDF above the lineitem scan.
-    // A plan that applies the UDF above the exchange (no reduction of
-    // shuffled rows) breaks this ordering and must fail here.
+    // Filter containing the mightContainLong kernel above the lineitem
+    // scan. A plan that applies the probe above the exchange (no
+    // reduction of shuffled rows) breaks this ordering and must fail.
     val re = ("(?s)Exchange hashpartitioning\\(l_orderkey.*?" +
-      "Filter .*?UDF\\([^)]{0,60}l_orderkey.*?Scan parquet").r
+      "Filter .*?mightContainLong.*?l_orderkey.*?Scan parquet").r
     assert(re.findFirstIn(p).isDefined,
       s"mightContain filter is not between the fact scan and its exchange:\n$p")
   }
@@ -258,6 +258,11 @@ class PlanSpec extends SparkSpec {
     // custom StaticInvoke kernels must not force the plan out of codegen
     val g = plan("geo_enrich")
     assert(!g.contains("CodegenFallback"), "geo kernels fell back")
+    // the bloom probe is a StaticInvoke kernel, not a boxed Scala UDF:
+    // the fact-side filter must stay inside whole-stage codegen
+    val b = plan("bloom_join")
+    assert(!b.contains("CodegenFallback"), "bloom probe fell back")
+    assert(!b.contains("UDF"), "bloom probe regressed to a Scala UDF")
   }
 
   test("full-fact windows shuffle on the chunked (type, day) composite key") {

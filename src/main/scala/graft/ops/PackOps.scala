@@ -146,13 +146,21 @@ object PackOps {
   // One scan computes count/nulls/distinct/min/max for every profiled
   // column at once (A8 DESCRIBE, extended); stack() unpivots the 1-row
   // aggregate into a per-column report.
+  //
+  // Two forms share the builder: the EXACT form (the DuckDB-oracle
+  // anchor) uses countDistinct — 4 exact distincts in one agg cost an
+  // Expand that replays the scan ×5, fine at oracle scale; the APPROX
+  // form swaps in HLL++ `approx_count_distinct` (rows-only, ≤ 2 %
+  // error pinned by TimeSeriesPackSpec), which needs NO Expand — one
+  // true single pass, the 100 TB default.
 
   private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
-  private def tableProfile(s: SparkSession, dir: String): DataFrame = {
+  private def profileWith(distinctAgg: Column => Column)(
+      s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val measures: Seq[Column] = count(lit(1)).as("n") +: ProfileCols.flatMap { c =>
-      Seq(count(col(c)).as(s"c_$c"), countDistinct(col(c)).as(s"d_$c"),
+      Seq(count(col(c)).as(s"c_$c"), distinctAgg(col(c)).as(s"d_$c"),
         min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
     }
     val a = li.agg(measures.head, measures.tail: _*)
@@ -163,6 +171,14 @@ object PackOps {
         s"stack(${ProfileCols.size}, $stackArgs) AS (col_name, n, n_null, n_distinct, min_v, max_v)"))
       .orderBy("col_name")
   }
+
+  private def tableProfile(s: SparkSession, dir: String): DataFrame =
+    profileWith(countDistinct(_))(s, dir)
+
+  private def tableProfileApprox(s: SparkSession, dir: String): DataFrame =
+    // rsd 1 %: a few KB of HLL registers per column — still a fixed-size
+    // sketch, and inside the 2 % bound TimeSeriesPackSpec pins
+    profileWith(approx_count_distinct(_, rsd = 0.01))(s, dir)
 
   private val tableProfileSql = {
     val pieces = ProfileCols.map { c =>
@@ -232,7 +248,10 @@ object PackOps {
     "seq_pack" -> (seqPack _),
     "mixture_weights" -> (mixtureWeights _),
     "sample_stratified" -> (sampleStratified _),
-    "table_profile" -> (tableProfile _))
+    "table_profile" -> (tableProfile _),
+    // rows-only: HLL estimates have no DuckDB-exact mirror; the ≤ 2 %
+    // error bound vs the exact form is pinned in TimeSeriesPackSpec
+    "table_profile_approx" -> (tableProfileApprox _))
 
   val oracle: Map[String, String] = Map(
     "dq_check" -> dqCheckSql,

@@ -123,6 +123,28 @@ class TimeSeriesPackSpec extends SparkSpec {
     }
   }
 
+  test("approx profile: HLL distincts within 2% of exact, rest identical, no Expand") {
+    val exact = q("table_profile").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = q("table_profile_approx").collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      // everything but the distinct estimate is computed identically
+      assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2) &&
+        r.getDouble(4) == e.getDouble(4) && r.getDouble(5) == e.getDouble(5),
+        s"${r.getString(0)}: non-distinct measures diverged from the exact form")
+      val (est, act) = (r.getLong(3).toDouble, e.getLong(3).toDouble)
+      assert(math.abs(est - act) / act <= 0.02,
+        s"${r.getString(0)}: HLL estimate $est vs exact $act beyond 2%")
+    }
+    // the whole point of the twin: approx distincts need no Expand replay
+    val p = plan("table_profile_approx")
+    assert(!p.contains("Expand"), s"approx profile still pays the Expand:\n$p")
+    assert(plan("table_profile").contains("Expand"),
+      "exact anchor unexpectedly lost its Expand — update the scale notes")
+  }
+
   // ---- funnel / cohort ----
 
   test("funnel steps are monotonically shrinking") {

@@ -132,6 +132,49 @@ class MultimodalSpec extends SparkSpec {
       "definitely not audio".getBytes("UTF-8")))
   }
 
+  test("real MP4 headers parse to true dimensions and duration") {
+    // build a minimal but structurally honest ISO-BMFF file:
+    // ftyp + moov(mvhd + trak(tkhd audio 0x0) + trak(tkhd video WxH))
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length)
+      out.put(tpe.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    def mvhd(timescale: Int, duration: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(100) // v0 mvhd payload size
+      b.position(12); b.putInt(timescale).putInt(duration)
+      box("mvhd", b.array())
+    }
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(84) // v0 tkhd payload size
+      b.position(76); b.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+      box("tkhd", b.array())
+    }
+    def mp4(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] =
+      box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](12)) ++
+        box("moov", mvhd(timescale, duration) ++
+          box("trak", tkhd(0, 0)) ++ // audio track: no dims — must be skipped
+          box("trak", tkhd(w, h)))
+
+    val m = MultimodalOps.decodeVideo(1L, mp4(1920, 1080, 600, 9000)).get
+    assert(m.width == 1920 && m.height == 1080)
+    assert(m.frames == 15000, s"duration ${m.frames} ms, want 9000/600 s")
+    val m2 = MultimodalOps.decodeVideo(2L, mp4(640, 480, 1000, 2500)).get
+    assert(m2.width == 640 && m2.height == 480 && m2.frames == 2500)
+    // non-BMFF bytes and truncated headers refuse rather than misreport
+    assert(MultimodalOps.decodeVideo(3L, "not a video".getBytes).isEmpty)
+    assert(MultimodalOps.decodeVideo(4L,
+      mp4(1920, 1080, 600, 9000).take(24)).isEmpty)
+    // zero timescale (division trap) refuses
+    assert(MultimodalOps.decodeVideo(5L, mp4(64, 64, 0, 100)).isEmpty)
+    // the batch path routes container bytes through the video decoder
+    import spark.implicits._
+    val out = MultimodalOps.decodeBatch(spark,
+      Seq((9L, mp4(320, 240, 100, 450))).toDF("doc_id", "media")).collect().head
+    assert(out.width == 320 && out.height == 240 && out.frames == 4500)
+  }
+
   test("decode runs distributed (partition-level batches, no collect)") {
     val plan = MultimodalOps.decodeBatch(spark, blobs)
       .queryExecution.executedPlan.toString

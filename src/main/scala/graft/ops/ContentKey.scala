@@ -86,6 +86,29 @@ private[graft] object ContentKey {
     }
   }
 
+  /** Cross-process critical section for building/adopting the derived
+    * dir `parent/key`: blocks on an OS advisory file lock
+    * (`parent/.<key>.lock`) so two JVMs sharing a tmp/object-store path
+    * cannot race a build — one writes, the other waits and then adopts
+    * via the usual manifest re-check. Prefer this over an atomic-create
+    * sentinel file: the OS releases a dead process's locks, so a crash
+    * mid-build never wedges later builders, while a leaked sentinel
+    * would. Callers MUST already hold their JVM-local monitor — file
+    * locks are per-process, and an overlapping in-process attempt throws
+    * rather than blocks. The lock file is metadata next to the key dir,
+    * invisible to `evictStale` (which removes only directories). */
+  def withDirLock[T](parent: java.io.File, key: String)(body: => T): T = {
+    parent.mkdirs()
+    val ch = java.nio.channels.FileChannel.open(
+      new java.io.File(parent, s".$key.lock").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val l = ch.lock()
+      try body finally l.release()
+    } finally ch.close()
+  }
+
   /** Bounded LRU for in-memory derived models (quantizer samples,
     * codebooks, bloom filters): content-keyed entries for regenerated
     * datasets would otherwise accumulate for the JVM lifetime. */

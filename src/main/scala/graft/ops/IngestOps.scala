@@ -169,13 +169,18 @@ object IngestOps {
     val key = ContentKey.of(s, Seq(s"$dir/events.parquet"))
     val root = new java.io.File(parent, key)
     geoLakeLock.synchronized {
-      if (!ContentKey.manifestOk(root)) { // _SUCCESS alone ≠ integrity
-        ContentKey.evictStale(parent, key)
-        enrich(decode(Tables(s, dir, "events")))
-          .sortWithinPartitions(col("bbox.xmin"))
-          .write.mode("overwrite").parquet(root.toString)
-        ContentKey.writeManifest(root)
-      }
+      // fast path without the cross-process lock; the authoritative
+      // re-check happens under it (another JVM may finish while we wait)
+      if (!ContentKey.manifestOk(root))
+        ContentKey.withDirLock(parent, key) {
+          if (!ContentKey.manifestOk(root)) { // _SUCCESS alone ≠ integrity
+            ContentKey.evictStale(parent, key)
+            enrich(decode(Tables(s, dir, "events")))
+              .sortWithinPartitions(col("bbox.xmin"))
+              .write.mode("overwrite").parquet(root.toString)
+            ContentKey.writeManifest(root)
+          }
+        }
     }
     root.toString
   }

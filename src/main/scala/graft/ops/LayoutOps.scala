@@ -116,21 +116,27 @@ object LayoutOps {
         }
       }
 
-      ensure(ordT, "orders", "o_custkey") { p =>
-        Tables(s, dir, "orders")
-          .select("o_orderkey", "o_custkey", "o_totalprice")
-          .write.format("parquet")
-          .bucketBy(BucketN, "o_custkey").sortBy("o_custkey")
-          .option("path", p).mode("overwrite")
-          .saveAsTable(ordT)
-      }
-      ensure(custT, "customer", "c_custkey") { p =>
-        Tables(s, dir, "customer")
-          .select("c_custkey", "c_mktsegment")
-          .write.format("parquet")
-          .bucketBy(BucketN, "c_custkey").sortBy("c_custkey")
-          .option("path", p).mode("overwrite")
-          .saveAsTable(custT)
+      // cross-process lock around both ensures: two JVMs sharing this
+      // tmp path serialize here — one writes, the other adopts after
+      // the in-lock manifest re-check (the catalog side is per-session,
+      // so each JVM still registers its own table entries)
+      ContentKey.withDirLock(parent, key) {
+        ensure(ordT, "orders", "o_custkey") { p =>
+          Tables(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.format("parquet")
+            .bucketBy(BucketN, "o_custkey").sortBy("o_custkey")
+            .option("path", p).mode("overwrite")
+            .saveAsTable(ordT)
+        }
+        ensure(custT, "customer", "c_custkey") { p =>
+          Tables(s, dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .write.format("parquet")
+            .bucketBy(BucketN, "c_custkey").sortBy("c_custkey")
+            .option("path", p).mode("overwrite")
+            .saveAsTable(custT)
+        }
       }
     }
     (ordT, custT)
@@ -219,13 +225,18 @@ object LayoutOps {
     val key = ContentKey.of(s, Seq(s"$dir/events.parquet"))
     val root = new java.io.File(parent, key)
     dayLakeLock.synchronized {
-      if (!ContentKey.manifestOk(root)) { // _SUCCESS alone ≠ integrity
-        ContentKey.evictStale(parent, key)
-        Tables(s, dir, "events")
-          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-          .write.mode("overwrite").partitionBy("day").parquet(root.toString)
-        ContentKey.writeManifest(root)
-      }
+      // fast path without the cross-process lock; the authoritative
+      // re-check happens under it (another JVM may finish while we wait)
+      if (!ContentKey.manifestOk(root))
+        ContentKey.withDirLock(parent, key) {
+          if (!ContentKey.manifestOk(root)) { // _SUCCESS alone ≠ integrity
+            ContentKey.evictStale(parent, key)
+            Tables(s, dir, "events")
+              .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+              .write.mode("overwrite").partitionBy("day").parquet(root.toString)
+            ContentKey.writeManifest(root)
+          }
+        }
     }
     root.toString
   }

@@ -198,6 +198,70 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("two sessions racing bucketedTables serialize to one coherent build") {
+    // start cold: no derived dir, no catalog entries
+    val key = graft.ops.LayoutOps.bucketKey(spark, sf0001)
+    val base = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
+        s"${graft.ops.ContentKey.md5(sf0001)}/$key")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(base)
+    spark.sql(s"DROP TABLE IF EXISTS `graft_bkt_ord_$key`")
+    spark.sql(s"DROP TABLE IF EXISTS `graft_bkt_cust_$key`")
+    val racers = Seq(spark.newSession(), spark.newSession()).map { s =>
+      val t = new java.util.concurrent.FutureTask(() =>
+        SparkEntry.queries("bucketed_join")(s, sf0001).collect().map(_.toString).sorted.toSeq)
+      new Thread(t).start(); t
+    }
+    val Seq(a, b) = racers.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(a == b && a.nonEmpty, "racing sessions disagree on the join result")
+    // one coherent build: manifest valid and it lists exactly the files on disk
+    for (sub <- Seq("orders", "customer")) {
+      val d = new java.io.File(base, sub)
+      assert(graft.ops.ContentKey.manifestOk(d), s"$sub: no coherent build")
+    }
+  }
+
+  test("withDirLock blocks while another PROCESS holds the lock") {
+    // the cross-JVM story the in-memory monitor can't cover: a bare-JDK
+    // child process (java source-file mode, no Spark) takes the same OS
+    // file lock, and withDirLock must block until the child exits. A
+    // crashed child releases the lock automatically — the reason this is
+    // an OS lock and not an atomic-create sentinel file.
+    val parent = java.nio.file.Files.createTempDirectory("graft_locktest").toFile
+    val src = new java.io.File(parent, "Hold.java")
+    java.nio.file.Files.write(src.toPath,
+      """import java.nio.channels.FileChannel;
+        |import java.nio.file.*;
+        |public class Hold {
+        |  public static void main(String[] a) throws Exception {
+        |    FileChannel ch = FileChannel.open(Paths.get(a[0]),
+        |      StandardOpenOption.CREATE, StandardOpenOption.WRITE);
+        |    ch.lock();
+        |    System.out.println("READY");
+        |    Thread.sleep(1500);
+        |    System.exit(0);
+        |  }
+        |}""".stripMargin.getBytes("UTF-8"))
+    val lockPath = new java.io.File(parent, ".k1.lock").getAbsolutePath
+    val proc = new ProcessBuilder(
+        System.getProperty("java.home") + "/bin/java",
+        src.getAbsolutePath, lockPath)
+      .redirectErrorStream(true).start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    assert(out.readLine() == "READY", "child failed to take the lock")
+    val t0 = System.nanoTime()
+    graft.ops.ContentKey.withDirLock(parent, "k1") { () }
+    val waitedMs = (System.nanoTime() - t0) / 1000000
+    proc.waitFor()
+    assert(waitedMs >= 1000,
+      s"acquired after ${waitedMs}ms while the child process held the lock")
+  }
+
   test("a catalog entry whose tmp data was deleted is dropped and rebuilt") {
     SparkEntry.queries("bucketed_join")(spark, sf0001).collect()
     val key = graft.ops.LayoutOps.bucketKey(spark, sf0001)

@@ -93,6 +93,32 @@ object Relational {
       |    ORDER BY l_shipdate, l_linenumber, l_partkey) AS rn
       |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
 
+  // Skew mitigation at the WINDOW (E2's shape, the twin of Relational2's
+  // skew_salted_agg): in the plain rn=1 window a hot l_orderkey still
+  // lands every surviving row on ONE reducer task (WindowGroupLimit cuts
+  // row volume, not key placement). The salted twin runs the same
+  // total-order top-1 in two levels — per (key, salt) candidates fan a
+  // hot key across WSalts partitions, then the global top-1 picks among
+  // the ≤ WSalts survivors per key. Because the ordering is a TOTAL
+  // order, min-of-mins equals the global min and the oracle (the plain
+  // window's SQL) hashes identically.
+  private val WSalts = 8
+
+  private def windowDedupSalted(s: SparkSession, dir: String): DataFrame = {
+    val ord = Seq(col("l_shipdate"), col("l_linenumber"), col("l_partkey"))
+    val w1 = Window.partitionBy(col("l_orderkey"), col("salt")).orderBy(ord: _*)
+    val w2 = Window.partitionBy("l_orderkey").orderBy(ord: _*)
+    t(s, dir, "lineitem")
+      .withColumn("salt", col("l_linenumber") % WSalts)
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1).drop("rn", "salt")
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("first_ship"))
+      .orderBy("l_orderkey")
+  }
+
   // C5: negated, case-sensitive regexp predicate (reference: arrival_time
   // NOT regexp '^(2[4-9]|3[0-5]):').
   private def filterRegexp(s: SparkSession, dir: String): DataFrame =
@@ -273,6 +299,7 @@ object Relational {
     "agg_stats" -> (aggStats _),
     "join_chain" -> (joinChain _),
     "window_dedup" -> (windowDedup _),
+    "window_dedup_salted" -> (windowDedupSalted _),
     "filter_regexp" -> (filterRegexp _),
     "filter_isin_between" -> (filterIsinBetween _),
     "global_count" -> (globalCount _),
@@ -287,6 +314,8 @@ object Relational {
     "agg_stats" -> aggStatsSql,
     "join_chain" -> joinChainSql,
     "window_dedup" -> windowDedupSql,
+    // the salted path must produce the byte-identical plain-window result
+    "window_dedup_salted" -> windowDedupSql,
     "filter_regexp" -> filterRegexpSql,
     "filter_isin_between" -> filterIsinBetweenSql,
     "global_count" -> globalCountSql,

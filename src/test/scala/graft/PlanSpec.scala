@@ -355,4 +355,16 @@ class PlanSpec extends SparkSpec {
     // rank(1) pushes through WindowGroupLimit: partial top-1 before the shuffle
     assert(p.contains("WindowGroupLimit"), "missing partial window group limit")
   }
+
+  test("salted window dedup fans hot keys over a (key, salt) exchange first") {
+    val p = SparkEntry.queries("window_dedup_salted")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(l_orderkey#\\d+L, salt#\\d+".r
+             .findFirstIn(p).isDefined,
+      s"salted window lost its (l_orderkey, salt) level-1 exchange:\n$p")
+    // and the level-2 top-1 still exists on the key alone
+    assert("hashpartitioning\\(l_orderkey#\\d+L, 8\\)".r.findFirstIn(p).isDefined
+             || "hashpartitioning\\(l_orderkey#\\d+L\\)".r.findFirstIn(p).isDefined,
+      s"salted window missing the level-2 per-key exchange:\n$p")
+  }
 }

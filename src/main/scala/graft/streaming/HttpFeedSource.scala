@@ -94,4 +94,36 @@ object HttpFeedSource {
       .foreachBatch(onBatch)
       .start()
   }
+
+  /** The offset-tracked form of [[pollQuery]]: the poll happens inside
+    * the [[FeedV2]] DataSourceV2 source (one GET per trigger, payload
+    * WAL-persisted under the checkpoint before the offset advances), so
+    * a replayed batch re-processes the SAME fetched bytes instead of
+    * re-polling — genuine exactly-once from poll to parquet. The sink
+    * side keeps the foreachBatch shape because `writeHive` does work a
+    * declarative sink can't (GeoParquet footer stamping); the SOURCE is
+    * where replayability lives. Poll failures yield an empty batch and
+    * retry next trigger (see FeedV2), so there is no DLQ mode here —
+    * at-most-once semantics stay with the legacy poller. */
+  def pollQueryV2(spark: SparkSession, url: String, outPath: String,
+      checkpoint: String, apiKey: Option[(String, String)] = None,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      timezone: String = "UTC"): StreamingQuery = {
+    val reader = spark.readStream.format("graft-feed").option("url", url)
+    apiKey.foreach { case (h, v) =>
+      reader.option("apiKeyHeader", h).option("apiKeyValue", v)
+    }
+    val onBatch: (Dataset[Row], Long) => Unit = (batch, _) => {
+      val feeds = batch.select("feed")
+      if (!feeds.isEmpty)
+        IngestOps.writeHive(
+          IngestOps.enrich(IngestOps.decodeProtobuf(feeds), timezone), outPath)
+    }
+    reader.load()
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(onBatch)
+      .start()
+  }
 }

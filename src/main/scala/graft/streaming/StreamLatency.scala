@@ -57,7 +57,10 @@ object StreamLatency {
       val out = Files.createTempDirectory("graft-e2e-out")
       val ckpt = Files.createTempDirectory("graft-e2e-ckpt")
       try {
-        val q = HttpFeedSource.pollQuery(spark, url, out.toString, ckpt.toString,
+        // measured through the offset-tracked V2 source (graft-feed), so
+        // the published number covers the production poll path: WAL
+        // persist + offset advance + decode/enrich/write per trigger
+        val q = HttpFeedSource.pollQueryV2(spark, url, out.toString, ckpt.toString,
           trigger = Trigger.ProcessingTime("500 milliseconds"))
         measuredId = q.id
         val deadline = System.nanoTime() + deadlineSec * 1e9.toLong

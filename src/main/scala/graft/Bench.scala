@@ -124,7 +124,19 @@ object Bench {
         "{}"
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream":$stream,"sf":"$sfDir"}""")
+    // Plan-generation fingerprint: md5 of the committed PLANS.md (the
+    // graft.Plans artifact), so each bench archive records which plan
+    // shapes produced its numbers — a changed hash round over round says
+    // "diff PLANS.md before comparing timings".
+    val plansMd5 = {
+      val f = java.nio.file.Paths.get("PLANS.md")
+      if (java.nio.file.Files.exists(f))
+        "\"" + graft.ops.ContentKey.md5(
+          new String(java.nio.file.Files.readAllBytes(f), "UTF-8"), 32) + "\""
+      else "null"
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream":$stream,"plans_md5":$plansMd5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

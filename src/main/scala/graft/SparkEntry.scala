@@ -24,7 +24,8 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Flagship.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ IngestOps.queries ++ CorpusOps.queries ++
-      LayoutOps.queries ++ TimeSeriesOps.queries ++ PackOps.queries
+      LayoutOps.queries ++ TimeSeriesOps.queries ++ PackOps.queries ++
+      CdcOps.queries ++ LinkOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     Relational.oracle ++ Relational2.oracle ++ Flagship.oracle ++
       TextOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
       MultimodalOps.oracle ++ IngestOps.oracle ++ CorpusOps.oracle ++
-      LayoutOps.oracle ++ TimeSeriesOps.oracle ++ PackOps.oracle
+      LayoutOps.oracle ++ TimeSeriesOps.oracle ++ PackOps.oracle ++
+      CdcOps.oracle ++ LinkOps.oracle
 }

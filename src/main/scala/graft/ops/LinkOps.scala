@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Record-linkage and link-analysis operators — the graph layer of the
+  * training-data extension. The reference has no graph plane; these are the
+  * two shapes a corpus pipeline adds on top of dedup (reference analogue:
+  * nothing — extension mandated by the driver brief):
+  *
+  *   - `fuzzy_join`: blocked edit-distance similarity self-join on part
+  *     names — candidate pairs come from token-block equi-joins, never a
+  *     cross product; `levenshtein` only runs inside blocks.
+  *   - `pagerank`: fixed-iteration PageRank over the part co-purchase
+  *     graph (parts sharing an order), the standard "importance over an
+  *     association graph" op — iterative join+aggregate, the same
+  *     distributed shape as [[DedupOps]] pointer-jumping resolve.
+  *
+  * Scale notes: fuzzy_join's blocking keys (first + last name token) are
+  * equi-join keys, so candidate generation is a hash join whose fan-out is
+  * the block-size distribution, not |names|²; PlanSpec's catalog-wide sweep
+  * asserts no cartesian product. Missed pairs differing in BOTH blocking
+  * tokens are the documented recall trade — the production upgrade is more
+  * passes (q-gram blocks), each still an equi-join. PageRank's per-iteration
+  * plan is edges ⋈ ranks (shuffle keyed by src) → groupBy dst with map-side
+  * partial aggregation; ranks and degrees are |V|-row frames, edges |E| —
+  * nothing driver-side, no global sort. Five unrolled iterations keep the
+  * plan finite (the oracle mirrors them as five CTEs); a production run
+  * loops to convergence with `localCheckpoint` every few rounds exactly as
+  * `dedup_resolve` does.
+  *
+  * Float discipline (pagerank): contributions are summed in whatever
+  * partition order the shuffle lands, so both engines round each
+  * iteration's rank to 9 decimals (and the published rank to 6) — the
+  * noise floor of a ~hundred-term double sum is ~1e-15, far below the
+  * 5e-10 rounding step, so per-iteration rounding makes the iteration
+  * deterministic across engines and cluster sizes.
+  */
+object LinkOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---- fuzzy similarity join ----
+
+  private[graft] val MaxDist = 4
+
+  private def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part").select(col("p_name")).distinct()
+    // two blocking passes: first token and last token of the name; a pair
+    // is a candidate if it agrees on either block (array_distinct keeps
+    // one-token names from double-counting themselves)
+    val toks = split(col("p_name"), " ")
+    val blocked = names.select(col("p_name"),
+      explode(array_distinct(array(
+        element_at(toks, 1), element_at(toks, -1)))).as("blk"))
+    val a = blocked.select(col("blk"), col("p_name").as("a_name"))
+    val b = blocked.select(col("blk"), col("p_name").as("b_name"))
+    a.join(b, "blk")
+      .filter(col("a_name") < col("b_name"))
+      .select("a_name", "b_name").distinct()
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= MaxDist)
+      .orderBy("a_name", "b_name")
+  }
+
+  private val fuzzyJoinSql =
+    s"""WITH nm AS (SELECT DISTINCT p_name FROM part),
+       |bl AS (
+       |  SELECT p_name, unnest(list_distinct(
+       |    [string_split(p_name, ' ')[1], string_split(p_name, ' ')[-1]])) AS blk
+       |  FROM nm),
+       |cand AS (
+       |  SELECT DISTINCT a.p_name AS a_name, b.p_name AS b_name
+       |  FROM bl a JOIN bl b ON a.blk = b.blk AND a.p_name < b.p_name)
+       |SELECT a_name, b_name,
+       |  CAST(levenshtein(a_name, b_name) AS INT) AS dist
+       |FROM cand
+       |WHERE levenshtein(a_name, b_name) <= $MaxDist
+       |ORDER BY a_name, b_name""".stripMargin
+
+  // ---- PageRank over the co-purchase graph ----
+
+  private[ops] val Damp = 0.85
+  private[ops] val Base = 0.15 // 1 - Damp, written as the same literal in both engines
+  private[ops] val Iters = 5
+  private val IterScale = 9 // per-iteration rounding (see float discipline)
+
+  /** Directed edge list: src part → dst part whenever both appear in the
+    * same order (both directions, deduplicated). Self-join on the
+    * high-cardinality order key — scales as Σ lines²/order, not |fact|². */
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val a = li.select(col("ok"), col("l_partkey").as("src"))
+    val b = li.select(col("ok"), col("l_partkey").as("dst"))
+    a.join(b, "ok").filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(s, dir)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = edges.join(deg, "src")
+    val parts = t(s, dir, "part").select(col("p_partkey").as("id"))
+    // 1-row broadcast total (the PackOps pattern) — no driver collect
+    val tot = parts.agg(count(lit(1)).cast("double").as("nn"))
+    var pr = parts.crossJoin(broadcast(tot))
+      .select(col("id"), (lit(1.0) / col("nn")).as("pr"))
+    for (_ <- 1 to Iters) {
+      val contrib = ed.join(pr, ed("src") === pr("id"))
+        .select(ed("dst").as("id"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("c"))
+      pr = parts.join(contrib, Seq("id"), "left").crossJoin(broadcast(tot))
+        .select(col("id"),
+          round(lit(Base) / col("nn") + lit(Damp) * coalesce(col("c"), lit(0.0)),
+            IterScale).as("pr"))
+    }
+    pr.select(col("id").as("p_partkey"), round(col("pr"), 6).as("rank"))
+      .orderBy("p_partkey")
+  }
+
+  private val pagerankSql: String = {
+    val iters = (1 to Iters).map { i =>
+      s"""p$i AS (
+         |  SELECT pt.p_partkey AS id,
+         |    round($Base / (SELECT n FROM nn) + $Damp * coalesce(c.c, 0), $IterScale) AS pr
+         |  FROM part pt LEFT JOIN (
+         |    SELECT ed.dst AS id, sum(p.pr / ed.outdeg) AS c
+         |    FROM ed JOIN p${i - 1} p ON p.id = ed.src GROUP BY 1) c
+         |  ON c.id = pt.p_partkey)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN d USING (src)),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM part),
+       |p0 AS (SELECT p_partkey AS id, 1.0 / (SELECT n FROM nn) AS pr FROM part),
+       |$iters
+       |SELECT id AS p_partkey, round(pr, 6) AS rank FROM p$Iters
+       |ORDER BY p_partkey""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_join" -> ((s, dir) => fuzzyJoin(s, dir)),
+    "pagerank" -> ((s, dir) => pagerank(s, dir)))
+
+  val oracle: Map[String, String] = Map(
+    "fuzzy_join" -> fuzzyJoinSql,
+    "pagerank" -> pagerankSql)
+}

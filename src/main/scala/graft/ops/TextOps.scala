@@ -196,13 +196,82 @@ object TextOps {
        |CROSS JOIN n
        |ORDER BY pmi_fp DESC, w1, w2 LIMIT $CollocK""".stripMargin
 
+  // Repetition-based quality metrics (the Gopher-rule family, word-level
+  // because this corpus has no line structure): unique-token fraction,
+  // most-frequent-token fraction, most-frequent-bigram fraction. A doc
+  // dominated by one token or one bigram is boilerplate / generator junk.
+  // Shape: explode → two (doc_id, gram) hash aggs → per-doc max — every
+  // shuffle keyed by the high-cardinality doc_id, so the plan scales with
+  // corpus size. Ratios are int/int divisions rounded to 6 in both engines.
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+    def topCount(grams: DataFrame, name: String) = grams
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as(name))
+    val topUni = topCount(
+      base.select(col("doc_id"), explode(col("toks")).as("g")), "topu")
+    val topBi = topCount(
+      base.select(col("doc_id"), explode(when(col("n_tokens") >= 2,
+        expr("transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)))"))
+        .otherwise(array())).as("g")), "topb")
+    base.join(topUni, Seq("doc_id"), "left").join(topBi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("n_uniq").cast("double") / col("n_tokens"), 6)).as("uniq_frac"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("topu"), lit(0L)).cast("double") / col("n_tokens"), 6))
+          .as("top_token_frac"),
+        when(col("n_tokens") > 1,
+          round(coalesce(col("topb"), lit(0L)).cast("double") / (col("n_tokens") - 1), 6))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS INT) AS n_uniq
+      |  FROM tk),
+      |tu AS (
+      |  SELECT doc_id, max(c) AS topu FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(toks) AS g FROM tk)
+      |    GROUP BY doc_id, g)
+      |  GROUP BY 1),
+      |tb AS (
+      |  SELECT doc_id, max(c) AS topb FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS g
+      |      FROM tk)
+      |    GROUP BY doc_id, g)
+      |  GROUP BY 1)
+      |SELECT b.doc_id, n_tokens,
+      |  CASE WHEN n_tokens > 0 THEN
+      |    round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) END AS uniq_frac,
+      |  CASE WHEN n_tokens > 0 THEN
+      |    round(CAST(coalesce(topu, 0) AS DOUBLE) / n_tokens, 6) END AS top_token_frac,
+      |  CASE WHEN n_tokens > 1 THEN
+      |    round(CAST(coalesce(topb, 0) AS DOUBLE) / (n_tokens - 1), 6) END AS top_bigram_frac
+      |FROM base b LEFT JOIN tu USING (doc_id) LEFT JOIN tb USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
     "text_tokens" -> (tokens _),
     "text_tokens_bpe" -> (tokensBpe _),
     "text_fingerprint" -> (fingerprintQ _),
-    "text_collocations" -> (collocations _))
+    "text_collocations" -> (collocations _),
+    "text_repetition" -> (repetition _))
 
   val oracle: Map[String, String] = Map(
     "text_quality" -> qualitySql,
@@ -210,5 +279,6 @@ object TextOps {
     "text_tokens" -> tokensSql,
     "text_tokens_bpe" -> tokensBpeSql,
     "text_fingerprint" -> fingerprintSql,
-    "text_collocations" -> collocationsSql)
+    "text_collocations" -> collocationsSql,
+    "text_repetition" -> repetitionSql)
 }

@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.{CdcOps, LinkOps}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the CDC (merge/SCD2) and link (fuzzy join / PageRank)
+  * operators; exact values are the DuckDB oracle's job. */
+class CdcLinkSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("merge_upsert keeps exactly one row per (user, type), the latest") {
+    val df = q("merge_upsert").cache()
+    val total = df.count()
+    assert(total > 0)
+    assert(df.select("user_id", "event_type").distinct().count() == total)
+    // every surviving row is the max-us row of its key (ties by event_id)
+    val worse = df.as("m")
+      .join(Tables(spark, sf0001, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us2"), col("event_id").as("eid2")).as("e"),
+        Seq("user_id", "event_type"))
+      .filter(col("us2") > col("us") ||
+        (col("us2") === col("us") && col("eid2") > col("event_id")))
+    assert(worse.count() == 0, "a newer event than the merged row exists")
+  }
+
+  test("applyChanges supports tombstones as a post-merge filter") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10L, 1L, 1.0), (2L, "a", 10L, 2L, 2.0))
+      .toDF("user_id", "event_type", "us", "event_id", "value")
+    val changes = Seq((1L, "a", 20L, 3L, Double.NaN), (3L, "a", 20L, 4L, 3.0))
+      .toDF("user_id", "event_type", "us", "event_id", "value")
+    // NaN value = tombstone convention for this test
+    val merged = CdcOps.applyChanges(base, changes)
+      .filter(!isnan(col("value")))
+    val keys = merged.select("user_id").as[Long].collect().sorted
+    assert(keys.toSeq == Seq(2L, 3L), s"got ${keys.toSeq}")
+  }
+
+  test("scd2 intervals are disjoint, ordered, and have one current row per key") {
+    val df = q("scd2_intervals").cache()
+    assert(df.count() > 0)
+    // exactly one open interval per key
+    val open = df.filter(col("is_current"))
+      .groupBy("user_id", "event_type").count()
+      .filter(col("count") =!= 1)
+    assert(open.count() == 0)
+    // valid_to equals the next row's valid_from (half-open chain)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("valid_from_us", "event_id")
+    val broken = df
+      .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .filter(col("valid_to_us").isNotNull &&
+        col("valid_to_us") =!= col("next_from"))
+    assert(broken.count() == 0, "validity chain must be gapless")
+  }
+
+  test("fuzzy_join pairs are blocked, ordered, within distance") {
+    val rows = q("fuzzy_join").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, d) = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(a < b, "pair must be canonically ordered")
+      assert(d >= 1 && d <= LinkOps.MaxDist, s"distance $d out of range")
+      val (at, bt) = (a.split(" "), b.split(" "))
+      assert(at.head == bt.head || at.last == bt.last,
+        s"candidate ($a, $b) agrees on neither blocking token")
+    }
+  }
+
+  test("pagerank assigns every node a positive rank; mass concentrates on connected parts") {
+    val df = q("pagerank").cache()
+    val parts = Tables(spark, sf0001, "part").count()
+    assert(df.count() == parts, "one rank per part")
+    assert(df.filter(col("rank") <= 0).count() == 0)
+    val isolatedRank = 0.15 / parts // fixed point of an in-degree-0 node
+    val connected = LinkOps.coPurchaseEdges(spark, sf0001)
+      .select(col("dst").as("p_partkey")).distinct()
+    val minConnected = df.join(connected, "p_partkey")
+      .agg(min(col("rank"))).head().getDouble(0)
+    assert(minConnected > isolatedRank,
+      "nodes with in-edges must out-rank the isolated fixed point")
+  }
+
+  test("pagerank is deterministic across runs (per-iteration rounding)") {
+    val a = q("pagerank").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = q("pagerank").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("text_repetition fractions are consistent with text_quality token counts") {
+    val rep = q("text_repetition")
+    val bad = rep.filter(
+      col("uniq_frac") <= 0 || col("uniq_frac") > 1 ||
+        col("top_token_frac") <= 0 || col("top_token_frac") > 1 ||
+        col("top_bigram_frac") < 0 || col("top_bigram_frac") > 1)
+    assert(bad.count() == 0)
+    // a doc's top token occurs at least once, so frac·n ≥ 1 (up to the
+    // 6-decimal rounding of the published fraction)
+    val impossible = rep.filter(
+      col("top_token_frac") * col("n_tokens") < lit(1.0 - 1e-3))
+    assert(impossible.count() == 0)
+  }
+}

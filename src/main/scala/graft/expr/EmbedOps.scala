@@ -29,6 +29,32 @@ object EmbedOps {
     acc
   }
 
+  /** Dot product of a float vector against a double vector (member
+    * embedding vs per-group centroid) — same left-to-right double fold as
+    * [[dotF]], so it matches the DuckDB list_reduce mirror exactly. */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Dot product of two double vectors (centroid self-norms). */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Number of agreeing positions of two equal-length long signatures. */
   def sigAgree(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())

@@ -124,6 +124,14 @@ object functions {
   def vec_dot(a: Column, b: Column): Column =
     inv(EmbedOps.getClass, DoubleType, "dotF", a, b)
 
+  /** Float-vector × double-vector dot product (embedding vs centroid). */
+  def vec_dot_fd(a: Column, b: Column): Column =
+    inv(EmbedOps.getClass, DoubleType, "dotFD", a, b)
+
+  /** Double-vector dot product (centroid self-norm). */
+  def vec_dot_d(a: Column, b: Column): Column =
+    inv(EmbedOps.getClass, DoubleType, "dotD", a, b)
+
   /** Count of agreeing positions between two long signatures. */
   def sig_agree(a: Column, b: Column): Column =
     inv(EmbedOps.getClass, IntegerType, "sigAgree", a, b)

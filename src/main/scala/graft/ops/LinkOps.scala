@@ -143,11 +143,80 @@ object LinkOps {
        |ORDER BY p_partkey""".stripMargin
   }
 
+  // ---- triangle counting / transitivity ----
+  // Global clustering structure of the co-purchase graph. The scale-safe
+  // formulation is degree-ordered orientation (each undirected edge points
+  // from the (degree, id)-smaller endpoint): the oriented graph is a DAG
+  // whose out-degrees are bounded by O(√|E|), so the wedge join
+  // (e1.t = e2.s) enumerates each triangle exactly once and its fan-out is
+  // Σ outdeg² — the arboricity-bounded count from Chiba–Nishizeki, not the
+  // Σ deg² blowup a naive orientation gives on skewed graphs. All counts
+  // are integers: zero float-parity risk; transitivity is one final
+  // division of two exact BIGINTs, identical in both engines.
+  private def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val und = coPurchaseEdges(s, dir).filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val du = deg.select(col("id").as("u"), col("d").as("d_u"))
+    val dv = deg.select(col("id").as("v"), col("d").as("d_v"))
+    val fwd = col("d_u") < col("d_v") ||
+      (col("d_u") === col("d_v") && col("u") < col("v"))
+    val o = und.join(du, "u").join(dv, "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"))
+    val wedge = o.select(col("s").as("a"), col("t").as("b"))
+      .join(o.select(col("s").as("b"), col("t").as("c")), "b")
+    val tri = wedge.join(o.select(col("s").as("a"), col("t").as("c")),
+      Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+    val edges = und.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("transitivity"))
+  }
+
+  private val triangleCountSql =
+    """WITH e AS (
+      |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+      |    greatest(a.l_partkey, b.l_partkey) AS v
+      |  FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS d FROM (
+      |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      |           THEN e.u ELSE e.v END AS s,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      |           THEN e.v ELSE e.u END AS t
+      |  FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM o e1 JOIN o e2 ON e1.t = e2.s
+      |    JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t),
+      |nodes AS (
+      |  SELECT count(*) AS n_nodes,
+      |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      |  FROM deg),
+      |edges AS (SELECT count(*) AS n_edges FROM e)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  round(3.0 * n_triangles / n_wedges, 6) AS transitivity
+      |FROM nodes, edges, tri""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_join" -> ((s, dir) => fuzzyJoin(s, dir)),
-    "pagerank" -> ((s, dir) => pagerank(s, dir)))
+    "pagerank" -> ((s, dir) => pagerank(s, dir)),
+    "triangle_count" -> ((s, dir) => triangleCount(s, dir)))
 
   val oracle: Map[String, String] = Map(
     "fuzzy_join" -> fuzzyJoinSql,
-    "pagerank" -> pagerankSql)
+    "pagerank" -> pagerankSql,
+    "triangle_count" -> triangleCountSql)
 }

@@ -399,12 +399,75 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  // Per-label centroid diagnostics — the "is this cluster/label coherent"
+  // check a curation pipeline runs over an embedded corpus: element-wise
+  // mean vector per label, then each member's cosine against its own
+  // centroid. Plan shape: posexplode → (label, dim) hash agg (shuffle keyed
+  // by the composite, parallelism scales with |corpus|·dim), centroids
+  // rebuilt as |labels| rows and BROADCAST back onto the members — the
+  // fact-side scan never shuffles. Float discipline: centroid components
+  // are rounded to 9 decimals in both engines (cross-row sums are
+  // partition-order-dependent), then each member cosine is an ordered
+  // deterministic fold against that rounded centroid; the published
+  // aggregates round to 6.
+  private def embedCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("x").cast("double")), 9).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("centroid"))
+      .withColumn("cnorm",
+        sqrt(gf.vec_dot_d(col("centroid"), col("centroid"))))
+    val members = e.select(col("label"), col("vec_id"), col("embedding"),
+      sqrt(vdot(col("embedding"), col("embedding"))).as("norm"))
+    members.join(broadcast(cent), "label")
+      .select(col("label"), col("cnorm"),
+        (gf.vec_dot_fd(col("embedding"), col("centroid")) /
+          (col("norm") * col("cnorm"))).as("cos"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(first(col("cnorm")), 6).as("centroid_norm"),
+        round(avg(col("cos")), 6).as("avg_cos_to_centroid"),
+        round(min(col("cos")), 6).as("min_cos_to_centroid"))
+      .orderBy("label")
+  }
+
+  private val embedCentroidsSql =
+    s"""WITH d AS (
+       |  SELECT label,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |    unnest(range(1, len(embedding) + 1)) AS i
+       |  FROM embeddings),
+       |cd AS (SELECT label, i, round(avg(x), 9) AS c FROM d GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY i) AS centroid FROM cd GROUP BY 1),
+       |cn AS (
+       |  SELECT label, centroid,
+       |    sqrt(${vdotSql("centroid", "centroid")}) AS cnorm
+       |  FROM cent),
+       |m AS (
+       |  SELECT e.label, e.vec_id, cn.cnorm,
+       |    ${vdotSql("e.embedding", "cn.centroid")} /
+       |      (sqrt(${vdotSql("e.embedding", "e.embedding")}) * cn.cnorm) AS cos
+       |  FROM embeddings e JOIN cn ON e.label = cn.label)
+       |SELECT label, count(*) AS n_vecs,
+       |  round(any_value(cnorm), 6) AS centroid_norm,
+       |  round(avg(cos), 6) AS avg_cos_to_centroid,
+       |  round(min(cos), 6) AS min_cos_to_centroid
+       |FROM m GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_topk" -> (bruteTopK _),
     "simsearch_lsh" -> (lshTopK _),
     "simsearch_ivf" -> (ivfTopK _),
-    "simsearch_ivfpq" -> (ivfPqTopK _))
+    "simsearch_ivfpq" -> (ivfPqTopK _),
+    "embed_centroids" -> (embedCentroids _))
 
   val oracle: Map[String, String] = Map(
-    "simsearch_topk" -> bruteTopKSql)
+    "simsearch_topk" -> bruteTopKSql,
+    "embed_centroids" -> embedCentroidsSql)
 }

@@ -90,6 +90,34 @@ class CdcLinkSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("triangle_count matches a brute-force enumeration at sf0.001") {
+    val row = q("triangle_count").head()
+    val und = LinkOps.coPurchaseEdges(spark, sf0001)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v")).cache()
+    assert(row.getAs[Long]("n_edges") == und.count())
+    // brute force: three edges (u<v), (v<w), (u<w) close a triangle once
+    val e1 = und.select(col("u").as("a"), col("v").as("b"))
+    val e2 = und.select(col("u").as("b"), col("v").as("c"))
+    val e3 = und.select(col("u").as("a"), col("v").as("c"))
+    val brute = e1.join(e2, "b").join(e3, Seq("a", "c")).count()
+    assert(row.getAs[Long]("n_triangles") == brute,
+      s"oriented count ${row.getAs[Long]("n_triangles")} != brute $brute")
+    val t = row.getAs[Double]("transitivity")
+    assert(t >= 0.0 && t <= 1.0)
+  }
+
+  test("embed_centroids cosines are bounded and cover every vector") {
+    val df = q("embed_centroids").cache()
+    val bad = df.filter(
+      col("avg_cos_to_centroid") > 1.000001 ||
+        col("min_cos_to_centroid") > col("avg_cos_to_centroid") ||
+        col("centroid_norm") <= 0)
+    assert(bad.count() == 0)
+    val total = df.agg(sum(col("n_vecs"))).head().getLong(0)
+    assert(total == Tables(spark, sf0001, "embeddings").count())
+  }
+
   test("text_repetition fractions are consistent with text_quality token counts") {
     val rep = q("text_repetition")
     val bad = rep.filter(

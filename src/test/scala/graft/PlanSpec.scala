@@ -90,7 +90,7 @@ class PlanSpec extends SparkSpec {
     val bruteAnchors = Set("simsearch_topk", "dedup_embedding_exact")
     val oneRowBounds = Set("resample_locf", "sample_stratified",
       "mixture_weights", "value_histogram", "date_range",
-      "text_collocations", "tfidf_topk", "pagerank")
+      "text_collocations", "tfidf_topk", "pagerank", "triangle_count")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !bruteAnchors(name) && !oneRowBounds(name)) {
       val p = plan(name)

@@ -107,6 +107,33 @@ class CdcLinkSpec extends SparkSpec {
     assert(t >= 0.0 && t <= 1.0)
   }
 
+  test("kcore peeling matches a brute-force fixpoint at sf0.001") {
+    // k=60 keeps a non-trivial core at this SF (the catalog's k=80
+    // dissolves the 200-part graph — also asserted below)
+    val (edges, rounds) = LinkOps.kcoreEdges(spark, sf0001, 60)
+    assert(rounds <= LinkOps.KcoreRounds, s"no fixpoint within 8 rounds: $rounds")
+    val got = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force on the collected sf0.001 graph
+    var alive = collection.mutable.Set[Long]()
+    val und = LinkOps.coPurchaseEdges(spark, sf0001)
+      .filter(col("src") < col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k2, vs) => k2 -> vs.map(_._2).toSet }
+    alive ++= adj.keys
+    var changed = true
+    while (changed) {
+      val drop = alive.filter(x => adj(x).count(alive) < 60)
+      changed = drop.nonEmpty
+      alive --= drop
+    }
+    val expect = und.filter { case (u, v) => alive(u) && alive(v) }.toSet
+    assert(got == expect, s"${got.size} vs ${expect.size} core edges")
+    // the catalog k: empty core here, converges well within the unroll
+    val (e80, r80) = LinkOps.kcoreEdges(spark, sf0001, LinkOps.KcoreK)
+    assert(e80.count() == 0 && r80 <= LinkOps.KcoreRounds)
+  }
+
   test("embed_centroids cosines are bounded and cover every vector") {
     val df = q("embed_centroids").cache()
     val bad = df.filter(

@@ -50,6 +50,28 @@ object TextHashOps {
   private def tokenize(text: UTF8String): Array[String] =
     text.toString.split(' ').filter(_.nonEmpty)
 
+  /** One BPE merge step: replace every non-overlapping adjacent
+    * occurrence of (a, b) in the token array with the concatenated symbol
+    * a+b, scanning left to right (greedy, the standard BPE application
+    * order — deterministic, so every executor applies a learned merge
+    * identically). */
+  def bpeMergeStep(toks: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val cur = toks.getUTF8String(i)
+      if (i + 1 < n && cur == a && toks.getUTF8String(i + 1) == b) {
+        out.add(UTF8String.concat(a, b))
+        i += 2
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** Distinct word `n`-gram shingles as strings (insertion order) — the
     * single-pass kernel behind the Jaccard operator; the naive
     * transform+element_at formulation re-splits the text per position

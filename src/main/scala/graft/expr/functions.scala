@@ -90,6 +90,11 @@ object functions {
   def fingerprint(text: Column): Column =
     inv(TextHashOps.getClass, LongType, "fingerprint", text)
 
+  /** One greedy left-to-right BPE merge of adjacent (a, b) into a+b. */
+  def bpe_merge(toks: Column, a: Column, b: Column): Column =
+    inv(TextHashOps.getClass, ArrayType(StringType, containsNull = false),
+      "bpeMergeStep", toks, a, b)
+
   /** Distinct word n-gram shingles (single-pass kernel). */
   def shingles(text: Column, n: Column): Column =
     inv(TextHashOps.getClass, ArrayType(StringType, containsNull = false),

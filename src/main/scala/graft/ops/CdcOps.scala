@@ -26,8 +26,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * shuffle-free), and the change feed is the small delta; Spark then only
   * sorts the delta plus the touched buckets. Deletes are the same plan with
   * a tombstone predicate filtered after the dedup window — semantics
-  * documented here, exercised by CdcSpec, omitted from the catalog entry to
-  * keep the oracle a pure upsert.
+  * documented here, exercised by CdcLinkSpec, omitted from the catalog
+  * entry to keep the oracle a pure upsert. The streaming form of this
+  * operator is [[graft.streaming.StateMaintainer]].
   *
   * Timestamps are surfaced as exact integer microseconds (`us`) per the
   * [[Num]] convention so both engines hash identical BIGINTs.

@@ -326,6 +326,49 @@ object CorpusOps {
       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS has_big
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ---- BPE merge-pair training ----
+  // Learn the first `BpeMerges` byte-pair-encoding merges over the word
+  // corpus (word-level symbols: the corpus has no sub-word structure, but
+  // the algorithm is the real one — count adjacent symbol pairs, merge
+  // the argmax, repeat on the rewritten corpus). Per round the heavy part
+  // is distributed: an explode → (l, r) hash agg with map-side combine;
+  // only the single argmax row comes to the driver (TakeOrdered top-1
+  // with a total-order (count desc, l, r) tiebreak — deterministic across
+  // engines and cluster sizes), and the rewrite is a codegen'd per-row
+  // kernel (`bpe_merge`) applied under a localCheckpoint so rounds don't
+  // nest. Iterative-train semantics are not SQL-expressible → rows-only
+  // driver check; CorpusSpec pins the learned sequence against an
+  // in-memory reference implementation at sf0.001.
+  private[graft] val BpeMerges = 8
+
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (rank <- 1 to BpeMerges) {
+      val top = toks
+        .select(explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), (x, i) -> struct(x AS l, element_at(toks, i + 2) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((rank, l, r, c))
+        toks = toks.select(col("doc_id"),
+          gf.bpe_merge(col("toks"), lit(l), lit(r)).as("toks"))
+          .localCheckpoint()
+      }
+    }
+    learned.toSeq.toDF("rank", "left", "right", "pair_count")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "array_funcs" -> (arrayFuncs _),
     "text_normalize" -> (normalize _),
@@ -334,7 +377,8 @@ object CorpusOps {
     "vocab_topk" -> (vocabTopK _),
     "tfidf_topk" -> (tfidfTopK _),
     "embed_quantize" -> (embedQuantize _),
-    "freq_sketch" -> (freqSketch _))
+    "freq_sketch" -> (freqSketch _),
+    "bpe_train" -> (bpeTrain _))
 
   val oracle: Map[String, String] = Map(
     "array_funcs" -> arrayFuncsSql,

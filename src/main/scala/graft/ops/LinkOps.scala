@@ -5,37 +5,42 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Record-linkage and link-analysis operators — the graph layer of the
-  * training-data extension. The reference has no graph plane; these are the
-  * two shapes a corpus pipeline adds on top of dedup (reference analogue:
+  * training-data extension. The reference has no graph plane; these are
+  * the shapes a corpus pipeline adds on top of dedup (reference analogue:
   * nothing — extension mandated by the driver brief):
   *
   *   - `fuzzy_join`: blocked edit-distance similarity self-join on part
   *     names — candidate pairs come from token-block equi-joins, never a
   *     cross product; `levenshtein` only runs inside blocks.
-  *   - `pagerank`: fixed-iteration PageRank over the part co-purchase
-  *     graph (parts sharing an order), the standard "importance over an
-  *     association graph" op — iterative join+aggregate, the same
-  *     distributed shape as [[DedupOps]] pointer-jumping resolve.
+  *   - `pagerank`: five-iteration PageRank over the part co-purchase
+  *     graph (parts sharing an order) — iterative join+aggregate, the
+  *     same distributed shape as [[DedupOps]] pointer-jumping resolve.
+  *   - `triangle_count`: degree-ordered-orientation triangle counting
+  *     with sorted-adjacency intersection.
+  *   - `kcore`: iterative degree peeling to the k-core fixpoint.
   *
   * Scale notes: fuzzy_join's blocking keys (first + last name token) are
   * equi-join keys, so candidate generation is a hash join whose fan-out is
   * the block-size distribution, not |names|²; PlanSpec's catalog-wide sweep
   * asserts no cartesian product. Missed pairs differing in BOTH blocking
   * tokens are the documented recall trade — the production upgrade is more
-  * passes (q-gram blocks), each still an equi-join. PageRank's per-iteration
-  * plan is edges ⋈ ranks (shuffle keyed by src) → groupBy dst with map-side
-  * partial aggregation; ranks and degrees are |V|-row frames, edges |E| —
-  * nothing driver-side, no global sort. Five unrolled iterations keep the
-  * plan finite (the oracle mirrors them as five CTEs); a production run
-  * loops to convergence with `localCheckpoint` every few rounds exactly as
-  * `dedup_resolve` does.
+  * passes (q-gram blocks), each still an equi-join. The shared co-purchase
+  * graph is built by a shuffle-hash self-join on the high-cardinality
+  * order key and materialized ONCE per query (localCheckpoint) — as an
+  * adjacency table (|V| rows, outdeg + neighbor array) for PageRank and
+  * the triangle probe, as an edge list for peeling. PageRank iterations
+  * are adjacency ⋈ broadcast(ranks) → explode → map-side-combined sum
+  * with a per-iteration rank checkpoint (plans must not nest); ranks and
+  * degrees are |V|-row frames — nothing driver-side but the |V| scalar
+  * and the k-core/BPE-style convergence witnesses, no global sort.
   *
   * Float discipline (pagerank): contributions are summed in whatever
   * partition order the shuffle lands, so both engines round each
   * iteration's rank to 9 decimals (and the published rank to 6) — the
   * noise floor of a ~hundred-term double sum is ~1e-15, far below the
   * 5e-10 rounding step, so per-iteration rounding makes the iteration
-  * deterministic across engines and cluster sizes.
+  * deterministic across engines and cluster sizes. Triangle and k-core
+  * outputs are pure integers — no float parity surface at all.
   */
 object LinkOps {
 
@@ -279,12 +284,14 @@ object LinkOps {
       .groupBy("id").agg(count(lit(1)).as("d"))
     var alive = degrees(und).select("id").localCheckpoint()
     var nAlive = alive.count()
+    var sub = und
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       // zero-degree-in-subgraph nodes vanish from `degrees` and are
       // thereby dropped too (their degree is < k by definition)
-      val next = degrees(restrict(alive)).filter(col("d") >= k)
+      sub = restrict(alive)
+      val next = degrees(sub).filter(col("d") >= k)
         .select("id").localCheckpoint()
       val n = next.count()
       converged = n == nAlive
@@ -292,7 +299,9 @@ object LinkOps {
       nAlive = n
       alive = next
     }
-    (restrict(alive), rounds)
+    // at convergence next == alive, so the last `sub` IS the final
+    // restriction — no extra pass
+    (sub, rounds)
   }
 
   private def kcore(s: SparkSession, dir: String): DataFrame = {

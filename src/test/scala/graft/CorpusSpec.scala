@@ -118,6 +118,39 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bpe_train learns exactly the reference merge sequence at sf0.001") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("bpe_train")(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.length == graft.ops.CorpusOps.BpeMerges)
+    // in-memory reference: same argmax tie-break (count desc, then l, r),
+    // same greedy left-to-right non-overlapping merge application
+    var docs = Tables(spark, sf0001, "documents")
+      .select(col("text")).collect()
+      .map(_.getString(0).split(' ').filter(_.nonEmpty).toVector)
+    val expect = (1 to graft.ops.CorpusOps.BpeMerges).map { rank =>
+      val counts = collection.mutable.Map[(String, String), Long]()
+      docs.foreach(d => d.indices.dropRight(1).foreach { i =>
+        counts((d(i), d(i + 1))) = counts.getOrElse((d(i), d(i + 1)), 0L) + 1
+      })
+      val ((l, r), c) = counts.toSeq
+        .minBy { case ((l0, r0), c0) => (-c0, l0, r0) }
+      docs = docs.map { d =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < d.length) {
+          if (i + 1 < d.length && d(i) == l && d(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += d(i); i += 1 }
+        }
+        out.result()
+      }
+      (rank, l, r, c)
+    }
+    assert(got.toSeq == expect,
+      s"merge sequence diverged:\n got   ${got.toSeq}\n expect $expect")
+  }
+
   test("count-min sketch estimates match exact counts and are partition-invariant") {
     import graft.expr.{functions => gf}
     import graft.ops.CorpusOps.{CmsDepth, CmsWidth}

@@ -107,6 +107,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("graph ops: probe-side joins broadcast; edge build is a hash join") {
+    // the co-purchase self-join must be the hinted shuffled-hash join,
+    // not a sort-merge (asserted on the builder — the catalog queries
+    // execute it eagerly inside their localCheckpoint)
+    val e = graft.ops.LinkOps.coPurchaseEdges(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(e.contains("ShuffledHashJoin"),
+      s"edge self-join lost the shuffle_hash hint:\n$e")
+    assert(!e.contains("SortMergeJoin"),
+      s"unexpected sort-merge in the edge build:\n$e")
+    // triangle closure must probe broadcast adjacency — the Σ outdeg²
+    // wedge stream must never hit an exchange
+    val p = plan("triangle_count")
+    assert(p.contains("BroadcastHashJoin"),
+      s"adjacency sides not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"unexpected sort-merge in the triangle probe:\n$p")
+  }
+
   test("dpp join: the lake scan carries a dynamic-pruning partition filter") {
     val p = SparkEntry.queries("dpp_join")(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -168,6 +168,71 @@ object EmbedOps {
     if (denom == 0) 0.0 else dot / denom
   }
 
+  /** Residual-quantization encode: PQ codes of (vec − cell centroid) —
+    * the FAISS IVF-PQ form. The anchor is row `cell` of the flattened
+    * K×dim centroid matrix; the codebook is fit on residuals. Residuals
+    * are far smaller in magnitude than raw vectors (the cell explains the
+    * coarse position), so the same code budget spends its precision on
+    * the fine structure — lower reconstruction error at identical index
+    * size. */
+  def pqEncodeRes(vec: ArrayData, cell: Int, cmat: ArrayData,
+      codebook: ArrayData, dim: Int, m: Int, ks: Int): ArrayData = {
+    val subDim = dim / m
+    val cbase = cell * dim
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bd = Double.MaxValue
+      var code = 0
+      while (code < ks) {
+        val base = (sub * ks + code) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val r = vec.getFloat(sub * subDim + i).toDouble -
+            cmat.getDouble(cbase + sub * subDim + i)
+          val diff = r - codebook.getDouble(base + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bd) { bd = d; best = code }
+        code += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** ADC cosine for residual quantization: exact query vector vs the
+    * reconstruction (cell centroid + residual codebook rows). */
+  def pqAdcCosRes(q: ArrayData, cell: Int, codes: ArrayData, cmat: ArrayData,
+      codebook: ArrayData, dim: Int, m: Int, ks: Int): Double = {
+    val subDim = dim / m
+    val cbase = cell * dim
+    var dot = 0.0
+    var qn = 0.0
+    var rn = 0.0
+    var sub = 0
+    while (sub < m) {
+      val base = (sub * ks + codes.getInt(sub)) * subDim
+      var i = 0
+      while (i < subDim) {
+        val qv = q.getFloat(sub * subDim + i).toDouble
+        val rv = cmat.getDouble(cbase + sub * subDim + i) +
+          codebook.getDouble(base + i)
+        dot += qv * rv
+        qn += qv * qv
+        rn += rv * rv
+        i += 1
+      }
+      sub += 1
+    }
+    val denom = math.sqrt(qn) * math.sqrt(rn)
+    if (denom == 0) 0.0 else dot / denom
+  }
+
   /** `bits`-bit random-hyperplane signature of a float vector. Vectors with
     * small cosine distance agree on most bits, so an equi-join on the
     * bucket (or on band sub-keys) finds near neighbors without the n²

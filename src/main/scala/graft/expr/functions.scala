@@ -167,6 +167,20 @@ object functions {
     inv(EmbedOps.getClass, DoubleType,
       "pqAdcCos", q, codes, codebook, dim.cast("int"), m.cast("int"), ks.cast("int"))
 
+  /** Residual-quantization codes: PQ of (vec − cell centroid). */
+  def pq_encode_res(vec: Column, cell: Column, cmat: Column, codebook: Column,
+      dim: Column, m: Column, ks: Column): Column =
+    inv(EmbedOps.getClass, ArrayType(IntegerType, containsNull = false),
+      "pqEncodeRes", vec, cell.cast("int"), cmat, codebook,
+      dim.cast("int"), m.cast("int"), ks.cast("int"))
+
+  /** ADC cosine vs a residual-quantized candidate (centroid + residual). */
+  def pq_adc_cos_res(q: Column, cell: Column, codes: Column, cmat: Column,
+      codebook: Column, dim: Column, m: Column, ks: Column): Column =
+    inv(EmbedOps.getClass, DoubleType,
+      "pqAdcCosRes", q, cell.cast("int"), codes, cmat, codebook,
+      dim.cast("int"), m.cast("int"), ks.cast("int"))
+
   /** A2: GTFS-Realtime FeedMessage decode — binary → array of vehicle
     * rows; `explode` it to get one row per vehicle entity. */
   def gtfsrt_decode(feed: Column): Column =

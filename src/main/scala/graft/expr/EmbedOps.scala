@@ -233,6 +233,78 @@ object EmbedOps {
     if (denom == 0) 0.0 else dot / denom
   }
 
+  /** z = v·R for a row-major dim×dim rotation (OPQ pre-rotation). */
+  @inline private def rotate(vec: ArrayData, rot: ArrayData, dim: Int): Array[Double] = {
+    val z = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += vec.getFloat(i).toDouble * rot.getDouble(i * dim + j); i += 1 }
+      z(j) = acc
+      j += 1
+    }
+    z
+  }
+
+  /** OPQ encode: rotate the vector by the learned R, then PQ-code the
+    * rotated coordinates against a codebook fit in the rotated space. */
+  def pqEncodeRot(vec: ArrayData, rot: ArrayData, codebook: ArrayData,
+      dim: Int, m: Int, ks: Int): ArrayData = {
+    val z = rotate(vec, rot, dim)
+    val subDim = dim / m
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bd = Double.MaxValue
+      var code = 0
+      while (code < ks) {
+        val base = (sub * ks + code) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = z(sub * subDim + i) - codebook.getDouble(base + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bd) { bd = d; best = code }
+        code += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** ADC cosine for OPQ: the rotated query vs the rotated-space
+    * reconstruction. R is orthogonal, so cosine in the rotated space
+    * equals cosine in the original space. */
+  def pqAdcCosRot(q: ArrayData, codes: ArrayData, rot: ArrayData,
+      codebook: ArrayData, dim: Int, m: Int, ks: Int): Double = {
+    val z = rotate(q, rot, dim)
+    val subDim = dim / m
+    var dot = 0.0
+    var qn = 0.0
+    var rn = 0.0
+    var sub = 0
+    while (sub < m) {
+      val base = (sub * ks + codes.getInt(sub)) * subDim
+      var i = 0
+      while (i < subDim) {
+        val qv = z(sub * subDim + i)
+        val rv = codebook.getDouble(base + i)
+        dot += qv * rv
+        qn += qv * qv
+        rn += rv * rv
+        i += 1
+      }
+      sub += 1
+    }
+    val denom = math.sqrt(qn) * math.sqrt(rn)
+    if (denom == 0) 0.0 else dot / denom
+  }
+
   /** `bits`-bit random-hyperplane signature of a float vector. Vectors with
     * small cosine distance agree on most bits, so an equi-join on the
     * bucket (or on band sub-keys) finds near neighbors without the n²

@@ -181,6 +181,20 @@ object functions {
       "pqAdcCosRes", q, cell.cast("int"), codes, cmat, codebook,
       dim.cast("int"), m.cast("int"), ks.cast("int"))
 
+  /** OPQ codes: rotate by the learned R, then PQ-code the rotation. */
+  def pq_encode_rot(vec: Column, rot: Column, codebook: Column,
+      dim: Column, m: Column, ks: Column): Column =
+    inv(EmbedOps.getClass, ArrayType(IntegerType, containsNull = false),
+      "pqEncodeRot", vec, rot, codebook,
+      dim.cast("int"), m.cast("int"), ks.cast("int"))
+
+  /** ADC cosine vs an OPQ-coded candidate (rotated space). */
+  def pq_adc_cos_rot(q: Column, codes: Column, rot: Column, codebook: Column,
+      dim: Column, m: Column, ks: Column): Column =
+    inv(EmbedOps.getClass, DoubleType,
+      "pqAdcCosRot", q, codes, rot, codebook,
+      dim.cast("int"), m.cast("int"), ks.cast("int"))
+
   /** A2: GTFS-Realtime FeedMessage decode — binary → array of vehicle
     * rows; `explode` it to get one row per vehicle entity. */
   def gtfsrt_decode(feed: Column): Column =

@@ -379,6 +379,90 @@ object SimilarityOps {
     best
   }
 
+  // ---- driver-side dense matrix helpers (dim×dim, row-major) ----
+  // Small fixed-size linear algebra for the OPQ Procrustes step — dim is
+  // the embedding width (≤ a few hundred), all on the bounded training
+  // sample, never distributed.
+
+  private def matMul(a: Array[Double], b: Array[Double], n: Int): Array[Double] = {
+    val out = new Array[Double](n * n)
+    var i = 0
+    while (i < n) {
+      var k = 0
+      while (k < n) {
+        val aik = a(i * n + k)
+        if (aik != 0.0) {
+          var j = 0
+          while (j < n) { out(i * n + j) += aik * b(k * n + j); j += 1 }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def matT(a: Array[Double], n: Int): Array[Double] = {
+    val out = new Array[Double](n * n)
+    for (i <- 0 until n; j <- 0 until n) out(j * n + i) = a(i * n + j)
+    out
+  }
+
+  /** Gauss–Jordan inverse with partial pivoting. */
+  private def matInv(a0: Array[Double], n: Int): Array[Double] = {
+    val a = a0.clone()
+    val inv = Array.tabulate(n * n)(i => if (i / n == i % n) 1.0 else 0.0)
+    for (col <- 0 until n) {
+      var p = col
+      for (r <- col + 1 until n)
+        if (math.abs(a(r * n + col)) > math.abs(a(p * n + col))) p = r
+      require(math.abs(a(p * n + col)) > 1e-12, "singular Procrustes matrix")
+      if (p != col) for (j <- 0 until n) {
+        val t = a(col * n + j); a(col * n + j) = a(p * n + j); a(p * n + j) = t
+        val t2 = inv(col * n + j); inv(col * n + j) = inv(p * n + j); inv(p * n + j) = t2
+      }
+      val piv = a(col * n + col)
+      for (j <- 0 until n) { a(col * n + j) /= piv; inv(col * n + j) /= piv }
+      for (r <- 0 until n) if (r != col) {
+        val f = a(r * n + col)
+        if (f != 0.0) for (j <- 0 until n) {
+          a(r * n + j) -= f * a(col * n + j)
+          inv(r * n + j) -= f * inv(col * n + j)
+        }
+      }
+    }
+    inv
+  }
+
+  /** Orthogonal polar factor of a nonsingular matrix via the Newton
+    * iteration Q ← (Q + Q^-T)/2 — for M = UΣVᵀ this converges
+    * quadratically to UVᵀ, exactly the Procrustes-optimal rotation. */
+  private def polarOrtho(m0: Array[Double], n: Int): Array[Double] = {
+    var q = m0.clone()
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < 60 && delta > 1e-13) {
+      val next = new Array[Double](n * n)
+      val qit = matT(matInv(q, n), n)
+      delta = 0.0
+      for (i <- 0 until n * n) {
+        next(i) = 0.5 * (q(i) + qit(i))
+        delta = math.max(delta, math.abs(next(i) - q(i)))
+      }
+      q = next
+      it += 1
+    }
+    // loud orthonormality witness — a botched inverse shows up here, not
+    // as silently bad recall
+    val qtq = matMul(matT(q, n), q, n)
+    for (i <- 0 until n; j <- 0 until n) {
+      val expect = if (i == j) 1.0 else 0.0
+      require(math.abs(qtq(i * n + j) - expect) < 1e-8,
+        s"polar factor not orthonormal at ($i,$j): ${qtq(i * n + j)}")
+    }
+    q
+  }
+
   private val rqCache = new ContentKey.Lru[(Int, Array[Double])](8)
 
   /** Residual codebook: PQ fit on (sample vector − its top-1 cell
@@ -428,6 +512,162 @@ object SimilarityOps {
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= RerankC)
     // exact re-rank: only |queries|·RerankC ids revisit the raw embeddings
+    val full = normed(s, dir).select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val wExact = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    broadcast(shortlist.select("q_id", "q_emb", "q_norm", "c_id"))
+      .join(full, "c_id")
+      .select(col("q_id"), col("c_id"),
+        (vdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
+
+  // ---- OPQ: learned rotation ahead of PQ ----
+  // The other VERDICT-flagged quantization upgrade: learn an orthogonal R
+  // minimizing ||XR − PQ(XR)||² by alternating (a) codebook refit on the
+  // rotated sample and (b) the Procrustes step R = polar(Xᵀ·PQ(XR)) —
+  // the OPQ-NP algorithm (Ge et al., CVPR'13). Rotation spreads variance
+  // evenly across subspaces, which is where plain PQ bleeds error when
+  // embeddings are anisotropic (real text/image embeddings are; the
+  // shipped corpus is near-isotropic, so SimilaritySpec additionally
+  // plants an anisotropic corpus and asserts the MSE win there).
+  // All training is driver-side on the bounded deterministic sample;
+  // queries ship R (dim² doubles ≈ 8 KB) and the codebook as literals.
+
+  private val OpqIters = 6
+  private val opqCache = new ContentKey.Lru[(Int, Array[Double], Array[Double])](8)
+
+  /** Deterministic random orthogonal matrix: Gram–Schmidt over a
+    * splitmix64-seeded standard-normal matrix (Box–Muller). */
+  private def randomOrthogonal(dim: Int): Array[Double] = {
+    val g = new Array[Double](dim * dim)
+    var i = 0
+    while (i < dim * dim) {
+      // two uniforms from the mixer → one Gaussian (Box–Muller, cos arm)
+      val u1 = (graft.expr.TextHashOps.mix64(i.toLong * 2 + 1) >>> 11).toDouble / (1L << 53).toDouble
+      val u2 = (graft.expr.TextHashOps.mix64(i.toLong * 2 + 2) >>> 11).toDouble / (1L << 53).toDouble
+      g(i) = math.sqrt(-2.0 * math.log(u1 + 1e-300)) * math.cos(2.0 * math.Pi * u2)
+      i += 1
+    }
+    // modified Gram–Schmidt on rows
+    for (row <- 0 until dim) {
+      for (prev <- 0 until row) {
+        var dot = 0.0
+        for (j <- 0 until dim) dot += g(row * dim + j) * g(prev * dim + j)
+        for (j <- 0 until dim) g(row * dim + j) -= dot * g(prev * dim + j)
+      }
+      var nrm = 0.0
+      for (j <- 0 until dim) nrm += g(row * dim + j) * g(row * dim + j)
+      nrm = math.sqrt(nrm)
+      require(nrm > 1e-9, "degenerate Gram-Schmidt row")
+      for (j <- 0 until dim) g(row * dim + j) /= nrm
+    }
+    g
+  }
+
+  private def rotVec(v: Array[Double], r: Array[Double], dim: Int): Array[Double] = {
+    val z = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += v(i) * r(i * dim + j); i += 1 }
+      z(j) = acc
+      j += 1
+    }
+    z
+  }
+
+  private def pqReconstruct(z: Array[Double], book: Array[Double], dim: Int): Array[Double] = {
+    val subDim = dim / PqM
+    val out = new Array[Double](dim)
+    var sub = 0
+    while (sub < PqM) {
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < PqKs) {
+        val base = (sub * PqKs + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = z(sub * subDim + i) - book(base + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      val base = (sub * PqKs + best) * subDim
+      var i = 0
+      while (i < subDim) { out(sub * subDim + i) = book(base + i); i += 1 }
+      sub += 1
+    }
+    out
+  }
+
+  /** Returns (dim, row-major dim×dim rotation R, codebook for XR). */
+  private[graft] def fitOpq(s: SparkSession, dir: String): (Int, Array[Double], Array[Double]) = {
+    val key = ContentKey.of(s, Seq(s"$dir/embeddings.parquet"))
+    opqCache.get(key) {
+      val (_, sampleF) = trainingSample(s, dir)
+      val dim = sampleF.head.length
+      val x = sampleF.map(_.map(_.toDouble))
+      // random-orthogonal init (deterministic: Gram–Schmidt over splitmix
+      // Gaussians) — identity init is a LOCAL OPTIMUM on axis-aligned
+      // data (M = XᵀY comes out near-symmetric-positive, whose polar
+      // factor is ≈ I), so the alternation would never leave it; the OPQ
+      // paper inits random for exactly this reason
+      var r = randomOrthogonal(dim)
+      var book: Array[Double] = null
+      for (_ <- 0 until OpqIters) {
+        val z = x.map(rotVec(_, r, dim))
+        book = lloydSubspaces(z, dim)
+        val y = z.map(pqReconstruct(_, book, dim))
+        // M = Xᵀ Y, then the Procrustes-optimal R is its polar factor
+        val m = new Array[Double](dim * dim)
+        for (n <- x.indices; i <- 0 until dim; j <- 0 until dim)
+          m(i * dim + j) += x(n)(i) * y(n)(j)
+        r = polarOrtho(m, dim)
+      }
+      (dim, r, book)
+    }
+  }
+
+  private def ivfOpqTopK(s: SparkSession, dir: String): DataFrame = {
+    val (dim, cmat, probe) = fitCentroids(s, dir)
+    val (odim, rot, book) = fitOpq(s, dir)
+    require(odim == dim)
+    val assign = assignFor(cmat.length / dim)
+    val cLit = typedLit(cmat.toSeq)
+    val rLit = typedLit(rot.toSeq)
+    val bLit = typedLit(book.toSeq)
+    val e = normed(s, dir)
+    // cells on the RAW vectors (rotation is inside the codes only)
+    val cand = e.select(col("vec_id").as("c_id"),
+        gf.pq_encode_rot(col("embedding"), rLit, bLit,
+          lit(dim), lit(PqM), lit(PqKs)).as("codes"),
+        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
+          .as("cell"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"),
+        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(probe)))
+          .as("cell"))
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc").desc, col("c_id"))
+    val shortlist = q.join(cand, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_id"),
+        gf.pq_adc_cos_rot(col("q_emb"), col("codes"), rLit, bLit,
+          lit(dim), lit(PqM), lit(PqKs)).as("adc"))
+      .dropDuplicates("q_id", "c_id")
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= RerankC)
     val full = normed(s, dir).select(col("vec_id").as("c_id"),
       col("embedding").as("c_emb"), col("norm").as("c_norm"))
     val wExact = Window.partitionBy("q_id")
@@ -568,6 +808,7 @@ object SimilarityOps {
     "simsearch_ivf" -> (ivfTopK _),
     "simsearch_ivfpq" -> (ivfPqTopK _),
     "simsearch_ivfrq" -> (ivfRqTopK _),
+    "simsearch_ivfopq" -> (ivfOpqTopK _),
     "embed_centroids" -> (embedCentroids _))
 
   val oracle: Map[String, String] = Map(

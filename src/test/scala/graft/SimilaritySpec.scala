@@ -251,4 +251,85 @@ class SimilaritySpec extends SparkSpec {
       f"residual coding must cut reconstruction error on clustered data: " +
         f"$resMse%.5f vs $rawMse%.5f")
   }
+
+  test("IVF-OPQ: learned rotation is orthonormal, recall holds, MSE drops on anisotropic data") {
+    import graft.ops.SimilarityOps
+    import graft.ops.SimilarityOps.{PqM, PqKs}
+    val brute = SparkEntry.queries("simsearch_topk")(spark, sf0001)
+      .collect().map(x => ((x.getAs[Long]("q_id"), x.getAs[Long]("c_id")),
+        x.getAs[Double]("cos_sim"))).toMap
+    val opq = SparkEntry.queries("simsearch_ivfopq")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"),
+        x.getAs[Double]("cos_sim")))
+    opq.foreach { case (q, c, cos) =>
+      brute.get((q, c)).foreach(b =>
+        assert(b == cos, s"($q,$c): re-ranked cos $cos != exact $b"))
+    }
+    val recall = (brute.keySet & opq.map(x => (x._1, x._2)).toSet).size.toDouble /
+      brute.size
+    info(f"IVF-OPQ recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"IVF-OPQ recall@5 $recall%.2f below 0.8")
+
+    // rotation sanity on the shipped corpus fit (polarOrtho also
+    // require()s this internally — assert it end-to-end anyway)
+    val (dim0, rot0, _) = SimilarityOps.fitOpq(spark, sf0001)
+    for (i <- 0 until dim0; j <- 0 until dim0) {
+      var acc = 0.0
+      for (k2 <- 0 until dim0) acc += rot0(k2 * dim0 + i) * rot0(k2 * dim0 + j)
+      assert(math.abs(acc - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"RtR not identity at ($i,$j): $acc")
+    }
+
+    // OPQ's raison d'être: when variance is concentrated in one subspace
+    // (anisotropic embeddings), the learned rotation spreads it across
+    // subspaces and reconstruction error drops vs un-rotated PQ
+    val dir = java.nio.file.Files.createTempDirectory("graft-opq").toString
+    val rnd = new scala.util.Random(7)
+    val cdim = 32
+    val rows = (0 until 400).map { id =>
+      (id.toLong, (0 until cdim).map(i =>
+        (if (i < 4) rnd.nextGaussian() else 0.1 * rnd.nextGaussian()).toFloat)
+        .toArray.toSeq, 0)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val (dim, rot, opqBook) = SimilarityOps.fitOpq(spark, dir)
+    val (_, rawBook) = SimilarityOps.fitPq(spark, dir)
+    val subDim = dim / PqM
+    def nearestRecon(v: Array[Double], book: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      for (sub <- 0 until PqM) {
+        var best = 0; var bd = Double.MaxValue
+        for (c <- 0 until PqKs) {
+          var d = 0.0
+          for (i <- 0 until subDim) {
+            val diff = v(sub * subDim + i) - book((sub * PqKs + c) * subDim + i)
+            d += diff * diff
+          }
+          if (d < bd) { bd = d; best = c }
+        }
+        for (i <- 0 until subDim)
+          out(sub * subDim + i) = book((sub * PqKs + best) * subDim + i)
+      }
+      out
+    }
+    val vecs = rows.map(_._2.map(_.toDouble).toArray).toArray
+    def sq(x: Double) = x * x
+    val rawMse = vecs.map { v =>
+      val y = nearestRecon(v, rawBook)
+      (0 until dim).map(i => sq(v(i) - y(i))).sum
+    }.sum / (vecs.length * dim)
+    val opqMse = vecs.map { v =>
+      val z = new Array[Double](dim)
+      for (j <- 0 until dim; i <- 0 until dim) z(j) += v(i) * rot(i * dim + j)
+      val y = nearestRecon(z, opqBook)
+      // orthogonal R preserves L2, so rotated-space error == raw error
+      (0 until dim).map(i => sq(z(i) - y(i))).sum
+    }.sum / (vecs.length * dim)
+    info(f"anisotropic-corpus PQ MSE raw=$rawMse%.5f opq=$opqMse%.5f")
+    assert(opqMse < rawMse,
+      f"OPQ must cut reconstruction error on anisotropic data: " +
+        f"$opqMse%.5f vs $rawMse%.5f")
+  }
 }

@@ -113,11 +113,107 @@ object CdcOps {
       |FROM events
       |ORDER BY user_id, event_type, valid_from_us, event_id""".stripMargin
 
+  /** Point-in-time (as-of dimension) lookup: each 'click' event joins the
+    * SCD2 'view' history row of the same user whose validity interval
+    * contains the click — how a training pipeline attaches the
+    * state-as-of-then instead of leaking the current state backward in
+    * time. The interval predicate rides on the user_id equi-join (hash
+    * join + post-filter, the interval_join discipline); at lake scale the
+    * history side is bucketed by the key so the join is shuffle-free. */
+  private def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val hist = e.filter(col("event_type") === "view")
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("us").as("valid_from_us"),
+        col("valid_to_us"), col("value").as("state_value"))
+    val probes = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("us"))
+    probes.join(hist, Seq("user_id"))
+      .filter(col("us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("us") < col("valid_to_us")))
+      .select(col("user_id"), col("event_id"), col("us"),
+        col("valid_from_us"), col("state_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val scd2LookupSql =
+    """WITH hist AS (
+      |  SELECT user_id, epoch_us(ts) AS valid_from_us,
+      |    lead(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+      |    value AS state_value
+      |  FROM events WHERE event_type = 'view'),
+      |probes AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id, p.us, h.valid_from_us, h.state_value
+      |FROM probes p JOIN hist h ON p.user_id = h.user_id
+      |WHERE p.us >= h.valid_from_us
+      |  AND (h.valid_to_us IS NULL OR p.us < h.valid_to_us)
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
+  /** Snapshot changelog: diff the post-cutoff latest state against the
+    * pre-cutoff base — per key: added / removed-never (impossible in an
+    * append-only feed, asserted zero by the oracle) / changed /
+    * unchanged. A full-outer join of two rn=1 frames on the same
+    * composite key: one shuffle each side, colocated at lake scale by
+    * the snapshot bucketing. */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val base = latest(e.filter(col("us") < CutoffUs))
+      .select(col("user_id"), col("event_type"), col("us").as("b_us"),
+        col("value").as("b_value"))
+    val cur = latest(e)
+      .select(col("user_id"), col("event_type"), col("us").as("c_us"),
+        col("value").as("c_value"))
+    base.join(cur, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        when(col("b_us").isNull, lit("added"))
+          .when(col("c_us").isNull, lit("removed"))
+          .when(col("c_us") =!= col("b_us"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"),
+        col("b_value"), col("c_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val snapshotDiffSql =
+    s"""WITH ranked AS (
+       |  SELECT *, epoch_us(ts) AS us, row_number() OVER (
+       |    PARTITION BY user_id, event_type
+       |    ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events),
+       |base AS (
+       |  SELECT user_id, event_type, us AS b_us, value AS b_value FROM (
+       |    SELECT *, epoch_us(ts) AS us, row_number() OVER (
+       |      PARTITION BY user_id, event_type
+       |      ORDER BY ts DESC, event_id DESC) AS rn2
+       |    FROM events WHERE epoch_us(ts) < $CutoffUs)
+       |  WHERE rn2 = 1),
+       |cur AS (
+       |  SELECT user_id, event_type, us AS c_us, value AS c_value
+       |  FROM ranked WHERE rn = 1)
+       |SELECT
+       |  coalesce(b.user_id, c.user_id) AS user_id,
+       |  coalesce(b.event_type, c.event_type) AS event_type,
+       |  CASE WHEN b.b_us IS NULL THEN 'added'
+       |       WHEN c.c_us IS NULL THEN 'removed'
+       |       WHEN c.c_us <> b.b_us THEN 'changed'
+       |       ELSE 'unchanged' END AS change,
+       |  b.b_value, c.c_value
+       |FROM base b FULL OUTER JOIN cur c
+       |ON b.user_id = c.user_id AND b.event_type = c.event_type
+       |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
-    "scd2_intervals" -> ((s, dir) => scd2Intervals(s, dir)))
+    "scd2_intervals" -> ((s, dir) => scd2Intervals(s, dir)),
+    "scd2_lookup" -> ((s, dir) => scd2Lookup(s, dir)),
+    "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)))
 
   val oracle: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
-    "scd2_intervals" -> scd2Sql)
+    "scd2_intervals" -> scd2Sql,
+    "scd2_lookup" -> scd2LookupSql,
+    "snapshot_diff" -> snapshotDiffSql)
 }

@@ -71,6 +71,25 @@ object StateMaintainer {
         StructField("value", DoubleType))))
   }
 
+  /** One micro-batch application — the foreachBatch body, exposed so
+    * replay idempotence is directly testable: re-running the same
+    * (batch, batchId) reads the same strictly-older base and overwrites
+    * the same version with identical content. */
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long,
+      stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val base = latestVersion(spark, stateDir, batchId) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
+      case None => emptyState(spark)
+    }
+    val cols = Seq("user_id", "event_type", "us", "event_id", "value")
+    CdcOps.applyChanges(
+      base.select(cols.map(col): _*),
+      batch.select(cols.map(col): _*))
+      .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    prune(spark, stateDir, batchId)
+  }
+
   /** Start the maintenance query. `feed` must carry
     * (user_id, event_type, us, event_id, value). */
   def start(feed: DataFrame, stateDir: String, checkpoint: String): StreamingQuery =
@@ -78,18 +97,7 @@ object StateMaintainer {
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val base = latestVersion(spark, stateDir, batchId) match {
-          case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
-          case None => emptyState(spark)
-        }
-        val cols = Seq("user_id", "event_type", "us", "event_id", "value")
-        CdcOps.applyChanges(
-          base.select(cols.map(col): _*),
-          batch.select(cols.map(col): _*))
-          .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
-        prune(spark, stateDir, batchId)
-        ()
+        applyBatch(batch, batchId, stateDir)
       }
       .start()
 }

@@ -174,4 +174,61 @@ object PropertySpec extends Properties("graft.kernels") {
         pqDim, pqM, pqKs)
       cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9
     }
+
+  // ---- BPE merge kernel ----
+
+  private val tokGen = Gen.listOfN(24,
+    Gen.oneOf("a", "b", "c", "ab", "x"))
+
+  private def arrS(ts: Seq[String]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ts.map(UTF8String.fromString).toArray[Any])
+
+  property("bpe merge preserves concatenated characters") =
+    forAll(tokGen) { ts =>
+      val out = TextHashOps.bpeMergeStep(arrS(ts),
+        UTF8String.fromString("a"), UTF8String.fromString("b"))
+      val outToks = (0 until out.numElements())
+        .map(out.getUTF8String(_).toString)
+      outToks.mkString == ts.mkString
+    }
+
+  property("bpe merge leaves no adjacent (a, b) pair") =
+    forAll(tokGen) { ts =>
+      val out = TextHashOps.bpeMergeStep(arrS(ts),
+        UTF8String.fromString("a"), UTF8String.fromString("b"))
+      val outToks = (0 until out.numElements())
+        .map(out.getUTF8String(_).toString)
+      !outToks.zip(outToks.drop(1)).contains(("a", "b"))
+    }
+
+  property("bpe merge shrinks length by exactly the merge count") =
+    forAll(tokGen) { ts =>
+      val out = TextHashOps.bpeMergeStep(arrS(ts),
+        UTF8String.fromString("a"), UTF8String.fromString("b"))
+      val merged = (0 until out.numElements())
+        .count(i => out.getUTF8String(i).toString == "ab")
+      val pre = ts.count(_ == "ab")
+      out.numElements() == ts.length - (merged - pre)
+    }
+
+  // ---- rotation / dot kernels ----
+
+  property("identity rotation makes pqEncodeRot equal pqEncode") =
+    forAll(vecGen, bookGen) { (v, book) =>
+      val id = Array.tabulate(pqDim * pqDim)(i =>
+        if (i / pqDim == i % pqDim) 1.0 else 0.0)
+      val a = graft.expr.EmbedOps.pqEncode(arr(v), arrD(book), pqDim, pqM, pqKs)
+      val b = graft.expr.EmbedOps.pqEncodeRot(arr(v), arrD(id.toSeq),
+        arrD(book), pqDim, pqM, pqKs)
+      (0 until pqM).forall(i => a.getInt(i) == b.getInt(i))
+    }
+
+  property("dotFD against a float-exact double vector equals dotF") =
+    forAll(vecGen, vecGen) { (x, y) =>
+      val f = graft.expr.EmbedOps.dotF(arr(x), arr(y))
+      val fd = graft.expr.EmbedOps.dotFD(arr(x),
+        arrD(y.map(_.toDouble)))
+      f == fd
+    }
 }

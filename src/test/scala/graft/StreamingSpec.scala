@@ -521,6 +521,17 @@ class StreamingSpec extends SparkSpec {
         spark.read.parquet(s"$dir/feed/*"))
         .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
       assert(replay == s2, "incremental state diverged from replay")
+
+      // crash-replay idempotence: re-applying the LAST batch (the sink
+      // wrote, the checkpoint commit was lost) must reproduce the same
+      // snapshot — the versioned layout rebuilds v=N from the same
+      // strictly-older base
+      val lastBatch = Seq((1L, "a", 200L, 3L, 9.0), (3L, "a", 150L, 4L, 3.0))
+        .toDF("user_id", "event_type", "us", "event_id", "value")
+      StateMaintainer.applyBatch(lastBatch, 1L, stateDir)
+      val s3 = StateMaintainer.readState(spark, stateDir)
+        .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+      assert(s3 == s2, s"replayed batch diverged: $s3 vs $s2")
     } finally q.stop()
   }
 

@@ -498,7 +498,28 @@ object Relational2 {
       .orderBy("event_id")
   }
 
+  // ---- mergeable sketch tables (HLL rollup) ----
+  // THE 100 TB distinct-count pattern: persist small per-(type, day) HLL
+  // sketches once, then answer any time-range / rollup distinct question
+  // by UNIONing sketches — the second pass touches bytes ∝ days × types,
+  // never the fact again, and sketch union is exactly mergeable (order-
+  // and partition-independent by construction). Uses Spark's DataSketches
+  // HLL (hll_sketch_agg / hll_union_agg / hll_sketch_estimate). DuckDB
+  // has no binary-compatible mirror → rows-only; QueriesSpec pins the
+  // estimates within 2 % of exact per-type distincts.
+  private def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("unix_micros(ts) DIV 86400000000").as("day"), col("user_id"))
+    val daily = e.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_rollup" -> (sketchRollup _),
     "asof_join_bucketed" -> (asofJoinBucketed _),
     "events_sessionize" -> (sessionize _),
     "pivot_agg" -> (pivotAgg _),

@@ -390,6 +390,42 @@ object TimeSeriesOps {
        |    RANGE BETWEEN $Step PRECEDING AND CURRENT ROW) AS n_window
        |FROM e ORDER BY event_type, event_id""".stripMargin
 
+  // ---- exponential moving average (recursive smoothing) ----
+  // ema_t = 0.3·v_t + 0.7·ema_{t-1}, seeded with the series' first value —
+  // a RECURSIVE per-series fold no SQL window expresses directly. Both
+  // engines compute the identical left-to-right fold over the identically
+  // ordered value list (ordered aggregation keyed by the (us, event_id)
+  // total order), with the same `acc * 0.7 + v * 0.3` op sequence — so
+  // the doubles are bit-identical, no rounding needed. Shape: one shuffle
+  // keyed by user_id; per-key state is the value array (bounded by events
+  // per user — for unbounded series, the chunked-window carry trick from
+  // `events_headway` applies: EMA over a chunk is an affine function of
+  // the entering state, so chunk folds compose).
+  private val EmaAlpha = 0.3
+  private val EmaBeta = 0.7 // 1 − α, same literal in both engines
+
+  private def ema(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("us")).as("last_us"),
+        // array_sort on the struct orders by (us, event_id, …) — the
+        // same total order the DuckDB mirror's ORDER BY pins
+        array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("value")))).as("ps"))
+      .withColumn("vs", expr("transform(ps, p -> p.value)"))
+      .select(col("user_id"), col("n_events"), col("last_us"),
+        expr(s"aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1)," +
+          s" (acc, v) -> acc * $EmaBeta + v * $EmaAlpha)").as("ema"))
+      .orderBy("user_id")
+
+  private val emaSql =
+    s"""SELECT user_id, count(*) AS n_events, max(epoch_us(ts)) AS last_us,
+       |  list_reduce(list(value ORDER BY ts, event_id),
+       |    (acc, v) -> acc * $EmaBeta + v * $EmaAlpha) AS ema
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_range" -> (windowRange _),
     "value_histogram" -> (valueHistogram _),
@@ -398,7 +434,8 @@ object TimeSeriesOps {
     "json_extract" -> (jsonExtract _),
     "events_headway" -> (headway _),
     "anomaly_zscore" -> (anomalyZscore _),
-    "resample_locf" -> (resampleLocf _))
+    "resample_locf" -> (resampleLocf _),
+    "events_ema" -> (ema _))
 
   val oracle: Map[String, String] = Map(
     "window_range" -> windowRangeSql,
@@ -408,5 +445,6 @@ object TimeSeriesOps {
     "json_extract" -> jsonExtractSql,
     "events_headway" -> headwaySql,
     "anomaly_zscore" -> anomalyZscoreSql,
-    "resample_locf" -> resampleLocfSql)
+    "resample_locf" -> resampleLocfSql,
+    "events_ema" -> emaSql)
 }

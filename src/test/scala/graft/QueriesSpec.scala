@@ -64,6 +64,22 @@ class QueriesSpec extends SparkSpec {
     assert(sum == total)
   }
 
+  test("sketch_rollup union estimates track exact distincts within 2%") {
+    val exact = Tables(spark, sf0001, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = q("sketch_rollup").collect()
+    assert(est.length == exact.size)
+    est.foreach { r =>
+      val (t, e) = (r.getString(0), r.getLong(2))
+      val x = exact(t)
+      assert(math.abs(e - x).toDouble / x <= 0.02,
+        s"$t: sketch estimate $e vs exact $x")
+      assert(r.getLong(1) > 1, "rollup must span multiple daily sketches")
+    }
+  }
+
   test("approx_percentile tracks the exact percentiles within 1%") {
     // the sketch path must agree with its oracle-anchored exact twin to
     // within the configured rank accuracy (1/10000 rank error is far

@@ -50,7 +50,9 @@ object LinkOps {
 
   private[graft] val MaxDist = 4
 
-  private def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+  /** Blocked candidate pairs within edit distance (unordered frame —
+    * shared by the join query and the golden-record resolve). */
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
     val names = t(s, dir, "part").select(col("p_name")).distinct()
     // two blocking passes: first token and last token of the name; a pair
     // is a candidate if it agrees on either block (array_distinct keeps
@@ -66,8 +68,66 @@ object LinkOps {
       .select("a_name", "b_name").distinct()
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= MaxDist)
-      .orderBy("a_name", "b_name")
   }
+
+  private def fuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(s, dir).orderBy("a_name", "b_name")
+
+  /** Golden-record resolve: connected components over the fuzzy pair
+    * graph (the [[DedupOps.propagateMin]] pointer-jumping machinery,
+    * reused verbatim — names keyed by their min part id), every name
+    * labeled with its cluster's canonical id. The entity-resolution
+    * completion of `fuzzy_join`: pairs say "these look alike", the
+    * resolve says "these are the same thing, file them under one key".
+    * Expect aggressive merging on a small vocabulary: transitive closure
+    * CHAINS near-matches ("red widget"–"red wood"–"hot wood"), the
+    * classic ER over-merge — production runs tighter thresholds or a
+    * pair-confidence model before closure; the algorithmic shape (pairs →
+    * components → canonical key) is exactly this either way. */
+  private def fuzzyResolve(s: SparkSession, dir: String): DataFrame = {
+    val nameKey = t(s, dir, "part").groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("nid"))
+    val pairs = fuzzyPairs(s, dir)
+    val a = nameKey.select(col("p_name").as("a_name"), col("nid").as("ua"))
+    val b = nameKey.select(col("p_name").as("b_name"), col("nid").as("ub"))
+    val keyed = pairs.join(a, "a_name").join(b, "b_name")
+    val edges = keyed.select(col("ua").as("u"), col("ub").as("v"))
+      .union(keyed.select(col("ub").as("u"), col("ua").as("v")))
+    val (labels, _) = DedupOps.propagateMin(edges)
+    nameKey.join(labels, nameKey("nid") === labels("doc_id"), "left")
+      .select(col("p_name"),
+        coalesce(col("label"), col("nid")).as("cluster_id"))
+      .orderBy("p_name")
+  }
+
+  private val fuzzyResolveSql =
+    s"""WITH RECURSIVE nm AS (
+       |  SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY 1),
+       |bl AS (
+       |  SELECT p_name, unnest(list_distinct(
+       |    [string_split(p_name, ' ')[1], string_split(p_name, ' ')[-1]])) AS blk
+       |  FROM nm),
+       |cand AS (
+       |  SELECT DISTINCT a.p_name AS a_name, b.p_name AS b_name
+       |  FROM bl a JOIN bl b ON a.blk = b.blk AND a.p_name < b.p_name),
+       |fp AS (
+       |  SELECT a_name, b_name FROM cand
+       |  WHERE levenshtein(a_name, b_name) <= $MaxDist),
+       |e AS (
+       |  SELECT a.nid AS u, b.nid AS v
+       |  FROM fp JOIN nm a ON fp.a_name = a.p_name
+       |    JOIN nm b ON fp.b_name = b.p_name
+       |  UNION
+       |  SELECT b.nid, a.nid
+       |  FROM fp JOIN nm a ON fp.a_name = a.p_name
+       |    JOIN nm b ON fp.b_name = b.p_name),
+       |walk(id, label) AS (
+       |  SELECT nid, nid FROM nm
+       |  UNION
+       |  SELECT e.v, w.label FROM walk w JOIN e ON e.u = w.id)
+       |SELECT nm.p_name, min(w.label) AS cluster_id
+       |FROM nm JOIN walk w ON w.id = nm.nid
+       |GROUP BY nm.p_name ORDER BY p_name""".stripMargin
 
   private val fuzzyJoinSql =
     s"""WITH nm AS (SELECT DISTINCT p_name FROM part),
@@ -341,12 +401,14 @@ object LinkOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_join" -> ((s, dir) => fuzzyJoin(s, dir)),
+    "fuzzy_resolve" -> ((s, dir) => fuzzyResolve(s, dir)),
     "pagerank" -> ((s, dir) => pagerank(s, dir)),
     "triangle_count" -> ((s, dir) => triangleCount(s, dir)),
     "kcore" -> ((s, dir) => kcore(s, dir)))
 
   val oracle: Map[String, String] = Map(
     "fuzzy_join" -> fuzzyJoinSql,
+    "fuzzy_resolve" -> fuzzyResolveSql,
     "pagerank" -> pagerankSql,
     "triangle_count" -> triangleCountSql,
     "kcore" -> kcoreSql)

@@ -264,6 +264,90 @@ object TextOps {
       |FROM base b LEFT JOIN tu USING (doc_id) LEFT JOIN tb USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // C4/Gopher-style quality gate: the length, diversity, repetition, and
+  // stopword filters composed into ONE decision per document with the
+  // first failing rule as the drop reason — the single-scan filter pass a
+  // curation pipeline runs before anything expensive touches the corpus.
+  // Thresholds are set to split the synthetic corpus (each rule fires on
+  // a real fraction of docs); all inputs are exact integer ratios rounded
+  // to 6 in BOTH engines, so the threshold comparisons are engine-equal.
+  private val GateMinToks = 20
+  private val GateMinUniq = 0.35
+  private val GateMaxBigram = 0.08
+  private val GateMinStop = 0.02
+
+  private def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        size(filter(col("toks"), x => array_contains(stopArr, x)))
+          .as("stop_cnt"),
+        explode(when(size(col("toks")) >= 2,
+          expr("transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)))"))
+          .otherwise(array(lit("")))).as("g"))
+    val stats = base.groupBy("doc_id", "n_tokens", "n_uniq", "stop_cnt", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens", "n_uniq", "stop_cnt")
+      .agg(max(col("c")).as("topb"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("uniq_frac"),
+        round(col("topb").cast("double") /
+          greatest(col("n_tokens") - 1, lit(1)), 6).as("top_bigram_frac"),
+        round(col("stop_cnt").cast("double") / col("n_tokens"), 6).as("stop_ratio"))
+    stats
+      .withColumn("reason",
+        when(col("n_tokens") < GateMinToks, lit("too_short"))
+          .when(col("uniq_frac") < GateMinUniq, lit("low_diversity"))
+          .when(col("top_bigram_frac") >= GateMaxBigram, lit("repetitive"))
+          .when(col("stop_ratio") < GateMinStop, lit("low_stopwords")))
+      .withColumn("keep", col("reason").isNull)
+      .orderBy("doc_id")
+  }
+
+  private val qualityGateSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+       |    CAST(len(list_filter(toks,
+       |      x -> list_contains($stopSql, x))) AS INT) AS stop_cnt
+       |  FROM tk),
+       |tb AS (
+       |  SELECT doc_id, max(c) AS topb FROM (
+       |    SELECT doc_id, g, count(*) AS c FROM (
+       |      SELECT doc_id,
+       |        CASE WHEN len(toks) >= 2 THEN
+       |          unnest(list_transform(range(1, len(toks)),
+       |            i -> toks[i] || ' ' || toks[i+1]))
+       |        ELSE unnest(['']) END AS g
+       |      FROM tk)
+       |    GROUP BY doc_id, g)
+       |  GROUP BY 1),
+       |stats AS (
+       |  SELECT b.doc_id, n_tokens,
+       |    round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS uniq_frac,
+       |    round(CAST(topb AS DOUBLE) /
+       |      greatest(n_tokens - 1, 1), 6) AS top_bigram_frac,
+       |    round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6) AS stop_ratio
+       |  FROM base b JOIN tb USING (doc_id)),
+       |gated AS (
+       |  SELECT *,
+       |    CASE WHEN n_tokens < $GateMinToks THEN 'too_short'
+       |         WHEN uniq_frac < $GateMinUniq THEN 'low_diversity'
+       |         WHEN top_bigram_frac >= $GateMaxBigram THEN 'repetitive'
+       |         WHEN stop_ratio < $GateMinStop THEN 'low_stopwords'
+       |    END AS reason
+       |  FROM stats)
+       |SELECT doc_id, n_tokens, uniq_frac, top_bigram_frac, stop_ratio,
+       |  reason, reason IS NULL AS keep
+       |FROM gated ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
@@ -271,7 +355,8 @@ object TextOps {
     "text_tokens_bpe" -> (tokensBpe _),
     "text_fingerprint" -> (fingerprintQ _),
     "text_collocations" -> (collocations _),
-    "text_repetition" -> (repetition _))
+    "text_repetition" -> (repetition _),
+    "quality_gate" -> (qualityGate _))
 
   val oracle: Map[String, String] = Map(
     "text_quality" -> qualitySql,
@@ -280,5 +365,6 @@ object TextOps {
     "text_tokens_bpe" -> tokensBpeSql,
     "text_fingerprint" -> fingerprintSql,
     "text_collocations" -> collocationsSql,
-    "text_repetition" -> repetitionSql)
+    "text_repetition" -> repetitionSql,
+    "quality_gate" -> qualityGateSql)
 }

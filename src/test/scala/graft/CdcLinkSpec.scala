@@ -107,6 +107,36 @@ class CdcLinkSpec extends SparkSpec {
     assert(t >= 0.0 && t <= 1.0)
   }
 
+  test("fuzzy_resolve clusters are closed over the fuzzy pair graph") {
+    val clusters = q("fuzzy_resolve").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    // every fuzzy pair's endpoints landed in the same cluster, and the
+    // canonical id is a real member id (min-label ⇒ ≤ every member key)
+    q("fuzzy_join").collect().foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(clusters(a) == clusters(b), s"pair ($a, $b) split across clusters")
+    }
+    assert(clusters.values.toSet.subsetOf(
+      Tables(spark, sf0001, "part").groupBy("p_name")
+        .agg(min("p_partkey").as("nid")).collect()
+        .map(_.getLong(1)).toSet),
+      "canonical ids must be member name-keys")
+  }
+
+  test("quality_gate reasons partition the corpus consistently") {
+    val rows = q("quality_gate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val keep = r.getBoolean(r.fieldIndex("keep"))
+      val reason = r.getAs[String]("reason")
+      assert(keep == (reason == null), "keep must mean exactly no-reason")
+    }
+    val kept = rows.count(_.getBoolean(rows.head.fieldIndex("keep")))
+    assert(kept > 0 && kept < rows.length,
+      s"gate must split the corpus, kept $kept of ${rows.length}")
+  }
+
   test("kcore peeling matches a brute-force fixpoint at sf0.001") {
     // k=60 keeps a non-trivial core at this SF (the catalog's k=80
     // dissolves the 200-part graph — also asserted below)

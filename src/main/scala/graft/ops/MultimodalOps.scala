@@ -239,9 +239,114 @@ object MultimodalOps {
       |    1 + octet_length(encode(text)) % 7, 2)) AS INT) AS frame_idx
       |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- perceptual (average-hash) image dedup ----
+  // The image-side near-dup detector: 8×8 box-average grayscale hash, so
+  // re-encoded / slightly-retouched copies of the same picture land
+  // within a few bits of each other. Candidate generation is the SimHash
+  // discipline: split the 64-bit hash into 4 × 16-bit bands; hamming ≤ 3
+  // pigeonholes at least one band to agree exactly, so candidates come
+  // from a (band, key) equi-join — never a pairwise scan.
+
+  /** 8×8 average-hash of a decodable image (None when no JDK codec or
+    * the raster is smaller than the grid). Box-average per cell over the
+    * luma (integer sums — deterministic), bit = cell mean > global mean. */
+  def imageAHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val p = px(y * w + x)
+            // integer luma (BT.601 weights scaled by 1000)
+            val luma = (((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L +
+              (p & 0xff) * 114L)
+            val c = cy * 8 + x * 8 / w
+            sums(c) += luma
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var total = 0.0
+        val means = Array.tabulate(64)(i => sums(i).toDouble / counts(i))
+        means.foreach(total += _)
+        val mean = total / 64
+        var hash = 0L
+        var i = 0
+        while (i < 64) { if (means(i) > mean) hash |= (1L << i); i += 1 }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic 16×16 PNG for a document: each pixel's gray level is a
+    * hash of one token, so the corpus' planted near-duplicate TEXTS
+    * become near-duplicate IMAGES — and the query exercises the real
+    * encode→decode→hash codec path end to end. */
+  def renderDocPng(text: String): Array[Byte] = {
+    val toks = text.split(' ').filter(_.nonEmpty)
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < 256) {
+      val g =
+        if (toks.isEmpty) 0
+        else (graft.expr.TextHashOps.mix64(
+          toks(p % toks.length).hashCode.toLong) & 0xff).toInt
+      img.setRGB(p % 16, p / 16, (g << 16) | (g << 8) | g)
+      p += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private val PhashMaxHam = 3
+
+  private def phashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        imageAHash(renderDocPng(text)).map(h => (id, h))
+      })
+      .toDF("doc_id", "ahash")
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("ahash"), b * 16)
+            .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.select(col("band"), col("key"),
+      col("doc_id").as("a_id"), col("ahash").as("a_hash"))
+    val b = bands.select(col("band"), col("key"),
+      col("doc_id").as("b_id"), col("ahash").as("b_hash"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashMaxHam)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (features _),
-    "multimodal_frames" -> (framesQ _))
+    "multimodal_frames" -> (framesQ _),
+    // rows-only: ImageIO has no DuckDB mirror; MultimodalSpec plants
+    // near-identical real images and asserts hash distance + recovery
+    "media_phash_dedup" -> (phashDedup _))
 
   val oracle: Map[String, String] = Map(
     "multimodal_features" -> featuresSql,

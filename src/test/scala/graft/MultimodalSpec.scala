@@ -181,4 +181,41 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("MapPartitions") || plan.contains("mapPartitions")
       || plan.contains("SerializeFromObject"), plan)
   }
+
+  test("average-hash: retouched copies land within a few bits, different images far") {
+    import graft.ops.MultimodalOps
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val base = png((x, y) => x * 8 ^ y * 5)
+    // retouch: a couple of pixels changed — same picture for a human
+    val tweak = png((x, y) =>
+      if (x == 3 && y == 7) 255 else if (x == 20 && y == 20) 0 else x * 8 ^ y * 5)
+    val other = png((x, y) => 255 - x * 4 - y * 3)
+    val (hBase, hTweak, hOther) = (
+      MultimodalOps.imageAHash(base).get,
+      MultimodalOps.imageAHash(tweak).get,
+      MultimodalOps.imageAHash(other).get)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hBase, hTweak) <= 3,
+      s"retouched copy drifted ${ham(hBase, hTweak)} bits")
+    assert(ham(hBase, hOther) > 10,
+      s"unrelated image only ${ham(hBase, hOther)} bits away")
+  }
+
+  test("media_phash_dedup finds banded near-dup pairs with bounded hamming") {
+    val rows = SparkEntry.queries("media_phash_dedup")(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+    }
+  }
 }

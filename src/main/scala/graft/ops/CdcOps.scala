@@ -154,9 +154,11 @@ object CdcOps {
       |ORDER BY p.user_id, p.event_id""".stripMargin
 
   /** Snapshot changelog: diff the post-cutoff latest state against the
-    * pre-cutoff base — per key: added / removed-never (impossible in an
-    * append-only feed, asserted zero by the oracle) / changed /
-    * unchanged. A full-outer join of two rn=1 frames on the same
+    * pre-cutoff base — per key: added / removed / changed / unchanged.
+    * 'removed' is structurally empty on this append-only feed (a key in
+    * the base is always in the full-history latest too); the branch
+    * exists for real CDC feeds with deletes and the oracle mirrors it
+    * verbatim. A full-outer join of two rn=1 frames on the same
     * composite key: one shuffle each side, colocated at lake scale by
     * the snapshot bucketing. */
   private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {

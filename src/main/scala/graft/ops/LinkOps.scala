@@ -319,9 +319,10 @@ object LinkOps {
   // edge frame re-materialized per round (localCheckpoint) so rounds
   // don't nest; convergence is witnessed by the edge count (a dropped
   // node always drops edges — every node in the frame has degree ≥ 1).
-  // The SQL mirror unrolls KcoreRounds rounds; peeling at the shipped
-  // k converges in ≤ 5 rounds at every shipped SF (CdcLinkSpec pins the
-  // round count), so fixpoint == 8-round unroll.
+  // The SQL mirror unrolls KcoreRounds rounds; peeling at the shipped k
+  // measured ≤ 5 rounds at sf0.001/0.01/0.1 (CdcLinkSpec pins sf0.001;
+  // the loud require below guards every other dataset), so fixpoint ==
+  // 8-round unroll wherever the catalog entry runs.
 
   private[graft] val KcoreK = 80
   private[graft] val KcoreRounds = 8

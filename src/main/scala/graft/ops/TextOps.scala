@@ -277,24 +277,27 @@ object TextOps {
   private val GateMinStop = 0.02
 
   private def qualityGate(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
+    val docs = t(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
-      .select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_uniq"),
-        size(filter(col("toks"), x => array_contains(stopArr, x)))
-          .as("stop_cnt"),
-        explode(when(size(col("toks")) >= 2,
-          expr("transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)))"))
-          .otherwise(array(lit("")))).as("g"))
-    val stats = base.groupBy("doc_id", "n_tokens", "n_uniq", "stop_cnt", "g")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n_tokens", "n_uniq", "stop_cnt")
-      .agg(max(col("c")).as("topb"))
+    // scalar stats WITHOUT the explode — carrying them through the bigram
+    // generate re-evaluates every array kernel once per exploded row
+    // (measured 4.9 s vs 1.4 s at sf0.1); join the two branches instead
+    val scalar = docs.select(col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_uniq"),
+      size(filter(col("toks"), x => array_contains(stopArr, x)))
+        .as("stop_cnt"))
+    val topb = docs
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
+        expr("transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)))"))
+        .otherwise(array(lit("")))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("topb"))
+    val stats = scalar.join(topb, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("uniq_frac"),
-        round(col("topb").cast("double") /
+        round(coalesce(col("topb"), lit(1L)).cast("double") /
           greatest(col("n_tokens") - 1, lit(1)), 6).as("top_bigram_frac"),
         round(col("stop_cnt").cast("double") / col("n_tokens"), 6).as("stop_ratio"))
     stats

@@ -310,17 +310,54 @@ object MultimodalOps {
     out.toByteArray
   }
 
+  // ---- audio energy fingerprint (the audio twin of the average-hash) ----
+
+  /** 64-window energy hash of a decodable PCM clip: mean |amplitude| per
+    * equal-width window over the decoded 16-bit little-endian samples,
+    * bit = window energy > clip mean. Re-encoded or lightly edited copies
+    * of the same clip agree on almost all bits; the integer energy sums
+    * keep it deterministic. None when javax.sound has no codec or the
+    * clip is shorter than the window grid. */
+  def audioEnergyHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val raw = ais.readAllBytes()
+          val nSamp = raw.length / 2
+          if (nSamp < 64) None
+          else {
+            val sums = new Array[Long](64)
+            val counts = new Array[Long](64)
+            var i = 0
+            while (i < nSamp) {
+              val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort
+              val w = i * 64 / nSamp
+              sums(w) += math.abs(s.toLong)
+              counts(w) += 1
+              i += 1
+            }
+            val means = Array.tabulate(64)(w => sums(w).toDouble / counts(w))
+            val mean = means.sum / 64
+            var hash = 0L
+            var w = 0
+            while (w < 64) { if (means(w) > mean) hash |= (1L << w); w += 1 }
+            Some(hash)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private val PhashMaxHam = 3
 
-  private def phashDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val hashes = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        imageAHash(renderDocPng(text)).map(h => (id, h))
-      })
-      .toDF("doc_id", "ahash")
+  /** SimHash-discipline candidate pairs over a 64-bit perceptual hash
+    * frame (doc_id, ahash): 4 × 16-bit band equi-join, hamming ≤ maxHam
+    * (pigeonhole: ≤ 3 flipped bits leave ≥ 1 band exact). Shared by the
+    * image and audio fingerprint dedups. */
+  private def bandedHamPairs(hashes: DataFrame, maxHam: Int): DataFrame = {
     val bands = hashes.select(col("doc_id"), col("ahash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -337,16 +374,108 @@ object MultimodalOps {
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= PhashMaxHam)
+      .filter(col("hamming") <= maxHam)
       .orderBy("a_id", "b_id")
+  }
+
+  private def phashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        imageAHash(renderDocPng(text)).map(h => (id, h))
+      })
+      .toDF("doc_id", "ahash")
+    bandedHamPairs(hashes, PhashMaxHam)
+  }
+
+  /** Deterministic mono 16-bit WAV for a document: a sequence of short
+    * constant-amplitude segments, one per token, amplitude from the token
+    * hash — near-duplicate texts render to near-identical waveforms, and
+    * the query exercises the real javax.sound encode→decode path. */
+  def renderDocWav(text: String): Array[Byte] = {
+    val toks = text.split(' ').filter(_.nonEmpty)
+    val segLen = 64 // samples per token segment
+    val n = math.max(1, toks.length) * segLen
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val tok = if (toks.isEmpty) "" else toks(i / segLen)
+      val amp = (graft.expr.TextHashOps.mix64(tok.hashCode.toLong) & 0x3fff).toShort
+      pcm(2 * i) = (amp & 0xff).toByte
+      pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** A "re-encoded elsewhere" copy of a clip: 2 % louder plus sporadic
+    * single-sample noise — what a transcode/normalize pass does to the
+    * waveform. The energy hash thresholds windows against the clip mean,
+    * so uniform gain cancels and the copy lands within a few bits. */
+  private[graft] def reencodedCopy(wav: Array[Byte]): Array[Byte] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val fmt = ais.getFormat
+      val raw = try ais.readAllBytes() finally ais.close()
+      var i = 0
+      while (i + 1 < raw.length) {
+        val s = ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort
+        val v0 = (s * 102L) / 100L + (if ((i / 2) % 37 == 0) 120 else 0)
+        val v = math.max(Short.MinValue, math.min(Short.MaxValue, v0)).toInt
+        raw(i) = (v & 0xff).toByte
+        raw(i + 1) = ((v >> 8) & 0xff).toByte
+        i += 2
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), fmt, raw.length / 2L),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    } catch { case scala.util.control.NonFatal(_) => wav }
+
+  /** Every `AudioCopyMod`-th doc's clip also exists as a re-encoded copy
+    * (id offset by [[AudioCopyBase]]) — the dedup must recover exactly
+    * those planted duplicate pairs. Corpus clips themselves measure ≥ 11
+    * bits apart (no false pairs at the ≤ 3 threshold). */
+  private[graft] val AudioCopyMod = 5
+  private[graft] val AudioCopyBase = 1000000000L
+
+  private def audioDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val wav = renderDocWav(text)
+        val orig = audioEnergyHash(wav).map(h => (id, h))
+        val copy =
+          if (id % AudioCopyMod == 0)
+            audioEnergyHash(reencodedCopy(wav)).map(h => (id + AudioCopyBase, h))
+          else None
+        orig.iterator ++ copy.iterator
+      })
+      .toDF("doc_id", "ahash")
+    bandedHamPairs(hashes, PhashMaxHam)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (features _),
     "multimodal_frames" -> (framesQ _),
-    // rows-only: ImageIO has no DuckDB mirror; MultimodalSpec plants
-    // near-identical real images and asserts hash distance + recovery
-    "media_phash_dedup" -> (phashDedup _))
+    // rows-only: ImageIO / javax.sound have no DuckDB mirror;
+    // MultimodalSpec plants near-identical real media and asserts hash
+    // distance + recovery
+    "media_phash_dedup" -> (phashDedup _),
+    "media_audio_dedup" -> (audioDedup _))
 
   val oracle: Map[String, String] = Map(
     "multimodal_features" -> featuresSql,

@@ -218,4 +218,47 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
     }
   }
+
+  test("audio energy hash: retouched clips land close, different clips far") {
+    import graft.ops.MultimodalOps
+    def wav(n: Int, amp: Int => Int): Array[Byte] = {
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val a = amp(i).toShort
+        pcm(2 * i) = (a & 0xff).toByte
+        pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val base = wav(6400, i => if ((i / 400) % 2 == 0) 9000 else 500)
+    val tweak = wav(6400, i =>
+      (if ((i / 400) % 2 == 0) 9000 else 500) + (if (i % 997 == 0) 150 else 0))
+    val other = wav(6400, i => if ((i / 100) % 4 == 3) 11000 else 200)
+    val (hB, hT, hO) = (
+      MultimodalOps.audioEnergyHash(base).get,
+      MultimodalOps.audioEnergyHash(tweak).get,
+      MultimodalOps.audioEnergyHash(other).get)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hB, hT) <= 3, s"retouched clip drifted ${ham(hB, hT)} bits")
+    assert(ham(hB, hO) > 10, s"unrelated clip only ${ham(hB, hO)} bits away")
+    // the catalog query recovers EXACTLY the planted re-encoded copies:
+    // every doc_id % 5 == 0 clip pairs with its copy, nothing else
+    import graft.ops.MultimodalOps.{AudioCopyBase, AudioCopyMod}
+    val pairs = SparkEntry.queries("media_audio_dedup")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("hamming")))
+    pairs.foreach { case (_, _, h2) => assert(h2 <= 3) }
+    val expected = Tables(spark, sf0001, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % AudioCopyMod == 0)
+      .map(id => (id, id + AudioCopyBase)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected,
+      s"planted-copy recovery mismatch: got ${pairs.length}, want ${expected.size}")
+  }
 }

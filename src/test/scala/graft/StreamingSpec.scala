@@ -213,12 +213,21 @@ class StreamingSpec extends SparkSpec {
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
       try {
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        // concurrent reads race in-flight sink files (list-then-read can
+        // hit a part file mid-write) — Try treats any torn read as
+        // "not there yet" and polls on
         def rows(): Long =
           scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
         while (rows() == 0 && System.nanoTime() < deadline) Thread.sleep(200)
         assert(rows() >= 1, "V2 poll produced no parquet within 60s")
       } finally q.stop()
-      val r = spark.read.parquet(out).filter(col("trip_id") === "T77").collect().head
+      // post-stop the directory is settled; one retry covers a commit
+      // that landed exactly at stop time
+      val r = (1 to 3).iterator
+        .map(_ => scala.util.Try(
+          spark.read.parquet(out).filter(col("trip_id") === "T77").collect()))
+        .collectFirst { case scala.util.Success(rs) if rs.nonEmpty => rs.head }
+        .getOrElse(fail("no T77 row readable after query stop"))
       assert(r.getAs[String]("vehicle_id") == "V123")
       assert(r.getAs[String]("geohash").length == 7)
       assert(r.getAs[Int]("year") == 2024 && r.getAs[Int]("month") == 3)

@@ -29,10 +29,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * order key and materialized ONCE per query (localCheckpoint) — as an
   * adjacency table (|V| rows, outdeg + neighbor array) for PageRank and
   * the triangle probe, as an edge list for peeling. PageRank iterations
-  * are adjacency ⋈ broadcast(ranks) → explode → map-side-combined sum
-  * with a per-iteration rank checkpoint (plans must not nest); ranks and
+  * are adjacency ⋈ ranks → explode → map-side-combined sum with a
+  * per-iteration rank checkpoint (plans must not nest); ranks and
   * degrees are |V|-row frames — nothing driver-side but the |V| scalar
-  * and the k-core/BPE-style convergence witnesses, no global sort.
+  * and the k-core/BPE-style convergence witnesses, no global sort. All
+  * |V|-row probe sides go through [[maybeBroadcast]]: broadcast below
+  * the row guard, the shuffled hash-join twin beyond it — the plan
+  * degrades instead of OOMing at extreme |V|.
   *
   * Float discipline (pagerank): contributions are summed in whatever
   * partition order the shuffle lands, so both engines round each
@@ -45,6 +48,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LinkOps {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---- broadcast size guard ----
+  // Every iterative op below probes a |V|-row frame (ranks, adjacency,
+  // alive set) per round. At bench |V| a broadcast is optimal; at extreme
+  // |V| (billions of vertices) a forced broadcast() would OOM the driver
+  // instead of degrading. The guard: each call site already has the
+  // frame's row count in hand (a loop witness or a checkpoint count — no
+  // extra action), so broadcast only below a row threshold and otherwise
+  // fall back to a shuffled hash join of the identical equi-join shape.
+  // The threshold is a session conf so tests can pin BOTH regimes.
+
+  private[graft] val BroadcastRowsKey = "graft.link.broadcastRows"
+  private[graft] val DefaultBroadcastRows = 8L * 1000 * 1000 // ~8M ids+payload ≲ driver budget
+
+  private def maybeBroadcast(s: SparkSession, df: DataFrame, rows: Long): DataFrame = {
+    val limit = s.conf.getOption(BroadcastRowsKey)
+      .map(_.toLong).getOrElse(DefaultBroadcastRows)
+    // fallback keeps the hash-join shape (no sorts of the big side) —
+    // the shuffled twin of the broadcast plan, not a sort-merge
+    if (rows <= limit) broadcast(df) else df.hint("shuffle_hash")
+  }
 
   // ---- fuzzy similarity join ----
 
@@ -167,35 +191,56 @@ object LinkOps {
       .select("src", "dst").distinct()
   }
 
+  private def prAdjacency(s: SparkSession, dir: String): DataFrame =
+    coPurchaseEdges(s, dir).groupBy("src")
+      .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("dsts"))
+
+  /** One PageRank iteration: contributions from adjacency ⋈ ranks (the
+    * size-guarded probe), map-side-combined sum, teleport + damping.
+    * Factored out so PlanSpec can pin the join regime on both sides of
+    * the broadcast guard — the catalog loop checkpoints each update, so
+    * the iteration joins never survive into the final query plan. */
+  private[graft] def prUpdate(s: SparkSession, adj: DataFrame,
+      parts: DataFrame, pr: DataFrame, nV: Long): DataFrame = {
+    val nn = nV.toDouble
+    val contrib = adj.join(maybeBroadcast(s, pr, nV), adj("src") === pr("id"))
+      .select(explode(col("dsts")).as("id"),
+        (col("pr") / col("outdeg")).as("c"))
+      .groupBy("id").agg(sum(col("c")).as("c"))
+    parts.join(contrib, Seq("id"), "left")
+      .select(col("id"),
+        round(lit(Base) / lit(nn) + lit(Damp) * coalesce(col("c"), lit(0.0)),
+          IterScale).as("pr"))
+  }
+
+  /** The un-checkpointed first iteration — a plan probe for PlanSpec. */
+  private[graft] def pagerankStepProbe(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").select(col("p_partkey").as("id"))
+    val nV = parts.count()
+    prUpdate(s, prAdjacency(s, dir), parts,
+      parts.select(col("id"), (lit(1.0) / lit(nV.toDouble)).as("pr")), nV)
+  }
+
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
     // materialize the graph ONCE as an adjacency table (localCheckpoint,
     // the dedup_resolve discipline): |V| rows carrying outdeg + neighbor
     // array instead of |E| edge rows — ~100× fewer stored rows, and every
     // iteration re-reads these blocks instead of replaying the lineitem
     // self-join + distinct
-    val adj = coPurchaseEdges(s, dir).groupBy("src")
-      .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("dsts"))
-      .localCheckpoint()
+    val adj = prAdjacency(s, dir).localCheckpoint()
     val parts = t(s, dir, "part").select(col("p_partkey").as("id"))
       .localCheckpoint()
     // |V| as a loop constant (a scalar count action, the dedup_resolve
     // convergence-witness precedent) — both engines then evaluate the
-    // identical `0.15 / nn` double division
-    val nn = parts.count().toDouble
-    var pr = parts.select(col("id"), (lit(1.0) / lit(nn)).as("pr"))
+    // identical `0.15 / nn` double division; the same count feeds the
+    // broadcast guard (rank frame is exactly |V| rows every iteration)
+    val nV = parts.count()
+    var pr = parts.select(col("id"), (lit(1.0) / lit(nV.toDouble)).as("pr"))
     for (_ <- 1 to Iters) {
-      val contrib = adj.join(broadcast(pr), adj("src") === pr("id"))
-        .select(explode(col("dsts")).as("id"),
-          (col("pr") / col("outdeg")).as("c"))
-        .groupBy("id").agg(sum(col("c")).as("c"))
       // checkpoint each rank frame (|V| rows): without it the iterations
       // nest into one plan and every broadcast of pr_i re-executes the
       // whole pr_{i-1} chain
-      pr = parts.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          round(lit(Base) / lit(nn) + lit(Damp) * coalesce(col("c"), lit(0.0)),
-            IterScale).as("pr"))
-        .localCheckpoint()
+      pr = prUpdate(s, adj, parts, pr, nV).localCheckpoint()
     }
     pr.select(col("id").as("p_partkey"), round(col("pr"), 6).as("rank"))
       .orderBy("p_partkey")
@@ -257,14 +302,16 @@ object LinkOps {
     // The probe is |E| rows × an O(outdeg) array intersection — the
     // Σ outdeg² wedge stream (49M rows at sf0.1, 40× the edge list) is
     // never materialized, never shuffled. Adjacency is |V| rows with
-    // O(√|E|)-bounded arrays: broadcast here; at a |V| beyond the
-    // broadcast budget the same plan becomes two equi-joins keyed by s/t.
+    // O(√|E|)-bounded arrays: broadcast below the size guard; beyond it
+    // the same plan becomes two shuffled equi-joins keyed by s/t. The
+    // count action is a metadata read over the checkpointed blocks.
     val adj = o.groupBy("s").agg(sort_array(collect_list(col("t"))).as("nbrs"))
       .localCheckpoint() // built once; both broadcast sides read the blocks
+    val nAdj = adj.count()
     val adjS = adj.select(col("s").as("js"), col("nbrs").as("n1"))
     val adjT = adj.select(col("s").as("jt"), col("nbrs").as("n2"))
-    val tri = o.join(broadcast(adjS), col("s") === col("js"))
-      .join(broadcast(adjT), col("t") === col("jt"))
+    val tri = o.join(maybeBroadcast(s, adjS, nAdj), col("s") === col("js"))
+      .join(maybeBroadcast(s, adjT, nAdj), col("t") === col("jt"))
       .select(size(array_intersect(col("n1"), col("n2"))).as("k"))
       .agg(sum(col("k")).as("n_triangles"))
     // orientation preserves incidence, so undirected degrees (for the
@@ -332,13 +379,16 @@ object LinkOps {
       maxRounds: Int = KcoreGuard): (DataFrame, Int) = {
     // the edge list is static — checkpointed ONCE; each peel round only
     // re-materializes the |V|-row alive set and filters the static edges
-    // through two broadcast semi-joins (at a |V| beyond the broadcast
-    // budget these become shuffled semi-joins of the same shape)
+    // through two semi-joins — broadcast below the size guard, shuffled
+    // semi-joins of the same shape beyond it (the alive count is the
+    // loop's convergence witness, so the guard is free)
     val und = coPurchaseEdges(s, dir).filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v")).localCheckpoint()
-    def restrict(alive: DataFrame): DataFrame = und
-      .join(broadcast(alive.select(col("id").as("u"))), Seq("u"), "left_semi")
-      .join(broadcast(alive.select(col("id").as("v"))), Seq("v"), "left_semi")
+    def restrict(alive: DataFrame, nAlive: Long): DataFrame = und
+      .join(maybeBroadcast(s, alive.select(col("id").as("u")), nAlive),
+        Seq("u"), "left_semi")
+      .join(maybeBroadcast(s, alive.select(col("id").as("v")), nAlive),
+        Seq("v"), "left_semi")
       .select("u", "v") // USING-joins move the key first; restore (u, v)
     def degrees(edges: DataFrame): DataFrame = edges
       .select(col("u").as("id")).unionAll(edges.select(col("v").as("id")))
@@ -351,7 +401,7 @@ object LinkOps {
     while (!converged && rounds < maxRounds) {
       // zero-degree-in-subgraph nodes vanish from `degrees` and are
       // thereby dropped too (their degree is < k by definition)
-      sub = restrict(alive)
+      sub = restrict(alive, nAlive)
       val next = degrees(sub).filter(col("d") >= k)
         .select("id").localCheckpoint()
       val n = next.count()

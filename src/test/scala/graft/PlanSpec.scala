@@ -124,6 +124,53 @@ class PlanSpec extends SparkSpec {
       s"adjacency sides not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"unexpected sort-merge in the triangle probe:\n$p")
+    // kcore's final restriction keeps its semi-joins in the plan: below
+    // the size guard the alive-set sides must broadcast
+    val k = plan("kcore")
+    assert(k.contains("BroadcastHashJoin"),
+      s"kcore alive-set semi-joins not broadcast below the guard:\n$k")
+  }
+
+  test("graph broadcasts degrade to shuffled hash joins above the size guard") {
+    // pagerank's iteration joins are checkpointed out of the final plan,
+    // so its regime is pinned on the factored-out step probe
+    def prPlan = graft.ops.LinkOps.pagerankStepProbe(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    // below the guard (default): the rank probe broadcasts
+    val below = prPlan
+    assert(below.contains("BroadcastHashJoin"),
+      s"pagerank step lost its below-guard broadcast:\n$below")
+    // the 100 TB regime: |V| beyond the broadcast budget. Model it by
+    // forcing the guard to -1 rows (even an empty frame must not
+    // broadcast — kcore's alive set genuinely peels to 0 rows at
+    // sf0.001) and disabling Catalyst's own auto-broadcast, which would
+    // otherwise re-broadcast the tiny test frames on size estimates —
+    // every |V|-row probe must keep its equi-join shape as a shuffled
+    // hash join, with no broadcast hash exchange and no degeneration
+    // into a cartesian product. (The 1-row bounds/totals broadcast cross
+    // joins in triangle_count are exempt — they are the documented
+    // oneRowBounds anchors, not |V|-row probes.)
+    spark.conf.set(graft.ops.LinkOps.BroadcastRowsKey, "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val above = prPlan
+      assert(!above.contains("BroadcastHashJoin"),
+        s"pagerank step still broadcasts above the size guard:\n$above")
+      assert(above.contains("ShuffledHashJoin"),
+        s"pagerank fallback lost the hash-join shape:\n$above")
+      for (q <- Seq("triangle_count", "kcore")) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$q still broadcasts above the size guard:\n$p")
+        assert(p.contains("ShuffledHashJoin"),
+          s"$q fallback lost the hash-join shape:\n$p")
+        assert(!p.contains("CartesianProduct"),
+          s"$q degenerated above the size guard:\n$p")
+      }
+    } finally {
+      spark.conf.unset(graft.ops.LinkOps.BroadcastRowsKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("dpp join: the lake scan carries a dynamic-pruning partition filter") {

@@ -35,6 +35,34 @@ object Bench {
 
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // Streaming end-to-end latency FIRST, in a quiet JVM: round 5
+    // measured it after a 107-query catalog had filled the same session
+    // (codegen cache, GC, listener backlog) and p95 doubled for reasons
+    // that had nothing to do with the poll path. Order of operations:
+    // one discarded warmup run per path pays source + ingest codegen,
+    // then the legacy rate-tick poller and the offset-tracked V2 source
+    // are measured back to back — p50/p95 side by side, so the V2 WAL's
+    // durability cost per trigger is quantified rather than confounded.
+    // Failure degrades to an empty object, not a dead bench.
+    val stream =
+      try {
+        graft.streaming.StreamLatency.measure(spark, triggers = 2, useV2 = false)
+        graft.streaming.StreamLatency.measure(spark, triggers = 2)
+        val (l50, l95, ln) = graft.streaming.StreamLatency
+          .measure(spark, triggers = 12, useV2 = false)
+        val (p50, p95, n) = graft.streaming.StreamLatency
+          .measure(spark, triggers = 12)
+        System.err.println(
+          f"[bench] stream e2e (isolated) v2 p50=$p50%.3fs p95=$p95%.3fs over $n; " +
+            f"legacy p50=$l50%.3fs p95=$l95%.3fs over $ln")
+        s"""{"e2e_p50":$p50,"e2e_p95":$p95,"triggers":$n,""" +
+          s""""legacy_p50":$l50,"legacy_p95":$l95,"legacy_triggers":$ln,""" +
+          s""""isolated":true}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream e2e failed: ${e.getMessage}")
+        "{}"
+      }
+
     // Warmup pass on the smallest SF: same plan shapes → compiles every
     // wholestage-codegen class and lets the JIT finish before timing, so
     // the timed pass measures the plans rather than compilation lag.
@@ -107,23 +135,6 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    // Streaming end-to-end latency (HTTP poll → decode → enrich → hive
-    // write), per-trigger p50/p95 from the engine's progress events —
-    // published with the batch numbers so streaming regressions are
-    // visible round over round. Failure degrades to an empty object, not
-    // a dead bench.
-    val stream =
-      try {
-        val (p50, p95, n) =
-          graft.streaming.StreamLatency.measure(spark, triggers = 12)
-        System.err.println(
-          f"[bench] stream e2e p50=$p50%.3fs p95=$p95%.3fs over $n triggers")
-        s"""{"e2e_p50":$p50,"e2e_p95":$p95,"triggers":$n}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] stream e2e failed: ${e.getMessage}")
-        "{}"
-      }
-
     // Plan-generation fingerprint: md5 of the committed PLANS.md (the
     // graft.Plans artifact), so each bench archive records which plan
     // shapes produced its numbers — a changed hash round over round says
@@ -136,7 +147,11 @@ object Bench {
       else "null"
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream":$stream,"plans_md5":$plansMd5,"sf":"$sfDir"}""")
+    // estimator documented in-band: per-query min over 2 full passes plus
+    // up to 3 suspect-retry passes (see the noise model above) — so a
+    // round-over-round delta on an unchanged query is a real plan change,
+    // not a shared-noise-window artifact
+    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min_of_2_passes_plus_suspect_retries","queries":$qs,"stream":$stream,"plans_md5":$plansMd5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

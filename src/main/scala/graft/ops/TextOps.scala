@@ -294,12 +294,21 @@ object TextOps {
         .otherwise(array(lit("")))).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("topb"))
+    // /n_tokens ratios are NULL-guarded in BOTH engines: unguarded, an
+    // empty-token doc would be NULL here (Spark Divide) but ±inf/NaN in
+    // DuckDB's IEEE float division — a latent hash-parity break. The
+    // bigram denominator is greatest(·,1), never zero, so only the two
+    // direct ratios need the guard ('too_short' fires first regardless).
     val stats = scalar.join(topb, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("uniq_frac"),
+        when(col("n_tokens") > 0,
+          round(col("n_uniq").cast("double") / col("n_tokens"), 6))
+          .as("uniq_frac"),
         round(coalesce(col("topb"), lit(1L)).cast("double") /
           greatest(col("n_tokens") - 1, lit(1)), 6).as("top_bigram_frac"),
-        round(col("stop_cnt").cast("double") / col("n_tokens"), 6).as("stop_ratio"))
+        when(col("n_tokens") > 0,
+          round(col("stop_cnt").cast("double") / col("n_tokens"), 6))
+          .as("stop_ratio"))
     stats
       .withColumn("reason",
         when(col("n_tokens") < GateMinToks, lit("too_short"))
@@ -334,11 +343,13 @@ object TextOps {
        |  GROUP BY 1),
        |stats AS (
        |  SELECT b.doc_id, n_tokens,
-       |    round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS uniq_frac,
-       |    round(CAST(topb AS DOUBLE) /
+       |    CASE WHEN n_tokens > 0 THEN
+       |      round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) END AS uniq_frac,
+       |    round(CAST(coalesce(topb, 1) AS DOUBLE) /
        |      greatest(n_tokens - 1, 1), 6) AS top_bigram_frac,
-       |    round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6) AS stop_ratio
-       |  FROM base b JOIN tb USING (doc_id)),
+       |    CASE WHEN n_tokens > 0 THEN
+       |      round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6) END AS stop_ratio
+       |  FROM base b LEFT JOIN tb USING (doc_id)),
        |gated AS (
        |  SELECT *,
        |    CASE WHEN n_tokens < $GateMinToks THEN 'too_short'

@@ -15,12 +15,17 @@ import scala.jdk.CollectionConverters._
   */
 object StreamLatency {
 
-  /** Serve a synthetic feed from a loopback JDK HttpServer and run
-    * [[HttpFeedSource.pollQuery]] against it until `triggers` non-empty
-    * triggers have been measured (or `deadlineSec` passes — the result
-    * then carries however many completed). Returns (p50, p95, n). */
+  /** Serve a synthetic feed from a loopback JDK HttpServer and poll it
+    * until `triggers` non-empty triggers have been measured (or
+    * `deadlineSec` passes — the result then carries however many
+    * completed). `useV2` picks the measured path: the offset-tracked V2
+    * source with its payload WAL ([[HttpFeedSource.pollQueryV2]], the
+    * production path and the default) or the legacy rate-tick poller
+    * ([[HttpFeedSource.pollQuery]]) — benched side by side so the WAL's
+    * durability cost per trigger is a published number, not a guess.
+    * Returns (p50, p95, n). */
   def measure(spark: SparkSession, triggers: Int, vehicles: Int = 200,
-      deadlineSec: Int = 120): (Double, Double, Int) = {
+      deadlineSec: Int = 120, useV2: Boolean = true): (Double, Double, Int) = {
     // everything after server.start()/addListener nests in try/finally:
     // a leaked HttpServer keeps a non-daemon dispatcher thread alive and
     // the Bench JVM would never exit
@@ -57,11 +62,15 @@ object StreamLatency {
       val out = Files.createTempDirectory("graft-e2e-out")
       val ckpt = Files.createTempDirectory("graft-e2e-ckpt")
       try {
-        // measured through the offset-tracked V2 source (graft-feed), so
-        // the published number covers the production poll path: WAL
-        // persist + offset advance + decode/enrich/write per trigger
-        val q = HttpFeedSource.pollQueryV2(spark, url, out.toString, ckpt.toString,
-          trigger = Trigger.ProcessingTime("500 milliseconds"))
+        // V2 covers the production poll path per trigger: WAL persist +
+        // offset advance + decode/enrich/write; legacy covers the same
+        // ingest minus the durable source bookkeeping
+        val t = Trigger.ProcessingTime("500 milliseconds")
+        val q =
+          if (useV2) HttpFeedSource.pollQueryV2(spark, url, out.toString,
+            ckpt.toString, trigger = t)
+          else HttpFeedSource.pollQuery(spark, url, out.toString,
+            ckpt.toString, trigger = t)
         measuredId = q.id
         val deadline = System.nanoTime() + deadlineSec * 1e9.toLong
         try

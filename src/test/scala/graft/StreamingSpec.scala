@@ -534,13 +534,32 @@ class StreamingSpec extends SparkSpec {
       // crash-replay idempotence: re-applying the LAST batch (the sink
       // wrote, the checkpoint commit was lost) must reproduce the same
       // snapshot — the versioned layout rebuilds v=N from the same
-      // strictly-older base
-      val lastBatch = Seq((1L, "a", 200L, 3L, 9.0), (3L, "a", 150L, 4L, 3.0))
-        .toDF("user_id", "event_type", "us", "event_id", "value")
-      StateMaintainer.applyBatch(lastBatch, 1L, stateDir)
+      // strictly-older base. Replay the ACTUAL max committed version with
+      // the b2 feed file's rows, not a hardcoded guess at how the file
+      // source assigned batch ids (and if the engine appended a trailing
+      // empty batch, merging b2 into a state already containing it is a
+      // same-keys upsert — still s2)
+      val lastId = new java.io.File(stateDir).listFiles()
+        .map(_.getName).filter(_.startsWith("v="))
+        .map(_.drop(2).toLong).max
+      StateMaintainer.applyBatch(
+        spark.read.parquet(s"$dir/feed/b2"), lastId, stateDir)
       val s3 = StateMaintainer.readState(spark, stateDir)
         .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
       assert(s3 == s2, s"replayed batch diverged: $s3 vs $s2")
+
+      // torn publications are invisible: a v= dir without the _SUCCESS
+      // marker (crash mid-write) and an abandoned .tmp staging dir must
+      // both be ignored by readState and never picked as a replay base
+      val torn = new java.io.File(stateDir, s"v=${lastId + 5}")
+      assert(torn.mkdir())
+      java.nio.file.Files.write(torn.toPath.resolve("part-junk.parquet"),
+        Array[Byte](1, 2, 3))
+      val stale = new java.io.File(stateDir, s".tmp-v=${lastId + 6}")
+      assert(stale.mkdir())
+      val s4 = StateMaintainer.readState(spark, stateDir)
+        .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+      assert(s4 == s2, s"torn version dir was served to readers: $s4")
     } finally q.stop()
   }
 

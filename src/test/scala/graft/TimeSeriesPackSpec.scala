@@ -123,11 +123,15 @@ class TimeSeriesPackSpec extends SparkSpec {
     }
   }
 
-  test("approx profile: HLL distincts within 2% of exact, rest identical, no Expand") {
+  test("approx profile: HLL distincts within 3x rsd of exact, rest identical, no Expand") {
     val exact = q("table_profile").collect()
       .map(r => r.getString(0) -> r).toMap
     val approx = q("table_profile_approx").collect()
     assert(approx.length == exact.size)
+    // 3σ of the configured rsd: the tolerance tracks the setting, so
+    // retuning ProfileRsd (or regenerating testdata) can't strand a
+    // column past a hardcoded constant with 1.25σ of headroom
+    val bound = 3 * graft.ops.PackOps.ProfileRsd
     approx.foreach { r =>
       val e = exact(r.getString(0))
       // everything but the distinct estimate is computed identically
@@ -135,8 +139,8 @@ class TimeSeriesPackSpec extends SparkSpec {
         r.getDouble(4) == e.getDouble(4) && r.getDouble(5) == e.getDouble(5),
         s"${r.getString(0)}: non-distinct measures diverged from the exact form")
       val (est, act) = (r.getLong(3).toDouble, e.getLong(3).toDouble)
-      assert(math.abs(est - act) / act <= 0.02,
-        s"${r.getString(0)}: HLL estimate $est vs exact $act beyond 2%")
+      assert(math.abs(est - act) / act <= bound,
+        s"${r.getString(0)}: HLL estimate $est vs exact $act beyond 3x rsd ($bound)")
     }
     // the whole point of the twin: approx distincts need no Expand replay
     val p = plan("table_profile_approx")

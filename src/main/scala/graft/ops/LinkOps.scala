@@ -74,10 +74,10 @@ object LinkOps {
 
   private[graft] val MaxDist = 4
 
-  /** Blocked candidate pairs within edit distance (unordered frame —
-    * shared by the join query and the golden-record resolve). */
-  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
-    val names = t(s, dir, "part").select(col("p_name")).distinct()
+  /** Blocked candidate pairs within edit distance over any one-column
+    * (`p_name`) frame — exposed so CdcLinkSpec can plant the ER
+    * chain-merge counter-example directly. */
+  private[graft] def fuzzyPairsOf(names: DataFrame): DataFrame = {
     // two blocking passes: first token and last token of the name; a pair
     // is a candidate if it agrees on either block (array_distinct keeps
     // one-token names from double-counting themselves)
@@ -94,8 +94,36 @@ object LinkOps {
       .filter(col("dist") <= MaxDist)
   }
 
+  /** Blocked candidate pairs within edit distance (unordered frame —
+    * shared by the join query and the golden-record resolves). */
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    fuzzyPairsOf(t(s, dir, "part").select(col("p_name")).distinct())
+
   private def fuzzyJoin(s: SparkSession, dir: String): DataFrame =
     fuzzyPairs(s, dir).orderBy("a_name", "b_name")
+
+  // ---- confidence gate before closure ----
+  // Transitive closure CHAINS near-matches: with the raw `dist <= 4`
+  // pair set, "red mud"–"red wood"–"red woods" collapse into one
+  // cluster even though mud–wood is barely a match (the classic ER
+  // over-merge, documented on fuzzyResolve below). The gate admits an
+  // edge into the closure only when the NORMALIZED distance is small —
+  // dist ≤ max(len)/4, written all-integer (4·dist ≤ max(len)) so both
+  // engines compare exact BIGINTs and there is no float surface. A short
+  // name pair needs to be near-identical to merge; long names tolerate
+  // proportionally more edits. Chains still require every LINK to be a
+  // high-confidence match, which is what kills the counter-example:
+  // "red mud"→"red wood" is 3 edits over 8 chars (0.375 > 0.25, edge
+  // dropped) while a true variant like "red wood"→"red woods" is 1 edit
+  // over 9 (admitted).
+  private[graft] val GateInvNorm = 4 // admit iff GateInvNorm * dist <= max(len)
+
+  private[graft] def gateNorm(pairs: DataFrame): DataFrame =
+    pairs.filter(col("dist") * GateInvNorm <=
+      greatest(length(col("a_name")), length(col("b_name"))))
+
+  private def gateNormPred(a: String, b: String): String =
+    s"$GateInvNorm * levenshtein($a, $b) <= greatest(len($a), len($b))"
 
   /** Golden-record resolve: connected components over the fuzzy pair
     * graph (the [[DedupOps.propagateMin]] pointer-jumping machinery,
@@ -104,14 +132,16 @@ object LinkOps {
     * completion of `fuzzy_join`: pairs say "these look alike", the
     * resolve says "these are the same thing, file them under one key".
     * Expect aggressive merging on a small vocabulary: transitive closure
-    * CHAINS near-matches ("red widget"–"red wood"–"hot wood"), the
-    * classic ER over-merge — production runs tighter thresholds or a
-    * pair-confidence model before closure; the algorithmic shape (pairs →
-    * components → canonical key) is exactly this either way. */
-  private def fuzzyResolve(s: SparkSession, dir: String): DataFrame = {
+    * CHAINS near-matches ("red mud"–"red wood"–"red woods"), the
+    * classic ER over-merge — `fuzzy_resolve_gated` below is the deployed
+    * fix (normalized-distance confidence gate before closure); this
+    * ungated anchor stays as the closure-semantics reference, and the
+    * algorithmic shape (pairs → components → canonical key) is exactly
+    * the same either way. */
+  private def resolveOver(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val nameKey = t(s, dir, "part").groupBy(col("p_name"))
       .agg(min(col("p_partkey")).as("nid"))
-    val pairs = fuzzyPairs(s, dir)
     val a = nameKey.select(col("p_name").as("a_name"), col("nid").as("ua"))
     val b = nameKey.select(col("p_name").as("b_name"), col("nid").as("ub"))
     val keyed = pairs.join(a, "a_name").join(b, "b_name")
@@ -124,7 +154,17 @@ object LinkOps {
       .orderBy("p_name")
   }
 
-  private val fuzzyResolveSql =
+  private def fuzzyResolve(s: SparkSession, dir: String): DataFrame =
+    resolveOver(s, dir, fuzzyPairs(s, dir))
+
+  /** The production fix for the over-merge above: identical closure, but
+    * only confidence-gated pairs ([[gateNorm]]) become edges. The anchor
+    * `fuzzy_resolve` stays as-is — it IS the closure semantics; this twin
+    * is what a curation run deploys on a large vocabulary. */
+  private def fuzzyResolveGated(s: SparkSession, dir: String): DataFrame =
+    resolveOver(s, dir, gateNorm(fuzzyPairs(s, dir)))
+
+  private def resolveSqlWith(fpPred: String): String =
     s"""WITH RECURSIVE nm AS (
        |  SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY 1),
        |bl AS (
@@ -136,7 +176,7 @@ object LinkOps {
        |  FROM bl a JOIN bl b ON a.blk = b.blk AND a.p_name < b.p_name),
        |fp AS (
        |  SELECT a_name, b_name FROM cand
-       |  WHERE levenshtein(a_name, b_name) <= $MaxDist),
+       |  WHERE $fpPred),
        |e AS (
        |  SELECT a.nid AS u, b.nid AS v
        |  FROM fp JOIN nm a ON fp.a_name = a.p_name
@@ -152,6 +192,13 @@ object LinkOps {
        |SELECT nm.p_name, min(w.label) AS cluster_id
        |FROM nm JOIN walk w ON w.id = nm.nid
        |GROUP BY nm.p_name ORDER BY p_name""".stripMargin
+
+  private val fuzzyResolveSql =
+    resolveSqlWith(s"levenshtein(a_name, b_name) <= $MaxDist")
+
+  private val fuzzyResolveGatedSql = resolveSqlWith(
+    s"levenshtein(a_name, b_name) <= $MaxDist AND " +
+      gateNormPred("a_name", "b_name"))
 
   private val fuzzyJoinSql =
     s"""WITH nm AS (SELECT DISTINCT p_name FROM part),
@@ -453,6 +500,7 @@ object LinkOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_join" -> ((s, dir) => fuzzyJoin(s, dir)),
     "fuzzy_resolve" -> ((s, dir) => fuzzyResolve(s, dir)),
+    "fuzzy_resolve_gated" -> ((s, dir) => fuzzyResolveGated(s, dir)),
     "pagerank" -> ((s, dir) => pagerank(s, dir)),
     "triangle_count" -> ((s, dir) => triangleCount(s, dir)),
     "kcore" -> ((s, dir) => kcore(s, dir)))
@@ -460,6 +508,7 @@ object LinkOps {
   val oracle: Map[String, String] = Map(
     "fuzzy_join" -> fuzzyJoinSql,
     "fuzzy_resolve" -> fuzzyResolveSql,
+    "fuzzy_resolve_gated" -> fuzzyResolveGatedSql,
     "pagerank" -> pagerankSql,
     "triangle_count" -> triangleCountSql,
     "kcore" -> kcoreSql)

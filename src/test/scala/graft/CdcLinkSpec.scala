@@ -124,6 +124,58 @@ class CdcLinkSpec extends SparkSpec {
       "canonical ids must be member name-keys")
   }
 
+  test("gated resolve breaks the ER chain-merge counter-example") {
+    import spark.implicits._
+    import graft.ops.{DedupOps, LinkOps}
+    // the canonical over-merge, planted with verified distances: all
+    // three names share the "red" block; mud–wood is 3 edits over 8
+    // chars and mud–woods 4 over 9 (low confidence, both > 0.25) while
+    // wood–woods is 1 edit over 9 (a true variant). Ungated closure
+    // merges all three; the normalized-distance gate must keep the
+    // low-confidence links out so "red mud" stays separate.
+    val names = Seq("red mud", "red wood", "red woods").toDF("p_name")
+    val pairs = LinkOps.fuzzyPairsOf(names)
+    val got = pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("red mud", "red wood"), ("red mud", "red woods"),
+      ("red wood", "red woods")), s"unexpected candidate pairs: $got")
+    val gated = LinkOps.gateNorm(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gated == Set(("red wood", "red woods")),
+      s"gate admitted a low-confidence link: $gated")
+    // closure over the gated edges: {red wood, red woods} merge, the
+    // low-confidence neighbor "red mud" stays its own cluster
+    def clustersOf(ps: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val key = names.select(col("p_name"),
+        length(col("p_name")).cast("long").as("nid")) // any distinct key
+      val a = key.select(col("p_name").as("a_name"), col("nid").as("ua"))
+      val b = key.select(col("p_name").as("b_name"), col("nid").as("ub"))
+      val keyed = ps.join(a, "a_name").join(b, "b_name")
+      val edges = keyed.select(col("ua").as("u"), col("ub").as("v"))
+        .union(keyed.select(col("ub").as("u"), col("ua").as("v")))
+      val (labels, _) = DedupOps.propagateMin(edges)
+      key.join(labels, key("nid") === labels("doc_id"), "left")
+        .select(col("p_name"), coalesce(col("label"), col("nid")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val ungated = clustersOf(pairs)
+    assert(ungated("red mud") == ungated("red woods"),
+      "ungated closure should chain the counter-example (it documents the bug)")
+    val fixed = clustersOf(LinkOps.gateNorm(pairs))
+    assert(fixed("red wood") == fixed("red woods"), "true variants must merge")
+    assert(fixed("red mud") != fixed("red woods"),
+      "gated closure still chains the counter-example endpoints")
+    // and the catalog entry only ever merges gate-surviving pairs
+    val cat = q("fuzzy_resolve_gated").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cat.nonEmpty)
+    val admitted = LinkOps.gateNorm(
+      LinkOps.fuzzyPairsOf(Tables(spark, sf0001, "part")
+        .select(col("p_name")).distinct()))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    admitted.foreach { case (a, b) =>
+      assert(cat(a) == cat(b), s"gated pair ($a, $b) split across clusters") }
+  }
+
   test("quality_gate reasons partition the corpus consistently") {
     val rows = q("quality_gate").collect()
     assert(rows.nonEmpty)

@@ -378,6 +378,55 @@ object MultimodalOps {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- oracle plumbing for the band-join ----
+  // The codec kernels (ImageIO / javax.sound) have no DuckDB mirror, but
+  // everything AFTER them is relational: persist the computed
+  // (doc_id, ahash) frame to a content-keyed tmp table during the query
+  // and mirror bandedHamPairs in SQL over read_parquet of that table —
+  // upgrading both media dedups from rows-only to exact on the whole
+  // band-extract → pigeonhole self-join → hamming filter pipeline. The
+  // oracle defs read the path refs AFTER the queries ran (Verify dumps
+  // oracle_sql.json last), so the SQL always points at the frame the
+  // compared run actually used.
+
+  private val phashOraclePath = new java.util.concurrent.atomic.AtomicReference(
+    s"${System.getProperty("java.io.tmpdir")}/graft_media/unset/phash")
+  private val audioOraclePath = new java.util.concurrent.atomic.AtomicReference(
+    s"${System.getProperty("java.io.tmpdir")}/graft_media/unset/audio")
+
+  /** Persist the hash frame for the DuckDB mirror and read it back, so
+    * the band-join provably consumes the very rows the oracle sees. */
+  private def persistHashes(s: SparkSession, dir: String, sub: String,
+      ref: java.util.concurrent.atomic.AtomicReference[String],
+      hashes: DataFrame): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_media/" +
+      s"${ContentKey.md5(dir)}/$sub"
+    hashes.coalesce(1).write.mode("overwrite").parquet(path)
+    ref.set(path)
+    s.read.parquet(path)
+  }
+
+  /** SQL twin of [[bandedHamPairs]]: DuckDB's arithmetic `>>` equals
+    * Spark's shiftrightunsigned once masked to the low 16 bits, and the
+    * hamming kernel is bit_count over xor — all-integer end to end. */
+  private def bandedHamPairsSql(path: String, maxHam: Int): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, ahash FROM read_parquet('$path/*.parquet')),
+       |bands AS (
+       |  SELECT doc_id, ahash, b.band,
+       |    (ahash >> (b.band * 16)) & 65535 AS key
+       |  FROM h, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.ahash AS a_hash, b.ahash AS b_hash
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id,
+       |  CAST(bit_count(xor(a_hash, b_hash)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(a_hash, b_hash)) <= $maxHam
+       |ORDER BY a_id, b_id""".stripMargin
+
   private def phashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hashes = Tables(s, dir, "documents")
@@ -387,7 +436,8 @@ object MultimodalOps {
         imageAHash(renderDocPng(text)).map(h => (id, h))
       })
       .toDF("doc_id", "ahash")
-    bandedHamPairs(hashes, PhashMaxHam)
+    bandedHamPairs(
+      persistHashes(s, dir, "phash", phashOraclePath, hashes), PhashMaxHam)
   }
 
   /** Deterministic mono 16-bit WAV for a document: a sequence of short
@@ -465,19 +515,24 @@ object MultimodalOps {
         orig.iterator ++ copy.iterator
       })
       .toDF("doc_id", "ahash")
-    bandedHamPairs(hashes, PhashMaxHam)
+    bandedHamPairs(
+      persistHashes(s, dir, "audio", audioOraclePath, hashes), PhashMaxHam)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (features _),
     "multimodal_frames" -> (framesQ _),
-    // rows-only: ImageIO / javax.sound have no DuckDB mirror;
-    // MultimodalSpec plants near-identical real media and asserts hash
-    // distance + recovery
+    // band-join oracled over the persisted hash frames (see
+    // persistHashes); the codec kernels themselves are pinned by
+    // MultimodalSpec's planted near-identical real media
     "media_phash_dedup" -> (phashDedup _),
     "media_audio_dedup" -> (audioDedup _))
 
-  val oracle: Map[String, String] = Map(
+  // def, not val: the media mirrors embed the hash-frame paths recorded
+  // when the queries last ran (Verify dumps oracle_sql.json afterwards)
+  def oracle: Map[String, String] = Map(
     "multimodal_features" -> featuresSql,
-    "multimodal_frames" -> framesSql)
+    "multimodal_frames" -> framesSql,
+    "media_phash_dedup" -> bandedHamPairsSql(phashOraclePath.get, PhashMaxHam),
+    "media_audio_dedup" -> bandedHamPairsSql(audioOraclePath.get, PhashMaxHam))
 }

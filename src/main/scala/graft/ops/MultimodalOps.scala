@@ -288,6 +288,84 @@ object MultimodalOps {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** 64-bit DCT perceptual hash (the classic pHash, the structural
+    * companion of [[imageAHash]]): nearest-neighbor resample of the
+    * luma to 32×32, separable 2-D DCT-II, keep the 8×8 low-frequency
+    * block, bit = coefficient > median of the 63 AC coefficients (DC
+    * excluded — it carries only global brightness, and its bit stays
+    * 0). Thresholding AC energy against its own median makes the hash
+    * invariant to affine brightness/contrast maps (a·luma + b scales
+    * every AC coefficient by a and shifts only DC) and stable under
+    * monotone tone curves on smooth imagery — it keys on the
+    * low-frequency STRUCTURE of the picture where the box average keys
+    * on per-cell levels; both ship because their failure modes differ
+    * (near-median AC ties flip DCT bits on flat synthetic tiles, tone
+    * curves move aHash cell means on real photos). Double-precision
+    * DCT is deterministic (fixed op order, one JVM libm) and the hash
+    * is persisted for the oracle, so the band-join stays exactly
+    * mirrored. */
+  def imageDctHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val N = 32
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val lum = Array.ofDim[Double](N, N)
+        var cy = 0
+        while (cy < N) {
+          val sy = cy * h / N
+          var cx = 0
+          while (cx < N) {
+            val p = px(sy * w + cx * w / N)
+            lum(cy)(cx) = ((p >> 16) & 0xff) * 299.0 +
+              ((p >> 8) & 0xff) * 587.0 + (p & 0xff) * 114.0
+            cx += 1
+          }
+          cy += 1
+        }
+        // separable DCT-II via a precomputed cosine table: rows, then
+        // columns — only the first 8 output frequencies are ever needed
+        val cos = Array.tabulate(8, N)((k, n) =>
+          math.cos(math.Pi / N * (n + 0.5) * k))
+        val rows = Array.ofDim[Double](N, 8)
+        var y = 0
+        while (y < N) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var x = 0
+            while (x < N) { s += lum(y)(x) * cos(v)(x); x += 1 }
+            rows(y)(v) = s
+            v += 1
+          }
+          y += 1
+        }
+        val coef = new Array[Double](64)
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var yy = 0
+            while (yy < N) { s += rows(yy)(v) * cos(u)(yy); yy += 1 }
+            coef(u * 8 + v) = s
+            v += 1
+          }
+          u += 1
+        }
+        val ac = coef.drop(1).sorted
+        val median = ac(31) // lower median of the 63 AC coefficients
+        var hash = 0L
+        var i = 1
+        while (i < 64) { if (coef(i) > median) hash |= (1L << i); i += 1 }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Deterministic 16×16 PNG for a document: each pixel's gray level is a
     * hash of one token, so the corpus' planted near-duplicate TEXTS
     * become near-duplicate IMAGES — and the query exercises the real
@@ -391,6 +469,8 @@ object MultimodalOps {
 
   private val phashOraclePath = new java.util.concurrent.atomic.AtomicReference(
     s"${System.getProperty("java.io.tmpdir")}/graft_media/unset/phash")
+  private val dctOraclePath = new java.util.concurrent.atomic.AtomicReference(
+    s"${System.getProperty("java.io.tmpdir")}/graft_media/unset/dct")
   private val audioOraclePath = new java.util.concurrent.atomic.AtomicReference(
     s"${System.getProperty("java.io.tmpdir")}/graft_media/unset/audio")
 
@@ -438,6 +518,19 @@ object MultimodalOps {
       .toDF("doc_id", "ahash")
     bandedHamPairs(
       persistHashes(s, dir, "phash", phashOraclePath, hashes), PhashMaxHam)
+  }
+
+  private def dctDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        imageDctHash(renderDocPng(text)).map(h => (id, h))
+      })
+      .toDF("doc_id", "ahash")
+    bandedHamPairs(
+      persistHashes(s, dir, "dct", dctOraclePath, hashes), PhashMaxHam)
   }
 
   /** Deterministic mono 16-bit WAV for a document: a sequence of short
@@ -526,6 +619,7 @@ object MultimodalOps {
     // persistHashes); the codec kernels themselves are pinned by
     // MultimodalSpec's planted near-identical real media
     "media_phash_dedup" -> (phashDedup _),
+    "media_dcthash_dedup" -> (dctDedup _),
     "media_audio_dedup" -> (audioDedup _))
 
   // def, not val: the media mirrors embed the hash-frame paths recorded
@@ -534,5 +628,6 @@ object MultimodalOps {
     "multimodal_features" -> featuresSql,
     "multimodal_frames" -> framesSql,
     "media_phash_dedup" -> bandedHamPairsSql(phashOraclePath.get, PhashMaxHam),
+    "media_dcthash_dedup" -> bandedHamPairsSql(dctOraclePath.get, PhashMaxHam),
     "media_audio_dedup" -> bandedHamPairsSql(audioOraclePath.get, PhashMaxHam))
 }

@@ -219,6 +219,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("DCT hash survives affine and tone-curve remaps; unrelated images stay far") {
+    import graft.ops.MultimodalOps
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val g = f(x, y) max 0 min 255
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // smooth imagery (a real photo's local structure, not a flat
+    // synthetic tile — those produce near-median AC ties that flip bits
+    // under ANY perturbation, the documented failure mode)
+    val pat: (Int, Int) => Int = (x, y) =>
+      60 + (x * x * 2 + y * y + 3 * x * y) % 140
+    val base = png(pat)
+    // transcode-style retouches: contrast stretch + brightness lift
+    // (affine — AC coefficients scale uniformly, the median threshold
+    // cancels it) and a gamma-style monotone tone curve
+    val affine = png((x, y) => pat(x, y) * 6 / 5 + 12)
+    val gamma = png((x, y) => (math.sqrt(pat(x, y) / 255.0) * 255).toInt)
+    val other = png((x, y) => 255 - x * 4 - y * 3)
+    val dB = MultimodalOps.imageDctHash(base).get
+    assert(ham(dB, MultimodalOps.imageDctHash(affine).get) <= 3,
+      "DCT drifted under an affine brightness/contrast remap")
+    assert(ham(dB, MultimodalOps.imageDctHash(gamma).get) <= 3,
+      "DCT drifted under a monotone tone curve")
+    val dO = ham(dB, MultimodalOps.imageDctHash(other).get)
+    assert(dO > 10, s"unrelated image only $dO DCT bits away")
+  }
+
+  test("media_dcthash_dedup finds banded near-dup pairs with bounded hamming") {
+    val rows = SparkEntry.queries("media_dcthash_dedup")(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+    }
+  }
+
   test("audio energy hash: retouched clips land close, different clips far") {
     import graft.ops.MultimodalOps
     def wav(n: Int, amp: Int => Int): Array[Byte] = {

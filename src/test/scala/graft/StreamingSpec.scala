@@ -399,6 +399,51 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming EMA state is bit-identical to the batch events_ema fold") {
+    import graft.streaming.EmaMonitor
+    val dir = Files.createTempDirectory("graft-ema").toString
+    // real corpus, streamed as two event-time-ordered micro-batches (the
+    // exactness contract: batches partition each key's series in order)
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+    val split = ev.agg(expr("percentile_approx(us, 0.5)")).collect()(0).getLong(0)
+    ev.filter(col("us") <= split).write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = spark.readStream
+        .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+      val q = EmaMonitor.emas(feed, "user_id", "us", "event_id", "value")
+        .writeStream.format("memory").queryName("ema").outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        ev.filter(col("us") > split).write.parquet(s"$dir/b2")
+        q.processAllAvailable()
+        // per key, the latest state row is the one with the max n_events
+        // (n grows monotonically across batches)
+        val streamed = spark.table("ema").collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+          .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+        val batch = SparkEntry.queries("events_ema")(spark, sf0001).collect()
+          .map(r => r.getLong(0).toString ->
+            (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+        assert(streamed.keySet == batch.keySet,
+          s"key sets differ: ${streamed.keySet.size} vs ${batch.keySet.size}")
+        streamed.foreach { case (k, (n, lastUs, ema)) =>
+          val (bn, bLast, bEma) = batch(k)
+          assert(n == bn && lastUs == bLast,
+            s"key $k: counts/last diverged ($n,$lastUs) vs ($bn,$bLast)")
+          // BIT-identical: same doubles through the same fold sequence
+          assert(java.lang.Double.doubleToRawLongBits(ema) ==
+            java.lang.Double.doubleToRawLongBits(bEma),
+            s"key $k: streaming ema $ema != batch $bEma")
+        }
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming session windows merge by gap and close at the watermark") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-03-05T10:00:00Z")

@@ -99,6 +99,67 @@ object LinkOps {
   private def fuzzyPairs(s: SparkSession, dir: String): DataFrame =
     fuzzyPairsOf(t(s, dir, "part").select(col("p_name")).distinct())
 
+  // ---- q-gram blocking (the recall pass) ----
+  // Token blocking misses pairs that differ in BOTH the first and last
+  // token — the documented recall trade above. The production fix is a
+  // second blocking pass on character q-grams: a pair within edit
+  // distance k shares plenty of 3-grams (each edit destroys at most q
+  // grams), so candidates come from an equi-join on shared grams. The
+  // scale discipline is STOP-GRAM pruning: a gram's block costs df²
+  // pairs, so grams with df > QgramMaxDf are dropped before the join —
+  // bounding the fan-out exactly like the LSH band joins; near-pairs
+  // whose every shared gram is a stop-gram are the (rare, measured)
+  // recall cost. All still equi-joins — no cross product at any |names|.
+
+  private[graft] val QgramN = 3
+  private[graft] val QgramMaxDf = 25
+
+  private[graft] def qgramPairsOf(names: DataFrame): DataFrame = {
+    val grams = names.select(col("p_name"),
+      explode(when(length(col("p_name")) >= QgramN,
+        array_distinct(expr(
+          s"transform(sequence(1, length(p_name) - ${QgramN - 1})," +
+            s" i -> substring(p_name, i, $QgramN))")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= QgramMaxDf)
+      .select("gram")
+    val blocked = grams.join(rare, "gram")
+    val a = blocked.select(col("gram"), col("p_name").as("a_name"))
+    val b = blocked.select(col("gram"), col("p_name").as("b_name"))
+    a.join(b, "gram")
+      .filter(col("a_name") < col("b_name"))
+      .select("a_name", "b_name").distinct()
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= MaxDist)
+  }
+
+  private def fuzzyJoinQgram(s: SparkSession, dir: String): DataFrame =
+    qgramPairsOf(t(s, dir, "part").select(col("p_name")).distinct())
+      .orderBy("a_name", "b_name")
+
+  private val fuzzyJoinQgramSql =
+    s"""WITH nm AS (SELECT DISTINCT p_name FROM part),
+       |g AS (
+       |  SELECT p_name, unnest(
+       |    CASE WHEN len(p_name) >= $QgramN THEN
+       |      list_distinct(list_transform(
+       |        range(1, len(p_name) - ${QgramN - 2}),
+       |        i -> substr(p_name, i, $QgramN)))
+       |    ELSE [] END) AS gram
+       |  FROM nm),
+       |rare AS (
+       |  SELECT gram FROM g GROUP BY gram HAVING count(*) <= $QgramMaxDf),
+       |bl AS (SELECT g.gram, g.p_name FROM g JOIN rare USING (gram)),
+       |cand AS (
+       |  SELECT DISTINCT a.p_name AS a_name, b.p_name AS b_name
+       |  FROM bl a JOIN bl b ON a.gram = b.gram AND a.p_name < b.p_name)
+       |SELECT a_name, b_name,
+       |  CAST(levenshtein(a_name, b_name) AS INT) AS dist
+       |FROM cand
+       |WHERE levenshtein(a_name, b_name) <= $MaxDist
+       |ORDER BY a_name, b_name""".stripMargin
+
   private def fuzzyJoin(s: SparkSession, dir: String): DataFrame =
     fuzzyPairs(s, dir).orderBy("a_name", "b_name")
 
@@ -499,6 +560,7 @@ object LinkOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_join" -> ((s, dir) => fuzzyJoin(s, dir)),
+    "fuzzy_join_qgram" -> ((s, dir) => fuzzyJoinQgram(s, dir)),
     "fuzzy_resolve" -> ((s, dir) => fuzzyResolve(s, dir)),
     "fuzzy_resolve_gated" -> ((s, dir) => fuzzyResolveGated(s, dir)),
     "pagerank" -> ((s, dir) => pagerank(s, dir)),
@@ -507,6 +569,7 @@ object LinkOps {
 
   val oracle: Map[String, String] = Map(
     "fuzzy_join" -> fuzzyJoinSql,
+    "fuzzy_join_qgram" -> fuzzyJoinQgramSql,
     "fuzzy_resolve" -> fuzzyResolveSql,
     "fuzzy_resolve_gated" -> fuzzyResolveGatedSql,
     "pagerank" -> pagerankSql,

@@ -124,6 +124,29 @@ class CdcLinkSpec extends SparkSpec {
       "canonical ids must be member name-keys")
   }
 
+  test("q-gram blocking recovers pairs token blocking must miss") {
+    import spark.implicits._
+    import graft.ops.LinkOps
+    // one edit in the FIRST token and one in the LAST: no shared
+    // first/last-token block exists, so the token pass provably yields
+    // nothing — while the pair still shares plenty of rare 3-grams
+    val names = Seq("chartreuse widget", "chartreusa widgex").toDF("p_name")
+    assert(LinkOps.fuzzyPairsOf(names).isEmpty,
+      "token blocking unexpectedly found the double-edit pair")
+    val qg = LinkOps.qgramPairsOf(names).collect()
+    assert(qg.length == 1 && qg.head.getInt(2) == 2,
+      s"q-gram pass missed the planted pair: ${qg.toSeq}")
+    // and on the real corpus the recall pass is a superset in spirit:
+    // every token-blocked pair that shares at least one rare gram is
+    // found by the q-gram pass too (sanity against fan-out pruning)
+    val tok = q("fuzzy_join").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val qgAll = q("fuzzy_join_qgram").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert((qgAll -- tok).nonEmpty,
+      "q-gram pass found no pairs beyond token blocking on the corpus")
+  }
+
   test("gated resolve breaks the ER chain-merge counter-example") {
     import spark.implicits._
     import graft.ops.{DedupOps, LinkOps}

@@ -369,7 +369,74 @@ object CorpusOps {
       .orderBy("rank")
   }
 
+  // ---- bigram language-model quality score ----
+  // The curation signal a pipeline runs before anything neural: train an
+  // add-one-smoothed word-bigram LM on the corpus itself, score each doc
+  // by its mean log P(w_i | w_{i-1}) — boilerplate and word salad both
+  // sit in the tails. Distributed shape: one pass builds bigram counts
+  // (shuffle keyed by the bigram) and unigram counts (keyed by token,
+  // both map-side combined); scoring joins each doc's bigrams to the two
+  // count tables — high-cardinality equi-joins — then one groupBy(doc).
+  // At 100 TB the LM tables are |vocab|- and |vocab²|-bounded (far below
+  // the fact) and Catalyst broadcasts them when small enough; nothing is
+  // ever driver-side.
+  //
+  // Float discipline (the tfidf lesson): Java's Math.log and DuckDB's ln
+  // disagree by 1 ulp on some inputs, and per-doc SUMS amplify that into
+  // hash mismatches. So each bigram's log-prob is discretized ONCE —
+  // round(ln((c12+1)/(c1+V))·1e6) as BIGINT — then summed and averaged
+  // in exact integer arithmetic (DIV) in both engines.
+
+  private[graft] val LmScale = 1000000L
+
+  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val bi = toks.select(col("doc_id"),
+      explode(expr("transform(slice(ts, 1, size(ts) - 1)," +
+        " (x, i) -> struct(x AS w1, element_at(ts, i + 2) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.select(explode(col("ts")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).as("vocab"))
+    val lm = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bi.join(lm, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(v)) // 1-row vocab size
+      .withColumn("lp", round(log((col("c12") + lit(1)).cast("double") /
+        (col("c1") + col("vocab")).cast("double")) * LmScale).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum"))
+      // integer mean via -((-sum) DIV n): the sum is negative, and Spark
+      // DIV truncates toward zero while DuckDB // floors — negating
+      // first makes the dividend nonnegative, where the two agree
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("-((-lp_sum) DIV n_bigrams)").as("lm_score_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val lmScoreSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |bi AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+       |    i -> {'w1': ts[i], 'w2': ts[i+1]})) AS b
+       |  FROM tk),
+       |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+       |uni AS (
+       |  SELECT ts_u AS w1, count(*) AS c1 FROM (
+       |    SELECT unnest(ts) AS ts_u FROM tk) GROUP BY 1),
+       |v AS (SELECT count(*) AS vocab FROM uni),
+       |lm AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  -((-CAST(sum(CAST(round(ln(CAST(c12 + 1 AS DOUBLE) /
+       |      CAST(c1 + vocab AS DOUBLE)) * $LmScale) AS BIGINT)) AS BIGINT))
+       |    // count(*)) AS lm_score_fp
+       |FROM bg JOIN lm USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (lmScore _),
     "array_funcs" -> (arrayFuncs _),
     "text_normalize" -> (normalize _),
     "pii_redact" -> (piiRedact _),
@@ -381,6 +448,7 @@ object CorpusOps {
     "bpe_train" -> (bpeTrain _))
 
   val oracle: Map[String, String] = Map(
+    "text_lm_score" -> lmScoreSql,
     "array_funcs" -> arrayFuncsSql,
     "text_normalize" -> normalizeSql,
     "pii_redact" -> piiRedactSql,

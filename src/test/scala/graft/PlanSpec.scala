@@ -90,7 +90,8 @@ class PlanSpec extends SparkSpec {
     val bruteAnchors = Set("simsearch_topk", "dedup_embedding_exact")
     val oneRowBounds = Set("resample_locf", "sample_stratified",
       "mixture_weights", "value_histogram", "date_range",
-      "text_collocations", "tfidf_topk", "pagerank", "triangle_count")
+      "text_collocations", "tfidf_topk", "pagerank", "triangle_count",
+      "text_lm_score") // 1-row vocab-size side
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !bruteAnchors(name) && !oneRowBounds(name)) {
       val p = plan(name)

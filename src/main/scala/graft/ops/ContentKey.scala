@@ -17,6 +17,23 @@ private[graft] object ContentKey {
     java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(n)
 
+  /** Persist a small derived frame (hash signatures, perceptual hashes)
+    * to a content-keyed tmp table for a DuckDB oracle mirror, record the
+    * path in `ref`, and read the table back — so the downstream
+    * relational logic provably consumes the very rows the oracle reads.
+    * Oracle maps embedding these paths must be `def`s: Verify dumps
+    * oracle_sql.json AFTER the queries ran, so the recorded path always
+    * matches the compared run. */
+  def persistForOracle(s: SparkSession, dir: String, sub: String,
+      ref: java.util.concurrent.atomic.AtomicReference[String],
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_oracle/" +
+      s"${md5(dir)}/$sub"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    ref.set(path)
+    s.read.parquet(path)
+  }
+
   /** Digest of every file's (path, length, mtime) triple under the given
     * table paths. Per-file, not aggregated: summing lengths / maxing
     * mtimes would let a regeneration with identical total bytes alias to

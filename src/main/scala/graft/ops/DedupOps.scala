@@ -97,15 +97,24 @@ object DedupOps {
   // MinHash + LSH: k=32 signature over word 2-shingles, 8 bands × 4 rows.
   // Documents sharing any band hash become candidates (equi-join on
   // (band, hash)); candidate similarity estimated from full-signature
-  // agreement. Custom signature expression is not DuckDB-expressible →
-  // rows-only driver check; ScalaTest covers planted near-duplicates.
+  // agreement. The signature kernel is not DuckDB-expressible, but the
+  // banding/join/estimate pipeline is: the (doc_id, sig) frame persists
+  // for the oracle, whose mirror bands on the raw 4-row signature SLICE
+  // (a DuckDB list join key) — equivalent to Spark's xxhash64 band
+  // compaction except under a 64-bit hash collision, which the compare
+  // would surface rather than hide. est_sim = agreeing positions / 32,
+  // an exact dyadic rational in both engines.
   private val K = 32
   private val Bands = 8
   private val Rows = K / Bands
 
+  private val minhashOraclePath = new java.util.concurrent.atomic.AtomicReference(
+    s"${System.getProperty("java.io.tmpdir")}/graft_oracle/unset/minhash")
+
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), gf.minhash(col("text"), lit(K), lit(2)).as("sig"))
+    val docs = ContentKey.persistForOracle(s, dir, "minhash", minhashOraclePath,
+      t(s, dir, "documents")
+        .select(col("doc_id"), gf.minhash(col("text"), lit(K), lit(2)).as("sig")))
     val bands = docs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until Bands).map(i =>
         xxhash64(slice(col("sig"), i * Rows + 1, Rows))): _*)))
@@ -125,12 +134,40 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  private def minhashLshSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, sig FROM read_parquet('${minhashOraclePath.get}/*.parquet')),
+       |bands AS (
+       |  SELECT doc_id, sig,
+       |    b.band, sig[b.band * $Rows + 1 : b.band * $Rows + $Rows] AS bkey
+       |  FROM h, (SELECT unnest(range(0, $Bands)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.sig AS a_sig, b.sig AS b_sig
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_filter(list_zip(a_sig, b_sig),
+       |      p -> p[1] = p[2])) AS DOUBLE) / $K AS est_sim
+       |  FROM cand)
+       |SELECT a_id, b_id, est_sim FROM est
+       |WHERE est_sim >= 0.2 ORDER BY a_id, b_id""".stripMargin
+
   // SimHash near-dup pairs: 64-bit simhash, banded into 4×16-bit keys
   // (pigeonhole: hamming ≤ 3 ⇒ at least one band identical); candidates
-  // from the band equi-join, verified with bit_count(xor).
+  // from the band equi-join, verified with bit_count(xor). The simhash
+  // kernel itself is not DuckDB-expressible, but everything after it is
+  // relational: the computed (doc_id, sh) frame persists to a
+  // content-keyed tmp table and the whole band pipeline is mirrored in
+  // SQL over it (the media-dedup pattern) — exact, not rows-only.
+  private val simhashOraclePath = new java.util.concurrent.atomic.AtomicReference(
+    s"${System.getProperty("java.io.tmpdir")}/graft_oracle/unset/simhash")
+
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), gf.simhash(col("text"), lit(2)).as("sh"))
+    val docs = ContentKey.persistForOracle(s, dir, "simhash", simhashOraclePath,
+      t(s, dir, "documents")
+        .select(col("doc_id"), gf.simhash(col("text"), lit(2)).as("sh")))
     val bands = docs.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
@@ -148,6 +185,21 @@ object DedupOps {
       .filter(col("hamming") <= 16)
       .orderBy("a_id", "b_id")
   }
+
+  private def simhashSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, sh FROM read_parquet('${simhashOraclePath.get}/*.parquet')),
+       |bands AS (
+       |  SELECT doc_id, sh, b.band, (sh >> (b.band * 16)) & 65535 AS bkey
+       |  FROM h, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.sh AS a_sh, b.sh AS b_sh
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(a_sh, b_sh)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 16
+       |ORDER BY a_id, b_id""".stripMargin
 
   // Embedding cosine near-dup, exact: full pairwise over the embeddings
   // table — the oracle anchor (`dedup_embedding_exact`) that the
@@ -487,9 +539,13 @@ object DedupOps {
     "decontaminate" -> (decontaminate _),
     "corpus_pipeline" -> (corpusPipeline _))
 
-  val oracle: Map[String, String] = Map(
+  // def, not val: the simhash/minhash mirrors embed the persisted-frame
+  // paths recorded when the queries last ran (Verify dumps afterwards)
+  def oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_embedding_exact" -> embeddingCosineSql,
     "dedup_resolve" -> resolveSql,
     "decontaminate" -> decontaminateSql,

@@ -475,16 +475,12 @@ object MultimodalOps {
     s"${System.getProperty("java.io.tmpdir")}/graft_media/unset/audio")
 
   /** Persist the hash frame for the DuckDB mirror and read it back, so
-    * the band-join provably consumes the very rows the oracle sees. */
+    * the band-join provably consumes the very rows the oracle sees
+    * (the shared [[ContentKey.persistForOracle]] plumbing). */
   private def persistHashes(s: SparkSession, dir: String, sub: String,
       ref: java.util.concurrent.atomic.AtomicReference[String],
-      hashes: DataFrame): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_media/" +
-      s"${ContentKey.md5(dir)}/$sub"
-    hashes.coalesce(1).write.mode("overwrite").parquet(path)
-    ref.set(path)
-    s.read.parquet(path)
-  }
+      hashes: DataFrame): DataFrame =
+    ContentKey.persistForOracle(s, dir, sub, ref, hashes)
 
   /** SQL twin of [[bandedHamPairs]]: DuckDB's arithmetic `>>` equals
     * Spark's shiftrightunsigned once masked to the low 16 bits, and the

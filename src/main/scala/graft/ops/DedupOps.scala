@@ -257,30 +257,56 @@ object DedupOps {
   // real corpora; on these near-uniform synthetic embeddings pair-recall
   // ≈ 0.9 vs brute at the 0.35 threshold (asserted in SimilaritySpec;
   // real near-dups at cos ≥ 0.9 bucket together essentially always).
-  // Rows-only driver check (quantizer not DuckDB-expressible).
   private def embeddingCosineAnn(s: SparkSession, dir: String): DataFrame = {
     val (dim, cmat, _) = SimilarityOps.fitCentroids(s, dir)
     val assign = SimilarityOps.pairAssignFor(cmat.length / dim)
     val cLit = typedLit(cmat.toSeq)
-    val e = normed(s, dir).select(col("vec_id"), col("embedding"), col("norm"),
-      explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
-        .as("cell"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-      col("norm").as("a_norm"), col("cell"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      col("norm").as("b_norm"), col("cell"))
-    // cosine computed IN-bucket (before the pair dedup) so the shuffle
-    // carries (id, id, cos) rows, not 64-float embeddings; duplicates from
-    // multi-cell overlap have bit-identical cos, so dedup-after is exact
-    a.join(b, Seq("cell"))
-      .filter(col("a_id") < col("b_id"))
+    // ids-only cell index (the 100 TB shape: assignment entries carry an
+    // id + a cell int, not `assign` copies of the embedding); persisted so
+    // the DuckDB mirror replays the identical pair join — this query is
+    // exact-oracled, only the quantizer kernel stays Spark-side
+    val cells = ContentKey.persistForOracle(s, dir, "dedup_cells",
+      dedupCellsPath,
+      normed(s, dir).select(col("vec_id"),
+        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
+          .as("cell")))
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct() // candidate set = union over cells
+    val e = normed(s, dir)
+    pairs
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm")), "b_id")
       .select(col("a_id"), col("b_id"),
         (vdot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
-      .dropDuplicates("a_id", "b_id") // candidate set = union over cells
       .orderBy("a_id", "b_id")
   }
+
+  private val dedupCellsPath = new java.util.concurrent.atomic.AtomicReference(
+    s"${System.getProperty("java.io.tmpdir")}/graft_oracle/unset/dedup_cells")
+
+  private def embeddingAnnSql: String =
+    s"""WITH n AS ($normedSql),
+       |cells AS (
+       |  SELECT * FROM read_parquet('${dedupCellsPath.get}/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT cand.a_id, cand.b_id,
+       |  ${vdotSql("na.embedding", "nb.embedding")} / (na.norm * nb.norm)
+       |    AS cos_sim
+       |FROM cand JOIN n na ON na.vec_id = cand.a_id
+       |  JOIN n nb ON nb.vec_id = cand.b_id
+       |WHERE ${vdotSql("na.embedding", "nb.embedding")} / (na.norm * nb.norm)
+       |  >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
 
   // End-to-end dedup keep-set: the pair generators above emit candidate
   // PAIRS; a training pipeline needs the canonical keep-set. Union the
@@ -547,6 +573,7 @@ object DedupOps {
     "dedup_simhash" -> simhashSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_embedding_exact" -> embeddingCosineSql,
+    "dedup_embedding" -> embeddingAnnSql,
     "dedup_resolve" -> resolveSql,
     "decontaminate" -> decontaminateSql,
     "corpus_pipeline" -> corpusPipelineSql)

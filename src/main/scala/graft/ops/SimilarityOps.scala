@@ -7,9 +7,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Similarity search over the embedding column: brute-force cosine top-k
-  * (the exactness baseline, oracle-checked) and a random-hyperplane
-  * LSH-bucketed variant (the 100 TB path: bucket equi-join instead of a
+  * (the exactness baseline, oracle-checked) and LSH / IVF / IVF-PQ
+  * bucketed variants (the 100 TB paths: bucket equi-joins instead of a
   * cross product; recall measured against brute force in ScalaTest).
+  *
+  * Oracle discipline for the approximate family: the quantizer/bucketing
+  * KERNELS (k-means cells, hyperplane buckets, PQ codes) are not
+  * DuckDB-expressible, but everything after them is relational. Each
+  * production query therefore persists its kernel outputs — cell/bucket
+  * assignments, codes, codebooks, the OPQ rotation — to content-keyed tmp
+  * tables, reads them back (so the plan provably consumes the rows the
+  * oracle sees), and the DuckDB mirror replays the entire candidate-join +
+  * ADC + rank pipeline in SQL over those tables. Every float in the
+  * mirror follows the [[DedupOps.vdotSql]] ordered-fold discipline, so the
+  * comparison is exact-hash, not rows-only. This doubles as the honest
+  * 100 TB index shape: the persisted index carries ids + codes only, never
+  * raw vectors; candidate ids re-join the vector table by key.
   */
 object SimilarityOps {
   import DedupOps.{normed, normedSql, vdot, vdotSql}
@@ -18,6 +31,68 @@ object SimilarityOps {
 
   private val TopK = 5
   private val NQueries = 8 // query set: vec_id < 8
+
+  /** Persisted-frame registry for the oracle mirrors: sub-table name →
+    * parquet path recorded when the owning query last ran ([[oracle]] is a
+    * `def`; Verify dumps oracle SQL after the queries, so the embedded
+    * paths always describe the compared run). */
+  private val oraclePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def persistO(s: SparkSession, dir: String, sub: String,
+      df: DataFrame): DataFrame = {
+    val ref = new java.util.concurrent.atomic.AtomicReference[String]()
+    val out = ContentKey.persistForOracle(s, dir, sub, ref, df)
+    oraclePaths.put(sub, ref.get)
+    out
+  }
+
+  private def pth(sub: String): String =
+    Option(oraclePaths.get(sub)).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_oracle/unset/$sub")
+
+  /** Exact-cosine top-k over a distinct (q_id, c_id) candidate frame: both
+    * sides re-join the vector table by id. This is the compressed-index
+    * tail every approximate variant shares — candidate generation carries
+    * ids (and codes) only; raw vectors stream through exactly one hash
+    * join each, and the tiny query side broadcasts. */
+  private def rankPairs(e: DataFrame, pairs: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    pairs.join(broadcast(q), "q_id")
+      .join(c, "c_id")
+      .select(col("q_id"), col("c_id"),
+        (vdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
+
+  /** SQL twin of [[rankPairs]]: caller supplies the WITH-clause CTEs that
+    * produce a distinct `cand(q_id, c_id)` relation; the tail computes the
+    * bit-exact ordered-fold cosine and the same (desc cos, asc id) rank. */
+  private def rankPairsSql(candCtes: String): String =
+    s"""WITH n AS ($normedSql),
+       |$candCtes,
+       |sims AS (
+       |  SELECT cand.q_id, cand.c_id,
+       |    ${vdotSql("qe.embedding", "ce.embedding")} / (qe.norm * ce.norm)
+       |      AS cos_sim
+       |  FROM cand
+       |  JOIN n qe ON qe.vec_id = cand.q_id
+       |  JOIN n ce ON ce.vec_id = cand.c_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, c_id) AS rank
+       |  FROM sims)
+       |SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   // Brute-force cosine top-k: queries × all candidates, ranked per query.
   private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
@@ -60,8 +135,9 @@ object SimilarityOps {
   // (table, bucket), never a cross product, which is what survives 100 TB.
   // With per-bit agreement p = 1 − θ/π and Hamming-1 multi-probe on the
   // query side, per-table hit prob is p^B + B·p^(B-1)(1−p) and recall ≈
-  // 1 − (1 − that)^L. Approximate — recall vs brute force is asserted in
-  // ScalaTest; driver check is rows-only (bucketing not DuckDB-expressible).
+  // 1 − (1 − that)^L. Approximate vs brute force (recall asserted in
+  // ScalaTest), but exactly oracled: the persisted bucket frames feed a
+  // full SQL mirror of the (tab, bucket) join and cosine rank.
   private val NTables = 16
   private val Bits = 6
 
@@ -90,32 +166,30 @@ object SimilarityOps {
 
   private def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val e = normed(s, dir)
-    val tabs = e.select(col("vec_id"), col("embedding"), col("norm"),
-        buckets(col("embedding")))
-      .withColumnRenamed("pos", "tab")
-      .withColumnRenamed("col", "bucket")
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), queryProbes(col("embedding")).as("probe"))
-      .select(col("q_id"), col("q_emb"), col("q_norm"),
-        col("probe.tab").as("tab"), col("probe.bucket").as("bucket"))
-    val c = tabs.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      col("norm").as("c_norm"), col("tab"), col("bucket"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("c_id"))
-    // cosine computed in-bucket so the dedup shuffle carries (id, id, cos)
-    // rows instead of embeddings; duplicate candidates across tables have
-    // bit-identical cos (deterministic fold), so dedup-after is exact
-    q.join(c, Seq("tab", "bucket"))
+    // ids-only index (c_id, tab, bucket) — NTables entries per vector of
+    // a few ints each, vs NTables embedding copies if vectors rode along
+    val idx = persistO(s, dir, "lsh_idx",
+      e.select(col("vec_id").as("c_id"), buckets(col("embedding")))
+        .withColumnRenamed("pos", "tab")
+        .withColumnRenamed("col", "bucket"))
+    val pr = persistO(s, dir, "lsh_probe",
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"),
+          queryProbes(col("embedding")).as("probe"))
+        .select(col("q_id"), col("probe.tab").as("tab"),
+          col("probe.bucket").as("bucket")))
+    rankPairs(e, pr.join(idx, Seq("tab", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        (vdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-          .as("cos_sim"))
-      .dropDuplicates("q_id", "c_id") // candidate set = union over tables
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .orderBy("q_id", "rank")
+      .select("q_id", "c_id").distinct()) // candidate set = union over tables
   }
+
+  private def lshSql: String = rankPairsSql(
+    s"""idx AS (SELECT * FROM read_parquet('${pth("lsh_idx")}/*.parquet')),
+       |pr AS (SELECT * FROM read_parquet('${pth("lsh_probe")}/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT pr.q_id, idx.c_id
+       |  FROM pr JOIN idx USING (tab, bucket)
+       |  WHERE pr.q_id <> idx.c_id)""".stripMargin)
 
   // IVF (inverted-file) ANN: k-means-lite coarse quantizer fit on a
   // deterministic hash-ordered sample (the model is K×dim ≈ a few KB —
@@ -127,8 +201,9 @@ object SimilarityOps {
   // cluster centroid ≈ 0.14) single-probe hyperplane LSH tops out at
   // recall ≈ 0.3 (multi-probe recovers it — see [[queryProbes]]);
   // IVF with multi-assignment measures recall@5 ≈ 0.9 at ~45% candidate
-  // fraction (asserted in SimilaritySpec). Rows-only driver check — the
-  // quantizer is not DuckDB-expressible.
+  // fraction (asserted in SimilaritySpec). Exactly oracled: the quantizer
+  // itself is not DuckDB-expressible, but the persisted (id, cell) frames
+  // feed a full SQL mirror of the cell join and cosine rank.
   private val IvfIters = 5
 
   /** Index-side multi-assignment derived from the cell count, like probe:
@@ -243,8 +318,42 @@ object SimilarityOps {
     (dim, flat, probe)
   }
 
-  private def ivfTopK(s: SparkSession, dir: String): DataFrame =
-    ivfTopKAssign(s, dir, assignOverride = None)
+  /** Query-side probed cells (q_id, cell) — identical for every IVF
+    * variant (same fitted coarse quantizer), persisted under one shared
+    * sub-table so each variant's mirror reads the same frame; repeated
+    * writes are overwrite-idempotent with identical content. */
+  private def probedCells(s: SparkSession, dir: String): DataFrame = {
+    val (dim, cmat, probe) = fitCentroids(s, dir)
+    val cLit = typedLit(cmat.toSeq)
+    persistO(s, dir, "ivf_probe",
+      normed(s, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"),
+          explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(probe)))
+            .as("cell")))
+  }
+
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val (dim, cmat, _) = fitCentroids(s, dir)
+    val assign = assignFor(cmat.length / dim)
+    val cLit = typedLit(cmat.toSeq)
+    val idx = persistO(s, dir, "ivf_idx",
+      normed(s, dir).select(col("vec_id").as("c_id"),
+        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
+          .as("cell")))
+    val pr = probedCells(s, dir)
+    rankPairs(normed(s, dir),
+      pr.join(idx, "cell")
+        .filter(col("q_id") =!= col("c_id"))
+        .select("q_id", "c_id").distinct()) // union over probed cells
+  }
+
+  private def ivfSql: String = rankPairsSql(
+    s"""idx AS (SELECT * FROM read_parquet('${pth("ivf_idx")}/*.parquet')),
+       |pr AS (SELECT * FROM read_parquet('${pth("ivf_probe")}/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT pr.q_id, idx.c_id
+       |  FROM pr JOIN idx USING (cell)
+       |  WHERE pr.q_id <> idx.c_id)""".stripMargin)
 
   /** IVF top-k with an explicit index-side assignment count — the recall/
     * cost knob SimilaritySpec sweeps; production (`simsearch_ivf`) derives
@@ -288,8 +397,10 @@ object SimilarityOps {
   // re-join the embeddings table for exact-cosine re-ranking of the final
   // top-k — so reported similarities are exact, and PQ error only risks
   // dropping a true neighbor from the shortlist (recall measured in
-  // SimilaritySpec). Rows-only driver check: the trained quantizer is not
-  // DuckDB-expressible.
+  // SimilaritySpec). Exactly oracled: codes, cells and the codebook
+  // persist as tables; the mirror reconstructs each candidate
+  // (flatten(list(subvec ORDER BY sub)) — the kernel's traversal order)
+  // and replays ADC, shortlist and exact re-rank with ordered folds.
   private[graft] val PqM = 8 // subspaces → one code (≤ 1 byte at Ks ≤ 256) each
   // Ks=32 (5-bit codes) and a 10×k re-rank shortlist: these embeddings are
   // near-uniform (no cluster structure — PQ's worst case, mean self-cosine
@@ -482,49 +593,80 @@ object SimilarityOps {
     }
   }
 
+  /** Persist a driver-fit PQ codebook as (sub, code, subvec) rows — the
+    * identical doubles the kernel literal carries (parquet round-trips
+    * doubles exactly), so the mirror reconstructs identical vectors. */
+  private def persistBook(s: SparkSession, dir: String, sub: String,
+      book: Array[Double], dim: Int): Unit = {
+    import s.implicits._
+    val subDim = dim / PqM
+    persistO(s, dir, sub,
+      (for (sb <- 0 until PqM; code <- 0 until PqKs) yield {
+        val base = (sb * PqKs + code) * subDim
+        (sb, code, book.slice(base, base + subDim).toSeq)
+      }).toDF("sub", "code", "subvec"))
+  }
+
+  /** Tiny query-side frame the ADC stages broadcast. */
+  private def queryVecs(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
   private def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
-    val (dim, cmat, probe) = fitCentroids(s, dir)
+    val (dim, cmat, _) = fitCentroids(s, dir)
     val (pdim, book) = fitPq(s, dir)
     require(pdim == dim)
     val assign = assignFor(cmat.length / dim)
     val cLit = typedLit(cmat.toSeq)
     val bLit = typedLit(book.toSeq)
+    persistBook(s, dir, "pq_book", book, dim)
     val e = normed(s, dir)
     // compressed index: (cell, c_id, codes) — no embedding column
-    val cand = e.select(col("vec_id").as("c_id"),
+    val idx = persistO(s, dir, "pq_idx",
+      e.select(col("vec_id").as("c_id"),
         gf.pq_encode(col("embedding"), bLit, lit(dim), lit(PqM), lit(PqKs))
           .as("codes"),
         explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
-          .as("cell"))
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"),
-        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(probe)))
-          .as("cell"))
+          .as("cell")))
     val wAdc = Window.partitionBy("q_id")
       .orderBy(col("adc").desc, col("c_id"))
-    val shortlist = q.join(cand, Seq("cell"))
+    val shortlist = probedCells(s, dir).join(idx, "cell")
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_id"),
+      // raw-PQ codes are cell-independent, so distinct pairs keep codes
+      .select("q_id", "c_id", "codes").distinct()
+      .join(broadcast(queryVecs(e)), "q_id")
+      .select(col("q_id"), col("c_id"),
         gf.pq_adc_cos(col("q_emb"), col("codes"), bLit,
           lit(dim), lit(PqM), lit(PqKs)).as("adc"))
-      .dropDuplicates("q_id", "c_id")
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= RerankC)
     // exact re-rank: only |queries|·RerankC ids revisit the raw embeddings
-    val full = normed(s, dir).select(col("vec_id").as("c_id"),
-      col("embedding").as("c_emb"), col("norm").as("c_norm"))
-    val wExact = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("c_id"))
-    broadcast(shortlist.select("q_id", "q_emb", "q_norm", "c_id"))
-      .join(full, "c_id")
-      .select(col("q_id"), col("c_id"),
-        (vdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-          .as("cos_sim"))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= TopK)
-      .orderBy("q_id", "rank")
+    rankPairs(e, shortlist.select("q_id", "c_id"))
   }
+
+  private def ivfPqSql: String = rankPairsSql(
+    s"""idx AS (SELECT * FROM read_parquet('${pth("pq_idx")}/*.parquet')),
+       |pr AS (SELECT * FROM read_parquet('${pth("ivf_probe")}/*.parquet')),
+       |book AS (SELECT * FROM read_parquet('${pth("pq_book")}/*.parquet')),
+       |cp AS (
+       |  SELECT DISTINCT pr.q_id, idx.c_id, idx.codes
+       |  FROM pr JOIN idx USING (cell) WHERE pr.q_id <> idx.c_id),
+       |recon AS (
+       |  SELECT c.c_id, flatten(list(b.subvec ORDER BY b.sub)) AS rv
+       |  FROM (SELECT DISTINCT c_id, codes FROM cp) c
+       |  JOIN book b ON b.code = c.codes[b.sub + 1]
+       |  GROUP BY c.c_id),
+       |adc AS (
+       |  SELECT cp.q_id, cp.c_id,
+       |    ${vdotSql("qe.embedding", "r.rv")} /
+       |      (qe.norm * sqrt(${vdotSql("r.rv", "r.rv")})) AS adc
+       |  FROM cp JOIN n qe ON qe.vec_id = cp.q_id
+       |    JOIN recon r ON r.c_id = cp.c_id),
+       |cand AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, c_id) AS arank FROM adc) a
+       |  WHERE arank <= $RerankC)""".stripMargin)
 
   // ---- OPQ: learned rotation ahead of PQ ----
   // The other VERDICT-flagged quantization upgrade: learn an orthogonal R
@@ -639,48 +781,76 @@ object SimilarityOps {
   }
 
   private def ivfOpqTopK(s: SparkSession, dir: String): DataFrame = {
-    val (dim, cmat, probe) = fitCentroids(s, dir)
+    val (dim, cmat, _) = fitCentroids(s, dir)
     val (odim, rot, book) = fitOpq(s, dir)
     require(odim == dim)
     val assign = assignFor(cmat.length / dim)
     val cLit = typedLit(cmat.toSeq)
     val rLit = typedLit(rot.toSeq)
     val bLit = typedLit(book.toSeq)
+    persistBook(s, dir, "opq_book", book, dim)
+    // R's COLUMNS as i-ordered lists: the rotate kernel's z[j] is the
+    // i-ordered fold Σ q[i]·R[i·dim+j], so the mirror's z[j] is exactly
+    // vdot(q, rcol_j) over this table
+    locally {
+      import s.implicits._
+      persistO(s, dir, "opq_rot",
+        (0 until dim).map(j =>
+            (j, (0 until dim).map(i => rot(i * dim + j))))
+          .toDF("j", "rcol"))
+    }
     val e = normed(s, dir)
     // cells on the RAW vectors (rotation is inside the codes only)
-    val cand = e.select(col("vec_id").as("c_id"),
+    val idx = persistO(s, dir, "opq_idx",
+      e.select(col("vec_id").as("c_id"),
         gf.pq_encode_rot(col("embedding"), rLit, bLit,
           lit(dim), lit(PqM), lit(PqKs)).as("codes"),
         explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
-          .as("cell"))
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"),
-        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(probe)))
-          .as("cell"))
+          .as("cell")))
     val wAdc = Window.partitionBy("q_id")
       .orderBy(col("adc").desc, col("c_id"))
-    val shortlist = q.join(cand, Seq("cell"))
+    val shortlist = probedCells(s, dir).join(idx, "cell")
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_id"),
+      .select("q_id", "c_id", "codes").distinct() // codes cell-independent
+      .join(broadcast(queryVecs(e)), "q_id")
+      .select(col("q_id"), col("c_id"),
         gf.pq_adc_cos_rot(col("q_emb"), col("codes"), rLit, bLit,
           lit(dim), lit(PqM), lit(PqKs)).as("adc"))
-      .dropDuplicates("q_id", "c_id")
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= RerankC)
-    val full = normed(s, dir).select(col("vec_id").as("c_id"),
-      col("embedding").as("c_emb"), col("norm").as("c_norm"))
-    val wExact = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("c_id"))
-    broadcast(shortlist.select("q_id", "q_emb", "q_norm", "c_id"))
-      .join(full, "c_id")
-      .select(col("q_id"), col("c_id"),
-        (vdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-          .as("cos_sim"))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= TopK)
-      .orderBy("q_id", "rank")
+    rankPairs(e, shortlist.select("q_id", "c_id"))
   }
+
+  private def ivfOpqSql: String = rankPairsSql(
+    s"""idx AS (SELECT * FROM read_parquet('${pth("opq_idx")}/*.parquet')),
+       |pr AS (SELECT * FROM read_parquet('${pth("ivf_probe")}/*.parquet')),
+       |book AS (SELECT * FROM read_parquet('${pth("opq_book")}/*.parquet')),
+       |rot AS (SELECT * FROM read_parquet('${pth("opq_rot")}/*.parquet')),
+       |zq AS (
+       |  SELECT qe.vec_id AS q_id,
+       |    list(${vdotSql("qe.embedding", "r.rcol")} ORDER BY r.j) AS z
+       |  FROM n qe, rot r WHERE qe.vec_id < $NQueries
+       |  GROUP BY qe.vec_id),
+       |cp AS (
+       |  SELECT DISTINCT pr.q_id, idx.c_id, idx.codes
+       |  FROM pr JOIN idx USING (cell) WHERE pr.q_id <> idx.c_id),
+       |recon AS (
+       |  SELECT c.c_id, flatten(list(b.subvec ORDER BY b.sub)) AS rv
+       |  FROM (SELECT DISTINCT c_id, codes FROM cp) c
+       |  JOIN book b ON b.code = c.codes[b.sub + 1]
+       |  GROUP BY c.c_id),
+       |adc AS (
+       |  SELECT cp.q_id, cp.c_id,
+       |    ${vdotSql("z.z", "r.rv")} /
+       |      (sqrt(${vdotSql("z.z", "z.z")}) * sqrt(${vdotSql("r.rv", "r.rv")}))
+       |      AS adc
+       |  FROM cp JOIN zq z ON z.q_id = cp.q_id
+       |    JOIN recon r ON r.c_id = cp.c_id),
+       |cand AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, c_id) AS arank FROM adc) a
+       |  WHERE arank <= $RerankC)""".stripMargin)
 
   // IVF + RESIDUAL PQ — the VERDICT-flagged upgrade over plain IVF-PQ:
   // candidates are coded as PQ(vec − cell centroid) instead of PQ(vec),
@@ -695,51 +865,73 @@ object SimilarityOps {
   // SimilaritySpec plants a clustered corpus and asserts the
   // reconstruction error drops there.
   private def ivfRqTopK(s: SparkSession, dir: String): DataFrame = {
-    val (dim, cmat, probe) = fitCentroids(s, dir)
+    val (dim, cmat, _) = fitCentroids(s, dir)
     val (rdim, book) = fitRq(s, dir)
     require(rdim == dim)
     val assign = assignFor(cmat.length / dim)
     val cLit = typedLit(cmat.toSeq)
     val bLit = typedLit(book.toSeq)
+    persistBook(s, dir, "rq_book", book, dim)
+    // the coarse centroids anchor each reconstruction — persist as rows
+    locally {
+      import s.implicits._
+      persistO(s, dir, "rq_cmat",
+        (0 until cmat.length / dim).map(c =>
+            (c, cmat.slice(c * dim, c * dim + dim).toSeq))
+          .toDF("cell", "cent"))
+    }
     val e = normed(s, dir)
     // compressed index: (cell, c_id, codes-under-that-cell)
-    val cand = e.select(col("vec_id").as("c_id"), col("embedding"),
-        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
-          .as("cell"))
-      .select(col("c_id"), col("cell"),
-        gf.pq_encode_res(col("embedding"), col("cell"), cLit, bLit,
-          lit(dim), lit(PqM), lit(PqKs)).as("codes"))
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"),
-        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(probe)))
-          .as("cell"))
+    val idx = persistO(s, dir, "rq_idx",
+      e.select(col("vec_id").as("c_id"), col("embedding"),
+          explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
+            .as("cell"))
+        .select(col("c_id"), col("cell"),
+          gf.pq_encode_res(col("embedding"), col("cell"), cLit, bLit,
+            lit(dim), lit(PqM), lit(PqKs)).as("codes")))
     val wAdc = Window.partitionBy("q_id")
       .orderBy(col("adc").desc, col("c_id"))
-    val shortlist = q.join(cand, Seq("cell"))
+    val shortlist = probedCells(s, dir).join(idx, "cell")
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_id"),
+      .join(broadcast(queryVecs(e)), "q_id")
+      .select(col("q_id"), col("c_id"),
         gf.pq_adc_cos_res(col("q_emb"), col("cell"), col("codes"), cLit, bLit,
           lit(dim), lit(PqM), lit(PqKs)).as("adc"))
       // a candidate met through several probed cells carries per-cell ADC
       // scores: keep the best (max over reconstructions), deterministic
-      .groupBy("q_id", "q_emb", "q_norm", "c_id")
+      .groupBy("q_id", "c_id")
       .agg(max(col("adc")).as("adc"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= RerankC)
-    val full = normed(s, dir).select(col("vec_id").as("c_id"),
-      col("embedding").as("c_emb"), col("norm").as("c_norm"))
-    val wExact = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("c_id"))
-    broadcast(shortlist.select("q_id", "q_emb", "q_norm", "c_id"))
-      .join(full, "c_id")
-      .select(col("q_id"), col("c_id"),
-        (vdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-          .as("cos_sim"))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= TopK)
-      .orderBy("q_id", "rank")
+    rankPairs(e, shortlist.select("q_id", "c_id"))
   }
+
+  private def ivfRqSql: String = rankPairsSql(
+    s"""idx AS (SELECT * FROM read_parquet('${pth("rq_idx")}/*.parquet')),
+       |pr AS (SELECT * FROM read_parquet('${pth("ivf_probe")}/*.parquet')),
+       |book AS (SELECT * FROM read_parquet('${pth("rq_book")}/*.parquet')),
+       |cm AS (SELECT * FROM read_parquet('${pth("rq_cmat")}/*.parquet')),
+       |res AS (
+       |  SELECT i.c_id, i.cell, flatten(list(b.subvec ORDER BY b.sub)) AS resv
+       |  FROM idx i JOIN book b ON b.code = i.codes[b.sub + 1]
+       |  GROUP BY i.c_id, i.cell),
+       |recon AS (
+       |  SELECT r.c_id, r.cell,
+       |    list_transform(list_zip(cm.cent, r.resv), p -> p[1] + p[2]) AS rv
+       |  FROM res r JOIN cm USING (cell)),
+       |adcs AS (
+       |  SELECT pr.q_id, r.c_id,
+       |    ${vdotSql("qe.embedding", "r.rv")} /
+       |      (qe.norm * sqrt(${vdotSql("r.rv", "r.rv")})) AS adc
+       |  FROM pr JOIN recon r ON pr.cell = r.cell AND pr.q_id <> r.c_id
+       |    JOIN n qe ON qe.vec_id = pr.q_id),
+       |madc AS (
+       |  SELECT q_id, c_id, max(adc) AS adc FROM adcs GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, c_id) AS arank FROM madc) a
+       |  WHERE arank <= $RerankC)""".stripMargin)
 
   // Per-label centroid diagnostics — the "is this cluster/label coherent"
   // check a curation pipeline runs over an embedded corpus: element-wise
@@ -811,7 +1003,15 @@ object SimilarityOps {
     "simsearch_ivfopq" -> (ivfOpqTopK _),
     "embed_centroids" -> (embedCentroids _))
 
-  val oracle: Map[String, String] = Map(
+  // def, not val: the approximate-family mirrors embed the persisted-frame
+  // paths recorded when the queries last ran (Verify dumps oracle SQL
+  // afterwards, so the paths always describe the compared run)
+  def oracle: Map[String, String] = Map(
     "simsearch_topk" -> bruteTopKSql,
+    "simsearch_lsh" -> lshSql,
+    "simsearch_ivf" -> ivfSql,
+    "simsearch_ivfpq" -> ivfPqSql,
+    "simsearch_ivfrq" -> ivfRqSql,
+    "simsearch_ivfopq" -> ivfOpqSql,
     "embed_centroids" -> embedCentroidsSql)
 }

@@ -554,8 +554,91 @@ object DedupOps {
        |  lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
        |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
+  // Exact repeated-substring removal spans — the sub-document dedup of
+  // Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+  // Better", arXiv:2107.06499): any RunL-char window whose text occurs
+  // more than once ANYWHERE in the corpus (other documents or elsewhere in
+  // the same one) marks its [pos, pos+RunL) interval for removal;
+  // overlapping/touching marks merge into maximal per-document spans —
+  // the cut list a training pipeline feeds to the text rewriter. The
+  // paper's suffix array is a single-machine structure; the
+  // Spark-distributive equivalent is windows → one exchange keyed by the
+  // window text for the global multiplicity, then a per-document
+  // gaps-and-islands merge (one more exchange on doc_id). Integer-only
+  // arithmetic end to end, so the DuckDB mirror is exact. At 100 TB the
+  // multiplicity exchange would key on xxhash64(window) first and verify
+  // text equality per bucket (the MinHash-band discipline) to shuffle 8
+  // bytes instead of RunL chars; at bench scale the direct key is faster
+  // and byte-identical in result.
+  private val RunL = 40
+
+  private def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(when(length(col("text")) >= RunL,
+            sequence(lit(0), length(col("text")) - RunL))
+          .otherwise(array().cast("array<int>"))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        substr(col("text"), col("pos") + 1, lit(RunL)).as("sub"))
+    val marked = wins
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("sub")))
+      .filter(col("m") > 1)
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = marked
+      .withColumn("prev_end", max(col("pos") + RunL)
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("flag",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("flag"))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + RunL).as("span_end"))
+    spans.select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val substringSpansSql =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(range(0, greatest(len(text) - $RunL + 1, 0))) AS INT)
+       |      AS pos,
+       |    text
+       |  FROM documents),
+       |sb AS (
+       |  SELECT doc_id, pos, substr(text, pos + 1, $RunL) AS sub FROM w),
+       |marked AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY sub) AS m FROM sb) x
+       |  WHERE m > 1),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + $RunL) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM marked),
+       |fl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END
+       |      AS flag
+       |  FROM isl),
+       |grp AS (
+       |  SELECT doc_id, pos,
+       |    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM fl)
+       |SELECT doc_id, min(pos) AS span_start,
+       |  max(pos) + $RunL AS span_end,
+       |  max(pos) + $RunL - min(pos) AS span_len
+       |FROM grp GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
+    "dedup_substring" -> (substringSpans _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
@@ -569,6 +652,7 @@ object DedupOps {
   // paths recorded when the queries last ran (Verify dumps afterwards)
   def oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
+    "dedup_substring" -> substringSpansSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,
     "dedup_minhash_lsh" -> minhashLshSql,

@@ -35,6 +35,30 @@ class DedupSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_copies")).sum == 6)
   }
 
+  test("dedup_substring marks maximal repeated runs, not unique text") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val r = SparkEntry.queries("dedup_substring")(spark, fixtureDir)
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[Int]("span_start"), x.getAs[Int]("span_end"),
+        x.getAs[Int]("span_len")))
+    // unique doc 3 and sub-window doc 4 must be untouched
+    assert(!r.exists(s => s._1 == 3L || s._1 == 4L),
+      s"unique/short docs gained spans: ${r.mkString(",")}")
+    // exact dup pair: one maximal span covering the whole document
+    assert(r.filter(_._1 == 0L).toSeq == Seq((0L, 0, base.length, base.length)))
+    assert(r.filter(_._1 == 1L).toSeq == Seq((1L, 0, base.length, base.length)))
+    // shared-prefix doc 5 (base + unique tail): span stops exactly where
+    // the last fully-shared window ends — the appended tail survives
+    assert(r.filter(_._1 == 5L).toSeq == Seq((5L, 0, base.length, base.length)))
+    // near-dup doc 2 (one word substituted near the end): prefix marked,
+    // the substituted region survives
+    val d2 = r.filter(_._1 == 2L).toSeq
+    assert(d2.nonEmpty && d2.head._2 == 0 && d2.forall(_._3 < base.length),
+      s"doc 2 spans wrong: $d2")
+    assert(r.forall(_._4 >= 40), "span shorter than the window length")
+  }
+
   test("dedup_ngram_jaccard finds the near-duplicates with high scores") {
     val r = SparkEntry.queries("dedup_ngram_jaccard")(spark, fixtureDir)
       .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"),

@@ -17,19 +17,33 @@ private[graft] object ContentKey {
     java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(n)
 
-  /** Persist a small derived frame (hash signatures, perceptual hashes)
-    * to a content-keyed tmp table for a DuckDB oracle mirror, record the
-    * path in `ref`, and read the table back — so the downstream
-    * relational logic provably consumes the very rows the oracle reads.
-    * Oracle maps embedding these paths must be `def`s: Verify dumps
-    * oracle_sql.json AFTER the queries ran, so the recorded path always
-    * matches the compared run. */
+  /** Persist a small derived frame (hash signatures, perceptual hashes,
+    * ANN index assignments) to a content-keyed tmp table for a DuckDB
+    * oracle mirror, record the path in `ref`, and read the table back —
+    * so the downstream relational logic provably consumes the very rows
+    * the oracle reads. Oracle maps embedding these paths must be `def`s:
+    * Verify dumps oracle_sql.json AFTER the queries ran, so the recorded
+    * path always matches the compared run.
+    *
+    * Write-once per dataset content: an index/signature table is built
+    * once and queried many times — within a JVM the write is skipped when
+    * the SAME (source content, sub) pair was already persisted (the
+    * production amortization; a regenerated source changes [[of]] and
+    * forces a rebuild). The frames are deterministic functions of the
+    * source, so the skipped write would have produced identical bytes. */
+  private val persistedKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def persistForOracle(s: SparkSession, dir: String, sub: String,
       ref: java.util.concurrent.atomic.AtomicReference[String],
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_oracle/" +
       s"${md5(dir)}/$sub"
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    val key = s"${of(s, Seq(dir))}/$sub"
+    if (!persistedKeys.contains(key)) {
+      df.coalesce(1).write.mode("overwrite").parquet(path)
+      persistedKeys.add(key) // only a COMPLETED write marks the key
+    }
     ref.set(path)
     s.read.parquet(path)
   }

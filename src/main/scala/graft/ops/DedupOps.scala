@@ -565,24 +565,38 @@ object DedupOps {
   // Spark-distributive equivalent is windows → one exchange keyed by the
   // window text for the global multiplicity, then a per-document
   // gaps-and-islands merge (one more exchange on doc_id). Integer-only
-  // arithmetic end to end, so the DuckDB mirror is exact. At 100 TB the
-  // multiplicity exchange would key on xxhash64(window) first and verify
-  // text equality per bucket (the MinHash-band discipline) to shuffle 8
-  // bytes instead of RunL chars; at bench scale the direct key is faster
-  // and byte-identical in result.
+  // arithmetic end to end, so the DuckDB mirror is exact.
+  //
+  // Shuffle discipline: the corpus-sized multiplicity exchange carries
+  // (doc_id, pos, xxhash64(window)) — 24 bytes/row — never the RunL-char
+  // window text. The hash pass yields a candidate SUPERSET (collisions
+  // only add rows); the survivors re-derive their window text via one
+  // doc_id equi-join and are recounted on the text itself. All
+  // occurrences of a truly-repeated window share its hash, so they all
+  // reach stage 2 and the stage-2 per-text count equals the global count
+  // — the final marked set is exactly the direct computation's, which is
+  // why the DuckDB mirror can stay the simple single-pass SQL.
   private val RunL = 40
 
   private def substringSpans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = t(s, dir, "documents")
+    val docs = t(s, dir, "documents")
+    val hashed = docs
       .select(col("doc_id"),
         explode(when(length(col("text")) >= RunL,
             sequence(lit(0), length(col("text")) - RunL))
           .otherwise(array().cast("array<int>"))).as("pos"),
         col("text"))
       .select(col("doc_id"), col("pos"),
+        xxhash64(substr(col("text"), col("pos") + 1, lit(RunL))).as("h"))
+    val cand = hashed
+      .withColumn("hm", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("hm") > 1)
+      .select("doc_id", "pos")
+    val marked = cand
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("pos"),
         substr(col("text"), col("pos") + 1, lit(RunL)).as("sub"))
-    val marked = wins
       .withColumn("m", count(lit(1)).over(Window.partitionBy("sub")))
       .filter(col("m") > 1)
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")

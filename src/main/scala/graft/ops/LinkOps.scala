@@ -413,13 +413,19 @@ object LinkOps {
     // O(√|E|)-bounded arrays: broadcast below the size guard; beyond it
     // the same plan becomes two shuffled equi-joins keyed by s/t. The
     // count action is a metadata read over the checkpointed blocks.
+    // guard witness: adjacency has at most one row per oriented source, so
+    // the metadata-cheap checkpointed EDGE count bounds it from above —
+    // conservative in the safe direction (a graph whose edge count fits
+    // the broadcast budget has an adjacency that fits too; beyond it the
+    // identical plan runs as shuffled hash joins). Keeping the witness
+    // free matters: a second localCheckpoint of the |V|-row array table
+    // just to make its count cheap cost ~30% of the whole query.
+    val eCount = o.count() // metadata read over the checkpointed blocks
     val adj = o.groupBy("s").agg(sort_array(collect_list(col("t"))).as("nbrs"))
-      .localCheckpoint() // built once; both broadcast sides read the blocks
-    val nAdj = adj.count()
     val adjS = adj.select(col("s").as("js"), col("nbrs").as("n1"))
     val adjT = adj.select(col("s").as("jt"), col("nbrs").as("n2"))
-    val tri = o.join(maybeBroadcast(s, adjS, nAdj), col("s") === col("js"))
-      .join(maybeBroadcast(s, adjT, nAdj), col("t") === col("jt"))
+    val tri = o.join(maybeBroadcast(s, adjS, eCount), col("s") === col("js"))
+      .join(maybeBroadcast(s, adjT, eCount), col("t") === col("jt"))
       .select(size(array_intersect(col("n1"), col("n2"))).as("k"))
       .agg(sum(col("k")).as("n_triangles"))
     // orientation preserves incidence, so undirected degrees (for the

@@ -444,6 +444,55 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming dedup-on-arrival state equals the batch dedup_exact") {
+    import graft.streaming.DedupMonitor
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    // corpus = the real table plus exact copies of every 7th document at
+    // shifted ids (sf0.001 plants only NEAR-dups, no byte-exact ones), so
+    // the later micro-batch re-delivers content batch 1 already ingested.
+    // Streamed as two doc_id-ordered micro-batches — the exactness
+    // contract's replay case, under which first-arrival keep == global-min
+    // keep
+    val aug = Files.createTempDirectory("graft-sdedup-corpus").toString
+    val base = Tables(spark, sf0001, "documents")
+    base.unionByName(base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(100000L)))
+      .coalesce(1).write.parquet(s"$aug/documents.parquet")
+    val docs = spark.read.parquet(s"$aug/documents.parquet")
+      .select("doc_id", "text")
+    val split = docs.agg(expr("percentile_approx(doc_id, 0.5)"))
+      .collect()(0).getLong(0)
+    docs.filter(col("doc_id") <= split).write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = spark.readStream
+        .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+      val q = DedupMonitor.dedup(feed, "doc_id", "text")
+        .writeStream.format("memory").queryName("sdedup").outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        docs.filter(col("doc_id") > split).write.parquet(s"$dir/b2")
+        q.processAllAvailable()
+        // latest state per key = the row with max n_copies (monotone)
+        val streamed = spark.table("sdedup").collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+          .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+        val batch = SparkEntry.queries("dedup_exact")(spark, aug).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(streamed == batch,
+          s"streaming dedup state diverged: ${streamed.size} keys vs ${batch.size}")
+        // the corpus must actually exercise the cross-batch path: at least
+        // one hash with copies on both sides of the split
+        val crossBatch = docs.groupBy(md5(col("text"))).agg(
+            min("doc_id").as("lo"), max("doc_id").as("hi"))
+          .filter(col("lo") <= split && col("hi") > split).count()
+        assert(crossBatch > 0, "fixture lost its cross-batch duplicate")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming session windows merge by gap and close at the watermark") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-03-05T10:00:00Z")

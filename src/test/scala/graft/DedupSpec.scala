@@ -59,6 +59,28 @@ class DedupSpec extends SparkSpec {
     assert(r.forall(_._4 >= 40), "span shorter than the window length")
   }
 
+  test("persisted oracle frames rebuild when the source regenerates") {
+    // the write-once persistForOracle cache must key on CONTENT: after the
+    // dataset is rewritten in place, a rerun has to re-derive the
+    // signature frame, not serve the previous corpus's rows
+    val dir = Files.createTempDirectory("graft-rebuild").toString
+    import spark.implicits._
+    def write(texts: Seq[(Long, String)]): Unit =
+      texts.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    write(Seq((0L, a), (1L, a))) // identical pair -> hamming-0 simhash pair
+    val r1 = SparkEntry.queries("dedup_simhash")(spark, dir).collect()
+    assert(r1.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((0L, 1L)))
+    // regenerate: doc 1 becomes unrelated -> the pair must disappear,
+    // which can only happen if the persisted (doc_id, sh) frame rebuilt
+    write(Seq((0L, a), (1L, "totally different words nothing shared here")))
+    val r2 = SparkEntry.queries("dedup_simhash")(spark, dir).collect()
+    assert(r2.isEmpty, s"stale persisted frame served: ${r2.mkString(",")}")
+  }
+
   test("dedup_ngram_jaccard finds the near-duplicates with high scores") {
     val r = SparkEntry.queries("dedup_ngram_jaccard")(spark, fixtureDir)
       .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"),

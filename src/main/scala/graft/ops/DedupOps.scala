@@ -650,9 +650,111 @@ object DedupOps {
        |FROM grp GROUP BY doc_id, island
        |ORDER BY doc_id, span_start""".stripMargin
 
+  // Cross-source dataset overlap audit — "how much of source A is in
+  // source B" for a corpus catalog, the question a curation team asks
+  // before mixing feeds. Each source gets a bottom-k sketch (the k
+  // lexicographically-smallest md5 keys of its distinct word 3-shingles —
+  // md5 because both engines compute it identically, so the sketch and
+  // the estimate are exactly mirrorable); a pair's Jaccard is estimated
+  // as |{keys in the k smallest of A∪B} ∩ A ∩ B| / |that union sample| —
+  // the classic bottom-k estimator (Broder's sketches). Everything after
+  // the shingle scan operates on |sources|·k rows: at 100 TB the big
+  // work is one distinct over (source, shingle-hash) and one per-source
+  // top-k exchange; the pairwise stage is a tiny-dim enumeration
+  // (source catalogs are dozens of rows) over broadcast sketches.
+  private val OverlapK = 128
+
+  private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = t(s, dir, "documents")
+      .select(col("source"), explode(gf.shingles(col("text"), lit(3)))
+        .as("shingle"))
+      .select(col("source"), md5(col("shingle")).as("h"))
+      .distinct()
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("source").orderBy("h")))
+      .filter(col("rk") <= OverlapK)
+      .select("source", "h")
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.select(col("source").as("a_src"))
+      .crossJoin(broadcast(srcs.select(col("source").as("b_src"))))
+      .filter(col("a_src") < col("b_src"))
+    val u = pairs.join(sk.withColumnRenamed("source", "a_src"), "a_src")
+      .select("a_src", "b_src", "h")
+      .unionByName(pairs.join(sk.withColumnRenamed("source", "b_src"), "b_src")
+        .select("a_src", "b_src", "h"))
+      .distinct()
+    val x = u.withColumn("rk", row_number().over(
+        Window.partitionBy("a_src", "b_src").orderBy("h")))
+      .filter(col("rk") <= OverlapK)
+    val nx = x.groupBy("a_src", "b_src").agg(count(lit(1)).as("n_union"))
+    val nb = x
+      .join(sk.select(col("source").as("a_src"), col("h")), Seq("a_src", "h"))
+      .join(sk.select(col("source").as("b_src"), col("h")), Seq("b_src", "h"))
+      .groupBy("a_src", "b_src").agg(count(lit(1)).as("n_both"))
+    nx.join(nb, Seq("a_src", "b_src"), "left")
+      .select(col("a_src"), col("b_src"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"), col("n_union"),
+        (coalesce(col("n_both"), lit(0L)).cast("double") / col("n_union"))
+          .as("est_jaccard"))
+      .orderBy("a_src", "b_src")
+  }
+
+  private val sourceOverlapSql =
+    s"""WITH tk AS (
+       |  SELECT source,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |shl AS (
+       |  SELECT source,
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [] END AS shs
+       |  FROM tk),
+       |ex0 AS (SELECT source, unnest(shs) AS shingle FROM shl),
+       |hs AS (SELECT DISTINCT source, md5(shingle) AS h FROM ex0),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |    FROM hs)
+       |  WHERE rk <= $OverlapK),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pairs AS (
+       |  SELECT a.source AS a_src, b.source AS b_src
+       |  FROM srcs a, srcs b WHERE a.source < b.source),
+       |u AS (
+       |  SELECT p.a_src, p.b_src, s.h FROM pairs p JOIN sk s
+       |    ON s.source = p.a_src
+       |  UNION
+       |  SELECT p.a_src, p.b_src, s.h FROM pairs p JOIN sk s
+       |    ON s.source = p.b_src),
+       |x AS (
+       |  SELECT a_src, b_src, h FROM (
+       |    SELECT a_src, b_src, h,
+       |      row_number() OVER (PARTITION BY a_src, b_src ORDER BY h) AS rk
+       |    FROM u)
+       |  WHERE rk <= $OverlapK),
+       |nx AS (
+       |  SELECT a_src, b_src, count(*) AS n_union FROM x GROUP BY 1, 2),
+       |nb AS (
+       |  SELECT x.a_src, x.b_src, count(*) AS n_both
+       |  FROM x
+       |  JOIN sk sa ON sa.source = x.a_src AND sa.h = x.h
+       |  JOIN sk sb ON sb.source = x.b_src AND sb.h = x.h
+       |  GROUP BY 1, 2)
+       |SELECT nx.a_src, nx.b_src,
+       |  coalesce(nb.n_both, 0) AS n_both, nx.n_union,
+       |  CAST(coalesce(nb.n_both, 0) AS DOUBLE) / nx.n_union AS est_jaccard
+       |FROM nx LEFT JOIN nb
+       |  ON nb.a_src = nx.a_src AND nb.b_src = nx.b_src
+       |ORDER BY nx.a_src, nx.b_src""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_substring" -> (substringSpans _),
+    "source_overlap" -> (sourceOverlap _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
@@ -667,6 +769,7 @@ object DedupOps {
   def oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_substring" -> substringSpansSql,
+    "source_overlap" -> sourceOverlapSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,
     "dedup_minhash_lsh" -> minhashLshSql,

@@ -59,6 +59,29 @@ class DedupSpec extends SparkSpec {
     assert(r.forall(_._4 >= 40), "span shorter than the window length")
   }
 
+  test("source_overlap: identical sources score 1, disjoint sources 0") {
+    val dir = Files.createTempDirectory("graft-overlap").toString
+    import spark.implicits._
+    val tA = Seq("alpha beta gamma delta epsilon zeta",
+      "eta theta iota kappa lambda mu", "nu xi omicron pi rho sigma")
+    val tC = Seq("one two three four five six",
+      "seven eight nine ten eleven twelve")
+    val docs =
+      tA.zipWithIndex.map { case (t, i) => (i.toLong, t, "srcA") } ++
+      tA.zipWithIndex.map { case (t, i) => (100L + i, t, "srcB") } ++ // copy
+      tC.zipWithIndex.map { case (t, i) => (200L + i, t, "srcC") }
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("source_overlap")(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(r(("srcA", "srcB")) == 1.0, s"identical sources: $r")
+    assert(r(("srcA", "srcC")) == 0.0 && r(("srcB", "srcC")) == 0.0,
+      s"disjoint sources: $r")
+  }
+
   test("persisted oracle frames rebuild when the source regenerates") {
     // the write-once persistForOracle cache must key on CONTENT: after the
     // dataset is rewritten in place, a rerun has to re-derive the

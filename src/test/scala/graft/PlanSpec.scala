@@ -91,7 +91,8 @@ class PlanSpec extends SparkSpec {
     val oneRowBounds = Set("resample_locf", "sample_stratified",
       "mixture_weights", "value_histogram", "date_range",
       "text_collocations", "tfidf_topk", "pagerank", "triangle_count",
-      "text_lm_score") // 1-row vocab-size side
+      "text_lm_score", // 1-row vocab-size side
+      "source_overlap") // tiny-dim source-catalog pair enumeration
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !bruteAnchors(name) && !oneRowBounds(name)) {
       val p = plan(name)

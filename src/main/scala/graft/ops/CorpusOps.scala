@@ -336,9 +336,10 @@ object CorpusOps {
   // with a total-order (count desc, l, r) tiebreak — deterministic across
   // engines and cluster sizes), and the rewrite is a codegen'd per-row
   // kernel (`bpe_merge`) applied under a localCheckpoint so rounds don't
-  // nest. Iterative-train semantics are not SQL-expressible → rows-only
-  // driver check; CorpusSpec pins the learned sequence against an
-  // in-memory reference implementation at sf0.001.
+  // nest. Exactly oracled: the whole train loop unrolls as MATERIALIZED
+  // CTEs with a list_reduce rewrite fold ([[bpeTrainSql]]); CorpusSpec
+  // additionally pins the learned sequence against an in-memory
+  // reference implementation at sf0.001.
   private[graft] val BpeMerges = 8
 
   private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
@@ -435,6 +436,51 @@ object CorpusOps {
        |FROM bg JOIN lm USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** SQL twin of [[bpeTrain]]: the full 8-round train loop unrolled as
+    * MATERIALIZED CTEs (the pagerank discipline). Per round: pair counts
+    * (struct unnest + group), the argmax under the identical
+    * (cnt DESC, l, r) total order, and the corpus rewrite. The rewrite
+    * mirrors the greedy left-to-right `bpe_merge` kernel as a
+    * `list_reduce` fold — equivalent because a token merged this round
+    * (a||b, with b non-empty) can never equal the left symbol `a`, so the
+    * fold can never re-merge its own output, exactly like the kernel's
+    * index skip. DuckDB traps mirrored here: list slices are 1-based and
+    * END-INCLUSIVE (`acc[:-2]` drops the last element; `[:-1]` is the
+    * whole list), and 2-arg `list_reduce` seeds from the FIRST element —
+    * wrapping each token as a single-element list makes that seed the
+    * initial accumulator. The last round's rewrite is omitted: only the
+    * m-CTEs reach the output. */
+  private val bpeTrainSql: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""t0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents)""".stripMargin
+    for (r <- 1 to BpeMerges) {
+      ctes += s"""p$r AS (
+         |  SELECT u.l, u.r, count(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(toks)),
+         |      i -> struct_pack(l := toks[i], r := toks[i + 1]))) AS u
+         |    FROM t${r - 1} WHERE len(toks) >= 2) q
+         |  GROUP BY u.l, u.r)""".stripMargin
+      ctes += s"""m$r AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      if (r < BpeMerges)
+        ctes += s"""t$r AS MATERIALIZED (
+           |  SELECT doc_id, CASE WHEN len(toks) <= 1 THEN toks ELSE
+           |    list_reduce(list_transform(toks, t -> [t]),
+           |      (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+           |        THEN acc[:-2] || [m.l || m.r] ELSE acc || x END) END AS toks
+           |  FROM t${r - 1}, m$r m)""".stripMargin
+    }
+    val finals = (1 to BpeMerges).map(r =>
+      s"""SELECT $r AS rank, l AS "left", r AS "right", cnt AS pair_count
+         |  FROM m$r""".stripMargin).mkString(" UNION ALL ")
+    s"""WITH ${ctes.result().mkString(",\n")}
+       |SELECT CAST(rank AS INT) AS rank, "left", "right", pair_count
+       |FROM ($finals) ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lm_score" -> (lmScore _),
     "array_funcs" -> (arrayFuncs _),
@@ -455,5 +501,6 @@ object CorpusOps {
     "sample_split" -> sampleSplitSql,
     "vocab_topk" -> vocabTopKSql,
     "tfidf_topk" -> tfidfTopKSql,
-    "embed_quantize" -> embedQuantizeSql)
+    "embed_quantize" -> embedQuantizeSql,
+    "bpe_train" -> bpeTrainSql)
 }

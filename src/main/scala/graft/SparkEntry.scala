@@ -25,7 +25,7 @@ object SparkEntry {
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ IngestOps.queries ++ CorpusOps.queries ++
       LayoutOps.queries ++ TimeSeriesOps.queries ++ PackOps.queries ++
-      CdcOps.queries ++ LinkOps.queries
+      CdcOps.queries ++ LinkOps.queries ++ ClusterOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
       TextOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
       MultimodalOps.oracle ++ IngestOps.oracle ++ CorpusOps.oracle ++
       LayoutOps.oracle ++ TimeSeriesOps.oracle ++ PackOps.oracle ++
-      CdcOps.oracle ++ LinkOps.oracle
+      CdcOps.oracle ++ LinkOps.oracle ++ ClusterOps.oracle
 }

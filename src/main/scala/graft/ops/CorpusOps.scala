@@ -481,7 +481,98 @@ object CorpusOps {
        |FROM ($finals) ORDER BY rank""".stripMargin
   }
 
+  // ---- DSIR-style importance weighting (Xie et al. 2023, public) ----
+  // Data selection for a TARGET domain: score every document by how much
+  // more likely its hashed-bigram features are under the target
+  // distribution than under the rest of the corpus. Features are hashed
+  // into 256 buckets by md5 prefix (both engines compute md5 identically —
+  // the source_overlap discipline); bucket weights are Laplace-smoothed
+  // log-ratios in the [[LmScale]] fixed point (ln differs by ulps between
+  // engines; one in-engine ln per bucket then round-to-integer restores
+  // parity, and the per-doc score is an exact BIGINT sum of those
+  // integers). Smoothed ratio products are computed in DOUBLE (identical
+  // IEEE ops both sides) so a 100 TB corpus can't overflow an integer
+  // product.
+  //
+  // Plan shape: the exploded feature stream aggregates once on the 256
+  // buckets (map-side partials collapse each partition to ≤256 rows); the
+  // weight table is 256 rows + a 1-row totals frame (both broadcast), so
+  // scoring is scan → explode → broadcast join → one doc_id-keyed
+  // aggregate. Two streaming passes over the corpus, nothing driver-side.
+  private[graft] val TargetSrc = "src0"
+  private val NBuckets = 256
+
+  private def importanceWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bg = docs
+      .select(col("doc_id"), col("source"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("toks")) >= 2,
+          expr("transform(slice(toks, 1, size(toks) - 1)," +
+            " (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)))"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("g")), 1, 2).as("b"))
+    val cnt = bg.groupBy("b").agg(
+      sum(when(col("source") === TargetSrc, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= TargetSrc, 1L).otherwise(0L)).as("cs"))
+    val tot = cnt.agg(sum("ct").as("nt"), sum("cs").as("ns"))
+    val w = cnt.crossJoin(broadcast(tot)) // 1-row feature totals
+      .select(col("b"),
+        round(log(
+          ((col("ct") + 1).cast("double") *
+            (col("ns") + NBuckets).cast("double")) /
+          ((col("cs") + 1).cast("double") *
+            (col("nt") + NBuckets).cast("double"))) * LmScale)
+          .cast("bigint").as("w"))
+    val ds = bg.join(broadcast(w), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("w").as("imp_fixed"))
+    docs.select(col("doc_id"), col("source"))
+      .join(ds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("imp_fixed"), lit(0L)).as("imp_fixed"))
+      .orderBy("doc_id")
+  }
+
+  private val importanceWeightsSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source, substring(md5(g), 1, 2) AS b FROM (
+       |    SELECT doc_id, source,
+       |      unnest(CASE WHEN len(toks) >= 2 THEN
+       |        list_transform(range(1, len(toks)),
+       |          i -> toks[i] || ' ' || toks[i+1])
+       |      ELSE [] END) AS g
+       |    FROM tk)),
+       |cnt AS (
+       |  SELECT b,
+       |    sum(CASE WHEN source = '$TargetSrc' THEN 1 ELSE 0 END) AS ct,
+       |    sum(CASE WHEN source <> '$TargetSrc' THEN 1 ELSE 0 END) AS cs
+       |  FROM bg GROUP BY 1),
+       |tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM cnt),
+       |w AS (
+       |  SELECT b, CAST(round(ln(
+       |      (CAST(ct + 1 AS DOUBLE) * CAST(ns + $NBuckets AS DOUBLE)) /
+       |      (CAST(cs + 1 AS DOUBLE) * CAST(nt + $NBuckets AS DOUBLE)))
+       |    * $LmScale) AS BIGINT) AS w
+       |  FROM cnt CROSS JOIN tot),
+       |ds AS (
+       |  SELECT bg.doc_id, count(*) AS n_feats, sum(w.w) AS imp_fixed
+       |  FROM bg JOIN w USING (b) GROUP BY 1)
+       |SELECT d.doc_id, d.source,
+       |  CAST(coalesce(ds.n_feats, 0) AS BIGINT) AS n_feats,
+       |  CAST(coalesce(ds.imp_fixed, 0) AS BIGINT) AS imp_fixed
+       |FROM documents d LEFT JOIN ds USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "importance_weights" -> (importanceWeights _),
     "text_lm_score" -> (lmScore _),
     "array_funcs" -> (arrayFuncs _),
     "text_normalize" -> (normalize _),
@@ -494,6 +585,7 @@ object CorpusOps {
     "bpe_train" -> (bpeTrain _))
 
   val oracle: Map[String, String] = Map(
+    "importance_weights" -> importanceWeightsSql,
     "text_lm_score" -> lmScoreSql,
     "array_funcs" -> arrayFuncsSql,
     "text_normalize" -> normalizeSql,

@@ -239,4 +239,21 @@ class CorpusSpec extends SparkSpec {
       assert(row.getAs[Long]("z_max") >> 12 == t)
     }
   }
+
+  test("importance_weights separates the target source from the rest") {
+    val r = SparkEntry.queries("importance_weights")(spark, sf0001)
+      .collect()
+      .map(row => (row.getAs[String]("source"), row.getAs[Long]("n_feats"),
+        row.getAs[Long]("imp_fixed")))
+    assert(r.nonEmpty)
+    // every doc with >= 2 tokens contributes features
+    assert(r.count(_._2 > 0) > r.length / 2)
+    val (t, rest) = r.partition(_._1 == graft.ops.CorpusOps.TargetSrc)
+    val tMean = t.map(_._3.toDouble).sum / t.length
+    val bySrc = rest.groupBy(_._1).map { case (_, xs) =>
+      xs.map(_._3.toDouble).sum / xs.length }
+    // the target's own n-gram mix dominates its buckets: its mean
+    // log-ratio score must beat every other source's (KL asymmetry)
+    assert(bySrc.forall(_ < tMean), s"target mean $tMean not separated")
+  }
 }

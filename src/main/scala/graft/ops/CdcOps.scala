@@ -207,13 +207,74 @@ object CdcOps {
        |ON b.user_id = c.user_id AND b.event_type = c.event_type
        |ORDER BY user_id, event_type""".stripMargin
 
+  // ---- incremental materialized-view maintenance ----
+  // The aggregate-table refresh a lakehouse runs on every ingest batch:
+  // instead of rescanning the full fact, merge the stored MV with an
+  // aggregate of ONLY the new partition. Insert-only deltas keep every
+  // measure here mergeable: counts add, DECIMAL sums add (exact and
+  // associative — the [[Num]] discipline, which is precisely why the MV
+  // can be maintained incrementally at all), min/max combine null-safely.
+  // Here the "stored" MV is derived from the pre-split slice in the same
+  // job (the sandbox has no persistent MV), but the merge plan is the
+  // production shape: the delta aggregate shuffles |delta| rows once,
+  // and the merge itself is a full-outer join on the tiny MV key space.
+  // The oracle recomputes the MV from scratch over the whole fact —
+  // equality IS the proof that the merge algebra refreshes losslessly.
+  private[graft] val MvSplit = "1998-01-01"
+
+  private def mvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice"), col("o_orderdate"))
+    def mv(df: DataFrame) = df.groupBy("month", "status").agg(
+      count(lit(1)).as("n"),
+      sum(col("o_totalprice").cast(Num.D)).as("t"), // exact decimal partial
+      min(col("o_totalprice")).as("mn"),
+      max(col("o_totalprice")).as("mx"))
+    val split = lit(MvSplit).cast("timestamp")
+    val base = mv(o.filter(col("o_orderdate") < split))
+      .select(col("month"), col("status"), col("n").as("b_n"),
+        col("t").as("b_t"), col("mn").as("b_mn"), col("mx").as("b_mx"))
+    val delta = mv(o.filter(col("o_orderdate") >= split))
+      .select(col("month"), col("status"), col("n").as("d_n"),
+        col("t").as("d_t"), col("mn").as("d_mn"), col("mx").as("d_mx"))
+    def nsafe(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+        both: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(a.isNull, b).when(b.isNull, a).otherwise(both)
+    base.join(delta, Seq("month", "status"), "full")
+      .select(col("month"), col("status"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"),
+        nsafe(col("b_t"), col("d_t"), col("b_t") + col("d_t"))
+          .cast("double").as("total"),
+        nsafe(col("b_mn"), col("d_mn"), least(col("b_mn"), col("d_mn")))
+          .as("min_price"),
+        nsafe(col("b_mx"), col("d_mx"), greatest(col("b_mx"), col("d_mx")))
+          .as("max_price"))
+      .orderBy("month", "status")
+  }
+
+  private val mvIncrementalSql =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |  o_orderstatus AS status,
+       |  count(*) AS n_orders,
+       |  ${Num.dsumSql("o_totalprice")} AS total,
+       |  min(o_totalprice) AS min_price,
+       |  max(o_totalprice) AS max_price
+       |FROM orders
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_incremental" -> ((s, dir) => mvIncremental(s, dir)),
     "merge_upsert" -> ((s, dir) => mergeUpsert(s, dir)),
     "scd2_intervals" -> ((s, dir) => scd2Intervals(s, dir)),
     "scd2_lookup" -> ((s, dir) => scd2Lookup(s, dir)),
     "snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)))
 
   val oracle: Map[String, String] = Map(
+    "mv_incremental" -> mvIncrementalSql,
     "merge_upsert" -> mergeUpsertSql,
     "scd2_intervals" -> scd2Sql,
     "scd2_lookup" -> scd2LookupSql,

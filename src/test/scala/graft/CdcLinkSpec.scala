@@ -263,4 +263,28 @@ class CdcLinkSpec extends SparkSpec {
       col("top_token_frac") * col("n_tokens") < lit(1.0 - 1e-3))
     assert(impossible.count() == 0)
   }
+
+  test("mv_incremental merge covers base-only, delta-only, and shared keys") {
+    val mv = SparkEntry.queries("mv_incremental")(spark, sf0001)
+    val o = Tables(spark, sf0001, "orders")
+    // lossless: merged counts add back up to the full fact
+    assert(mv.agg(sum("n_orders")).head.getLong(0) == o.count())
+    val split = lit(graft.ops.CdcOps.MvSplit).cast("timestamp")
+    val baseMonths = o.filter(col("o_orderdate") < split)
+      .select(date_format(col("o_orderdate"), "yyyy-MM")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val deltaMonths = o.filter(col("o_orderdate") >= split)
+      .select(date_format(col("o_orderdate"), "yyyy-MM")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // the split leaves keys on both sides — otherwise the full-outer
+    // merge (the part under test) would be vacuous
+    assert((baseMonths -- deltaMonths).nonEmpty)
+    assert((deltaMonths -- baseMonths).nonEmpty)
+    val months = mv.select("month").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(months == (baseMonths ++ deltaMonths))
+    // every published measure is populated (null-safe min/max merge)
+    assert(mv.filter(col("total").isNull || col("min_price").isNull ||
+      col("max_price").isNull).count() == 0)
+  }
 }

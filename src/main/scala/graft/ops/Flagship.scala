@@ -264,80 +264,19 @@ object Flagship {
       .orderBy("c_custkey", "p_partkey")
   }
 
-  /** Exact mirror of [[geoEnrich]] — see the scaladoc there. The bisection
-    * CTE carries (latlo, lathi, lonlo, lonhi, bits) through 35 steps; the
-    * IEEE754 byte extraction handles zero explicitly (no -0 in this
-    * dataset: both formulas produce +0.0) and needs no subnormal branch
-    * (|coord| is either 0 or >= 0.05). */
-  private val geoEnrichSql: String = {
-    // exponent of a normal positive double, guarded against log2 rounding
-    val e0 = "CAST(floor(log2(a)) AS INT)"
-    val eExpr =
-      s"""CASE WHEN power(2.0, $e0) > a THEN $e0 - 1
-         |     WHEN power(2.0, $e0 + 1) <= a THEN $e0 + 1
-         |     ELSE $e0 END""".stripMargin
-    s"""WITH RECURSIVE p0 AS (
-       |  SELECT p_partkey,
-       |    (p_partkey % 3600) / 10.0 - 180.0 AS lon,
-       |    (p_partkey % 1700) / 10.0 - 85.0 AS lat
-       |  FROM part),
-       |gh AS (
-       |  SELECT p_partkey, lon, lat, 0 AS i,
-       |    CAST(-90 AS DOUBLE) AS latlo, CAST(90 AS DOUBLE) AS lathi,
-       |    CAST(-180 AS DOUBLE) AS lonlo, CAST(180 AS DOUBLE) AS lonhi,
-       |    CAST(0 AS BIGINT) AS bits
-       |  FROM p0
-       |  UNION ALL
-       |  SELECT p_partkey, lon, lat, i + 1,
-       |    CASE WHEN i % 2 = 1 AND lat >= (latlo + lathi) / 2
-       |      THEN (latlo + lathi) / 2 ELSE latlo END,
-       |    CASE WHEN i % 2 = 1 AND lat < (latlo + lathi) / 2
-       |      THEN (latlo + lathi) / 2 ELSE lathi END,
-       |    CASE WHEN i % 2 = 0 AND lon >= (lonlo + lonhi) / 2
-       |      THEN (lonlo + lonhi) / 2 ELSE lonlo END,
-       |    CASE WHEN i % 2 = 0 AND lon < (lonlo + lonhi) / 2
-       |      THEN (lonlo + lonhi) / 2 ELSE lonhi END,
-       |    bits * 2 + CASE WHEN i % 2 = 0
-       |      THEN CASE WHEN lon >= (lonlo + lonhi) / 2 THEN 1 ELSE 0 END
-       |      ELSE CASE WHEN lat >= (latlo + lathi) / 2 THEN 1 ELSE 0 END END
-       |  FROM gh WHERE i < 35),
-       |ghs AS (
-       |  SELECT p_partkey, array_to_string(list_transform(range(0, 7),
-       |    j -> substring('0123456789bcdefghjkmnpqrstuvwxyz',
-       |      CAST(((bits >> (5 * (6 - j))) & 31) AS INT) + 1, 1)), '')
-       |    AS geohash
-       |  FROM gh WHERE i = 35),
-       |pv AS (
-       |  SELECT p_partkey, 0 AS w, lon AS v FROM p0
-       |  UNION ALL
-       |  SELECT p_partkey, 1, lat FROM p0),
-       |pe AS (
-       |  SELECT p_partkey, w, v, a,
-       |    CASE WHEN v = 0 THEN 0 ELSE $eExpr END AS e
-       |  FROM (SELECT p_partkey, w, v, abs(v) AS a FROM pv)),
-       |pm AS (
-       |  SELECT p_partkey, w, v,
-       |    CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
-       |      ELSE (CAST(e + 1023 AS BIGINT) << 52)
-       |        | (CAST(a * power(2.0, 52 - e) AS BIGINT)
-       |           - (CAST(1 AS BIGINT) << 52)) END AS mbits
-       |  FROM pe),
-       |ph AS (
-       |  SELECT p_partkey, w,
-       |    upper(array_to_string(list_transform(range(0, 8),
-       |      i -> printf('%02x', ((mbits >> (8 * CAST(i AS INT))) & 255)
-       |        + CASE WHEN i = 7 AND v < 0 THEN 128 ELSE 0 END)), ''))
-       |      AS hx
-       |  FROM pm),
-       |wkb AS (
-       |  SELECT p_partkey,
-       |    '0101000000' || max(CASE WHEN w = 0 THEN hx END)
-       |      || max(CASE WHEN w = 1 THEN hx END) AS wkb_hex
-       |  FROM ph GROUP BY 1)
+  /** Exact mirror of [[geoEnrich]] — the shared [[GeoSqlMirror]] CTEs
+    * (35-step bisection replay + arithmetic IEEE754 byte extraction)
+    * over the part-key coordinate formulas. */
+  private val geoEnrichSql: String =
+    GeoSqlMirror.ctes(
+      """SELECT p_partkey,
+        |    (p_partkey % 3600) / 10.0 - 180.0 AS lon,
+        |    (p_partkey % 1700) / 10.0 - 85.0 AS lat
+        |  FROM part""".stripMargin, "p_partkey") +
+    s"""
        |SELECT g.p_partkey, g.geohash, wkb.wkb_hex
        |FROM ghs g JOIN wkb USING (p_partkey)
        |ORDER BY p_partkey""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "schedule_deviation" -> (scheduleDeviation _),

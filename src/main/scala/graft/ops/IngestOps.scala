@@ -141,15 +141,43 @@ object IngestOps {
       |FROM events
       |ORDER BY trip_id, timestamp, vehicle_id, bearing, latitude, longitude""".stripMargin
 
-  // Full enrichment including geometry/geohash — rows-only driver check;
-  // byte-level WKB and geohash vectors are unit-tested.
+  // Full enrichment including geometry/geohash — exact oracle via the
+  // shared [[GeoSqlMirror]] CTEs (bisection replay + IEEE754 byte
+  // extraction) over the decode coordinate formulas; event time is
+  // published as epoch seconds per the catalog's timestamp convention.
   private def ingestEnrich(s: SparkSession, dir: String): DataFrame =
     enrich(decode(Tables(s, dir, "events")))
-      .select(col("trip_id"), col("vehicle_id"), col("event_ts"),
+      .select(col("trip_id"), col("vehicle_id"),
+        unix_timestamp(col("event_ts")).as("unix_sec"),
         col("geohash"), gf.st_ashexwkb(col("geometry")).as("wkb_hex"),
         col("bbox.xmin").as("xmin"), col("bbox.ymin").as("ymin"),
         col("year"), col("month"), col("day"))
-      .orderBy("trip_id", "event_ts", "vehicle_id", "wkb_hex")
+      .orderBy("trip_id", "unix_sec", "vehicle_id", "wkb_hex")
+
+  /** Exact mirror of [[ingestEnrich]]: the geo CTEs keyed by the unique
+    * `event_id`, joined back to the arithmetically-mirrored decode
+    * columns (same formulas `ingest_schema` already proves exact). */
+  private val ingestEnrichSql: String =
+    GeoSqlMirror.ctes(
+      """SELECT event_id,
+        |    -79.7 + (event_id % 700) / 1000.0 AS lon,
+        |    43.0 + (event_id % 1000) / 1000.0 AS lat
+        |  FROM events""".stripMargin, "event_id") +
+    s""",
+       |e AS (
+       |  SELECT event_id,
+       |    'trip_' || CAST(user_id AS VARCHAR) AS trip_id,
+       |    'veh_' || CAST(event_id % 100 AS VARCHAR) AS vehicle_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec,
+       |    CAST(date_part('year', ts) AS INT) AS year,
+       |    CAST(date_part('month', ts) AS INT) AS month,
+       |    CAST(date_part('day', ts) AS INT) AS day
+       |  FROM events)
+       |SELECT e.trip_id, e.vehicle_id, e.unix_sec, g.geohash, w.wkb_hex,
+       |  p0.lon AS xmin, p0.lat AS ymin, e.year, e.month, e.day
+       |FROM e JOIN ghs g USING (event_id) JOIN wkb w USING (event_id)
+       |  JOIN p0 USING (event_id)
+       |ORDER BY trip_id, unix_sec, vehicle_id, wkb_hex""".stripMargin
 
   // B1 covering payoff: a bbox predicate that reaches the parquet scan as
   // PushedFilters on the covering struct's leaves, so parquet min/max
@@ -245,6 +273,7 @@ object IngestOps {
 
   val oracle: Map[String, String] = Map(
     "ingest_schema" -> ingestSchemaSql,
+    "ingest_enrich" -> ingestEnrichSql,
     "vehicle_headway" -> vehicleHeadwaySql,
     "bbox_prune" -> bboxPruneSql)
 }

@@ -92,7 +92,8 @@ class PlanSpec extends SparkSpec {
       "mixture_weights", "value_histogram", "date_range",
       "text_collocations", "tfidf_topk", "pagerank", "triangle_count",
       "text_lm_score", // 1-row vocab-size side
-      "source_overlap") // tiny-dim source-catalog pair enumeration
+      "source_overlap", // tiny-dim source-catalog pair enumeration
+      "importance_weights") // 1-row corpus-total (nt, ns) side
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !bruteAnchors(name) && !oneRowBounds(name)) {
       val p = plan(name)

@@ -25,7 +25,8 @@ object SparkEntry {
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ IngestOps.queries ++ CorpusOps.queries ++
       LayoutOps.queries ++ TimeSeriesOps.queries ++ PackOps.queries ++
-      CdcOps.queries ++ LinkOps.queries ++ ClusterOps.queries
+      CdcOps.queries ++ LinkOps.queries ++ ClusterOps.queries ++
+      RetrievalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       TextOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
       MultimodalOps.oracle ++ IngestOps.oracle ++ CorpusOps.oracle ++
       LayoutOps.oracle ++ TimeSeriesOps.oracle ++ PackOps.oracle ++
-      CdcOps.oracle ++ LinkOps.oracle ++ ClusterOps.oracle
+      CdcOps.oracle ++ LinkOps.oracle ++ ClusterOps.oracle ++
+      RetrievalOps.oracle
 }

@@ -1,0 +1,205 @@
+package graft.ops
+
+import graft.Tables
+import graft.expr.{functions => gf}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Retrieval-side corpus preparation: RAG chunking, inverted-index
+  * construction, and curriculum ordering — the three passes that turn a
+  * cleaned corpus into something a retrieval or training stack consumes.
+  *
+  * Scale notes: `doc_chunk` is a narrow per-row generate (no shuffle
+  * until the presentation sort) — chunking 100 TB is embarrassingly
+  * parallel, and the per-chunk fingerprint feeds chunk-level dedup
+  * downstream. `inverted_index` bounds per-term state with a rank cap
+  * BEFORE collecting postings (a head term's posting list is top-K by
+  * doc_id, never an unbounded collect) and bounds output with a
+  * TakeOrdered top-K on document frequency. `curriculum_order` computes
+  * per-document difficulty with one shuffle on term and one on doc_id,
+  * then assigns phases by comparing against a broadcast 1-row exact
+  * quantile frame — no global window anywhere, so the assignment scales
+  * (the classic ntile() formulation would funnel every row through one
+  * partition).
+  *
+  * Determinism: token order is positional, posting lists sort by doc_id,
+  * difficulty ties don't matter (phase is threshold-based), and the
+  * ln-based IDF uses the ×10⁴ fixed-point rounding discipline
+  * (TextOps.collocations) so engine ulp drift cannot leak into output.
+  */
+object RetrievalOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // Whitespace tokens, positional: split on single space in BOTH engines
+  // so slice offsets agree exactly (PackOps token parity discipline).
+  private def toks(c: String) = split(col(c), " ")
+  private def toksSql(c: String) = s"string_split($c, ' ')"
+
+  // ---- RAG chunking (fixed window, overlapping stride) ----
+  // Chunk k of a doc covers tokens [k·S, k·S + W); chunks are emitted
+  // while k·S < n_tok with the standard "one chunk past the last full
+  // window" count n_chunks = ceil(max(n_tok − W, 0) / S) + 1, so every
+  // token lands in ≥1 chunk and consecutive chunks overlap by W − S.
+
+  private val ChunkW = 32L // window (tokens)
+  private val ChunkS = 24L // stride → 8-token overlap
+
+  private def docChunk(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      col("doc_id"), toks("text").as("toks"),
+      size(toks("text")).cast("long").as("n_tok"))
+    d.withColumn("n_chunks",
+        expr(s"(greatest(n_tok - $ChunkW, 0L) + ${ChunkS - 1}) DIV $ChunkS + 1"))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * ChunkS)
+      .withColumn("n_tok_chunk", least(lit(ChunkW), col("n_tok") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("start_tok"), col("n_tok_chunk"),
+        gf.fingerprint(array_join(
+          slice(col("toks"), col("start_tok") + 1, col("n_tok_chunk")), " "))
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val docChunkSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${toksSql("text")} AS toks,
+       |    CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, n_tok,
+       |    unnest(range(0, (greatest(n_tok - $ChunkW, 0) + ${ChunkS - 1})
+       |      // $ChunkS + 1)) AS chunk_id
+       |  FROM d)
+       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  chunk_id * $ChunkS AS start_tok,
+       |  least($ChunkW, n_tok - chunk_id * $ChunkS) AS n_tok_chunk,
+       |  ${TextOps.fingerprintFoldSql(
+             s"array_to_string(list_slice(toks, chunk_id * $ChunkS + 1, " +
+             s"chunk_id * $ChunkS + least($ChunkW, n_tok - chunk_id * $ChunkS)), ' ')")}
+       |    AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---- inverted index (bounded posting lists) ----
+  // term → document frequency, total term frequency, and the first
+  // PostK postings by doc_id as a CSV string (strings, not arrays: the
+  // driver compare is scalar-exact). The rank cap bounds per-term state
+  // BEFORE the collect; the df-ordered top-K bounds total output.
+
+  private val PostK = 16
+  private val TermK = 100
+
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks("text")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+      .orderBy(col("df").desc, col("term")).limit(TermK)
+    val rn = Window.partitionBy("term").orderBy("doc_id")
+    val postings = tf
+      .withColumn("rn", row_number().over(rn))
+      .filter(col("rn") <= PostK)
+      .groupBy("term")
+      .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+        _.cast("string")), ",").as("postings"))
+    stats.join(postings, "term")
+      .select(col("term"), col("df"), col("tf_total"), col("postings"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
+  private val invertedIndexSql =
+    s"""WITH tf AS (
+       |  SELECT term, doc_id, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents)
+       |  WHERE term <> '' GROUP BY 1, 2),
+       |st AS (
+       |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+       |  FROM tf GROUP BY 1
+       |  ORDER BY df DESC, term LIMIT $TermK),
+       |post AS (
+       |  SELECT term,
+       |    array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+       |      AS postings
+       |  FROM (SELECT term, doc_id,
+       |          row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+       |        FROM tf)
+       |  WHERE rn <= $PostK GROUP BY 1)
+       |SELECT st.term, st.df, st.tf_total, post.postings
+       |FROM st JOIN post USING (term)
+       |ORDER BY df DESC, term""".stripMargin
+
+  // ---- curriculum ordering (rarity-difficulty phases) ----
+  // difficulty(doc) = mean fixed-point IDF of its tokens — a cheap,
+  // model-free proxy for "hard" (rare-vocabulary) documents. Phase
+  // boundaries are EXACT discrete quartiles of the difficulty
+  // distribution (percentile_disc picks actual values, so both engines
+  // agree bit-for-bit), broadcast as one row; phase = 1 + #(cutoffs
+  // strictly below the doc).
+
+  private def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = docs
+      .select(col("doc_id"), explode(toks("text")).as("term"))
+      .filter(col("term") =!= "")
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val idf = pairs.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs)) // 1-row corpus size
+      .select(col("term"),
+        round(log(col("n_docs") / col("df")) * 1e4, 0).cast("long").as("idf_fp"))
+    val diff = pairs.join(idf, "term")
+      .groupBy("doc_id")
+      .agg(round(sum(col("idf_fp")).cast("double") / count(lit(1)), 4)
+        .as("difficulty"))
+    val cuts = diff.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY difficulty)").as("q1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY difficulty)").as("q2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY difficulty)").as("q3"))
+    diff.crossJoin(broadcast(cuts)) // 1-row quantile frame
+      .select(col("doc_id"), col("difficulty"),
+        (lit(1) + (col("difficulty") > col("q1")).cast("int")
+          + (col("difficulty") > col("q2")).cast("int")
+          + (col("difficulty") > col("q3")).cast("int")).as("phase"))
+      .orderBy("doc_id")
+  }
+
+  private val curriculumOrderSql =
+    s"""WITH pairs AS (
+       |  SELECT doc_id, term
+       |  FROM (SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents)
+       |  WHERE term <> ''),
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |idf AS (
+       |  SELECT term,
+       |    CAST(round(ln(nd.n_docs / df) * 10000, 0) AS BIGINT) AS idf_fp
+       |  FROM (SELECT term, count(*) AS df
+       |        FROM (SELECT DISTINCT term, doc_id FROM pairs) GROUP BY 1), nd),
+       |diff AS (
+       |  SELECT doc_id,
+       |    round(CAST(sum(idf_fp) AS DOUBLE) / count(*), 4) AS difficulty
+       |  FROM pairs JOIN idf USING (term) GROUP BY 1),
+       |cuts AS (
+       |  SELECT quantile_disc(difficulty, 0.25) AS q1,
+       |    quantile_disc(difficulty, 0.5) AS q2,
+       |    quantile_disc(difficulty, 0.75) AS q3
+       |  FROM diff)
+       |SELECT doc_id, difficulty,
+       |  1 + CAST(difficulty > q1 AS INT) + CAST(difficulty > q2 AS INT)
+       |    + CAST(difficulty > q3 AS INT) AS phase
+       |FROM diff, cuts ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunk" -> (docChunk _),
+    "inverted_index" -> (invertedIndex _),
+    "curriculum_order" -> (curriculumOrder _))
+
+  val oracle: Map[String, String] = Map(
+    "doc_chunk" -> docChunkSql,
+    "inverted_index" -> invertedIndexSql,
+    "curriculum_order" -> curriculumOrderSql)
+}

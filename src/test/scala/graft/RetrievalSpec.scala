@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the retrieval-prep family (RetrievalOps):
+  * chunk coverage/overlap, posting-list bounds, and curriculum phase
+  * balance — the properties the DuckDB oracle's value-equality cannot
+  * itself explain. */
+class RetrievalSpec extends SparkSpec {
+
+  test("doc_chunk covers every token and overlaps by W - S") {
+    val r = SparkEntry.queries("doc_chunk")(spark, sf0001).cache()
+    // per-doc: chunk 0 starts at 0, strides are exactly S apart, and the
+    // last chunk's window reaches the end of the document
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val agg = r.groupBy("doc_id").agg(
+      min("start_tok").as("first_start"),
+      max(col("start_tok") + col("n_tok_chunk")).as("covered_to"),
+      count(lit(1)).as("n_chunks"),
+      max("n_tok_chunk").as("max_w"))
+    val joined = agg.join(docs, "doc_id").cache()
+    assert(joined.filter(col("first_start") =!= 0L).count() == 0L)
+    assert(joined.filter(col("covered_to") =!= col("n_tok")).count() == 0L,
+      "a document's tail is not covered by its last chunk")
+    assert(joined.filter(col("max_w") > 32L).count() == 0L)
+    // short docs (n_tok <= W) must produce exactly one chunk
+    assert(joined.filter(col("n_tok") <= 32L && col("n_chunks") =!= 1L).count() == 0L)
+    // consecutive chunks of one doc overlap by exactly W - S = 8 tokens
+    // wherever both are full windows
+    val strides = r.filter(col("chunk_id") > 0)
+      .select(col("doc_id"), (col("start_tok") - (col("chunk_id") * 24L)).as("drift"))
+    assert(strides.filter(col("drift") =!= 0L).count() == 0L)
+    joined.unpersist(); r.unpersist()
+  }
+
+  test("inverted_index bounds postings at K and orders terms by df") {
+    val r = SparkEntry.queries("inverted_index")(spark, sf0001)
+      .withColumn("n_post", size(split(col("postings"), ",")))
+      .cache()
+    assert(r.filter(col("n_post") > 16).count() == 0L, "posting list exceeds K")
+    // postings are doc_id-ascending (string compare after numeric sort is
+    // checked by the oracle; here check the numeric order directly)
+    val unsorted = r.select(col("term"),
+        transform(split(col("postings"), ","), _.cast("long")).as("p"))
+      .filter(expr("exists(zip_with(p, slice(p, 2, size(p) - 1), (a, b) -> a >= b), x -> x)"))
+    assert(unsorted.count() == 0L, "postings not strictly ascending")
+    // df never increases down the returned (df DESC, term) order
+    val rows = r.select("df").collect().map(_.getLong(0))
+    assert(rows.sameElements(rows.sortBy(-_)), "terms not ordered by df desc")
+    r.unpersist()
+  }
+
+  test("curriculum_order phases quarter the corpus and track difficulty") {
+    val r = SparkEntry.queries("curriculum_order")(spark, sf0001).cache()
+    val n = r.count()
+    val byPhase = r.groupBy("phase").count().collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(byPhase.keySet == Set(1, 2, 3, 4), s"phases present: ${byPhase.keySet}")
+    // discrete quartiles: each phase holds 25% +/- the tie mass; at 500
+    // docs with distinct-ish difficulties allow a generous 15-35% band
+    for ((p, c) <- byPhase)
+      assert(c >= n * 0.15 && c <= n * 0.35, s"phase $p holds $c of $n docs")
+    // phase is monotone in difficulty: max difficulty of phase p is <= min
+    // difficulty of phase p+1 (strict thresholds guarantee it)
+    val bounds = r.groupBy("phase")
+      .agg(min("difficulty").as("lo"), max("difficulty").as("hi"))
+      .orderBy("phase").collect()
+    for (i <- 0 until bounds.length - 1)
+      assert(bounds(i).getDouble(2) <= bounds(i + 1).getDouble(1),
+        s"phase ${i + 1} overlaps phase ${i + 2} in difficulty")
+    r.unpersist()
+  }
+}

@@ -994,6 +994,79 @@ object SimilarityOps {
        |  round(min(cos), 6) AS min_cos_to_centroid
        |FROM m GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- contrastive hard-negative mining ----
+  // Every vector is an anchor (mining feeds training, so the "query set"
+  // is the whole corpus, unlike the benchmark simsearch_* family): for
+  // each anchor return the HnK most-cosine-similar vectors carrying a
+  // DIFFERENT label — the semi-hard negatives a contrastive loss wants.
+  // Candidate generation is the fitted IVF coarse quantizer (anchor
+  // probes `probe` cells, index side holds `assign` cells), so the
+  // candidate join is a cell equi-join carrying (id, label) only — at
+  // 100 TB the shuffle is ids+labels, never embeddings, and no pair of
+  // vectors outside shared cells is ever scored. Raw vectors stream
+  // through exactly two id-keyed hash joins for the exact-cosine rank;
+  // the per-anchor top-K runs as a WindowGroupLimit (partial rank cap
+  // before the anchor-keyed exchange). Exactly oracled: both cell
+  // frames persist, and the mirror replays the label-filtered cell
+  // join + ordered-fold cosine + (desc cos, asc id) rank.
+  private[graft] val HnK = 4
+
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val (dim, cmat, probe) = fitCentroids(s, dir)
+    val assign = assignFor(cmat.length / dim)
+    val cLit = typedLit(cmat.toSeq)
+    val emb = t(s, dir, "embeddings")
+    val idx = persistO(s, dir, "hn_idx",
+      emb.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
+          .as("cell")))
+    val pr = persistO(s, dir, "hn_probe",
+      emb.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(probe)))
+          .as("cell")))
+    val e = normed(s, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("norm").as("a_norm"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"))
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    pr.join(idx, "cell")
+      .filter(col("a_label") =!= col("c_label")) // same id ⇒ same label ⇒ excluded
+      .select("a_id", "c_id").distinct()         // union over probed cells
+      .join(a, "a_id")
+      .join(c, "c_id")
+      .select(col("a_id"), col("c_id"),
+        (vdot(col("a_emb"), col("c_emb")) / (col("a_norm") * col("c_norm")))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HnK)
+      .select(col("a_id"), col("c_id").as("neg_id"), col("cos_sim"), col("rank"))
+      .orderBy("a_id", "rank")
+  }
+
+  private def hardNegativesSql: String =
+    s"""WITH n AS ($normedSql),
+       |idx AS (SELECT * FROM read_parquet('${pth("hn_idx")}/*.parquet')),
+       |pr AS (SELECT * FROM read_parquet('${pth("hn_probe")}/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT pr.a_id, idx.c_id
+       |  FROM pr JOIN idx USING (cell)
+       |  WHERE pr.a_label <> idx.c_label),
+       |sims AS (
+       |  SELECT cand.a_id, cand.c_id,
+       |    ${vdotSql("ae.embedding", "ce.embedding")} / (ae.norm * ce.norm)
+       |      AS cos_sim
+       |  FROM cand
+       |  JOIN n ae ON ae.vec_id = cand.a_id
+       |  JOIN n ce ON ce.vec_id = cand.c_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY cos_sim DESC, c_id) AS rank
+       |  FROM sims)
+       |SELECT a_id, c_id AS neg_id, cos_sim, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $HnK ORDER BY a_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_topk" -> (bruteTopK _),
     "simsearch_lsh" -> (lshTopK _),
@@ -1001,6 +1074,7 @@ object SimilarityOps {
     "simsearch_ivfpq" -> (ivfPqTopK _),
     "simsearch_ivfrq" -> (ivfRqTopK _),
     "simsearch_ivfopq" -> (ivfOpqTopK _),
+    "hard_negatives" -> (hardNegatives _),
     "embed_centroids" -> (embedCentroids _))
 
   // def, not val: the approximate-family mirrors embed the persisted-frame
@@ -1013,5 +1087,6 @@ object SimilarityOps {
     "simsearch_ivfpq" -> ivfPqSql,
     "simsearch_ivfrq" -> ivfRqSql,
     "simsearch_ivfopq" -> ivfOpqSql,
+    "hard_negatives" -> hardNegativesSql,
     "embed_centroids" -> embedCentroidsSql)
 }

@@ -332,4 +332,46 @@ class SimilaritySpec extends SparkSpec {
       f"OPQ must cut reconstruction error on anisotropic data: " +
         f"$opqMse%.5f vs $rawMse%.5f")
   }
+
+  test("hard negatives cross labels, rank correctly, and recall the brute set") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.Tables(spark, sf0001, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val hn = SparkEntry.queries("hard_negatives")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("neg_id"),
+        x.getAs[Int]("rank"), x.getAs[Double]("cos_sim")))
+    // every anchor is served, no negative shares its anchor's label, and
+    // ranks are contiguous from 1 with non-increasing similarity
+    assert(hn.map(_._1).distinct.length == labels.size, "anchors missing")
+    assert(hn.forall { case (a, n, _, _) => labels(a) != labels(n) },
+      "a hard negative shares its anchor's label")
+    hn.groupBy(_._1).foreach { case (a, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).sameElements(1 to sorted.length),
+        s"anchor $a ranks not contiguous")
+      val sims = sorted.map(_._4)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y },
+        s"anchor $a similarities increase with rank")
+    }
+    // recall vs the brute cross-label top-HnK (exact cosine over all pairs)
+    val e = graft.Tables(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+        (r.getLong(0), v, n)
+      }
+    val brute = e.flatMap { case (a, av, an) =>
+      e.filter { case (c, _, _) => labels(c) != labels(a) }
+        .map { case (c, cv, cn) =>
+          val dot = av.zip(cv).map { case (x, y) => x.toDouble * y.toDouble }.sum
+          (a, c, dot / (an * cn))
+        }.sortBy { case (_, c, s) => (-s, c) }.take(graft.ops.SimilarityOps.HnK)
+    }.map { case (a, c, _) => (a, c) }.toSet
+    val mined = hn.map { case (a, n, _, _) => (a, n) }.toSet
+    val recall = (brute & mined).size.toDouble / brute.size
+    info(f"hard-negative recall@${graft.ops.SimilarityOps.HnK} = $recall%.2f")
+    assert(recall >= 0.8, f"hard-negative recall $recall%.2f below 0.8")
+  }
 }

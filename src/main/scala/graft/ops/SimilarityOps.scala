@@ -1067,6 +1067,123 @@ object SimilarityOps {
        |SELECT a_id, c_id AS neg_id, cos_sim, CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= $HnK ORDER BY a_id, rank""".stripMargin
 
+  // ---- PCA whitening ----
+  // Distributed fit, driver eigensolve, distributed apply — the standard
+  // embedding-preprocessing pass (whitening before cosine/ANN, e.g.
+  // DiskANN/SPANN pipelines). Fit is two narrow passes over the corpus:
+  // (1) per-position mean — a d-key aggregate, d doubles to the driver;
+  // (2) centered outer products aggregated by (i, j) — the explode is
+  // in-executor and partial aggregation collapses each partition to ≤ d²
+  // rows before the only shuffle (d² keys total, independent of corpus
+  // size), so the covariance pass scales to 100 TB with a shuffle the
+  // size of a floppy disk. The d×d eigensolve is driver-side cyclic
+  // Jacobi (fixed sweep order + count ⇒ deterministic given the rounded
+  // covariance; d = embedding dim, so cost is microscopic next to the
+  // scan). Apply is a broadcast of the P whitening rows against the
+  // corpus — no shuffle until the presentation sort. Float discipline:
+  // mean and covariance round to 9 (cross-row sums are partition-order
+  // dependent — the embed_centroids rule); projections are ordered
+  // vec_dot folds against the PERSISTED model frame, so the mirror
+  // replays them bit-for-bit and the output rounds to 6.
+  private[graft] val PcaP = 8 // whitened components kept
+  private val PcaSweeps = 24 // cyclic Jacobi sweeps (machine-precision at d=64)
+
+  /** Cyclic Jacobi eigensolve of a symmetric n×n (row-major). Returns
+    * (eigenvalues, eigenvector-columns); deterministic: fixed (p,q) sweep
+    * order, fixed sweep count, no data-dependent thresholds. */
+  private def jacobiEig(a0: Array[Double], n: Int): (Array[Double], Array[Double]) = {
+    val a = a0.clone()
+    val v = Array.tabulate(n * n)(k => if (k / n == k % n) 1.0 else 0.0)
+    for (_ <- 0 until PcaSweeps; p <- 0 until n - 1; q <- p + 1 until n) {
+      val apq = a(p * n + q)
+      if (apq != 0.0) {
+        val theta = (a(q * n + q) - a(p * n + p)) / (2.0 * apq)
+        val t = (if (theta >= 0.0) 1.0 else -1.0) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val sn = t * c
+        var k = 0
+        while (k < n) { // column rotation
+          val akp = a(k * n + p); val akq = a(k * n + q)
+          a(k * n + p) = c * akp - sn * akq
+          a(k * n + q) = sn * akp + c * akq
+          k += 1
+        }
+        k = 0
+        while (k < n) { // row rotation
+          val apk = a(p * n + k); val aqk = a(q * n + k)
+          a(p * n + k) = c * apk - sn * aqk
+          a(q * n + k) = sn * apk + c * aqk
+          k += 1
+        }
+        k = 0
+        while (k < n) { // accumulate eigenvectors
+          val vkp = v(k * n + p); val vkq = v(k * n + q)
+          v(k * n + p) = c * vkp - sn * vkq
+          v(k * n + q) = sn * vkp + c * vkq
+          k += 1
+        }
+      }
+    }
+    (Array.tabulate(n)(i => a(i * n + i)), v)
+  }
+
+  /** Fit + persist the whitening model: rows (comp, lambda, w, b) where
+    * projection_p(x) = dot(x, w_p) − b_p (the mean-offset folded into a
+    * scalar so the apply side never joins the mean). */
+  private def fitPcaModel(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val mu = emb.select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .groupBy("i").agg(round(avg(col("xi").cast("double")), 9).as("mu"))
+      .orderBy("i").collect().map(_.getDouble(1))
+    val dim = mu.length
+    val muLit = typedLit(mu.toSeq)
+    val cov = emb
+      .select(zip_with(col("embedding"), muLit,
+        (x, m) => x.cast("double") - m).as("cv"))
+      .select(posexplode(col("cv")).as(Seq("i", "ci")), col("cv"))
+      .select(col("i"), col("ci"), posexplode(col("cv")).as(Seq("j", "cj")))
+      .groupBy("i", "j").agg(round(avg(col("ci") * col("cj")), 9).as("c"))
+      .collect()
+    val covM = Array.ofDim[Double](dim * dim)
+    cov.foreach(r => covM(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2))
+    val (ev, vecs) = jacobiEig(covM, dim)
+    val rows = (0 until dim).sortBy(i => (-ev(i), i)).take(PcaP)
+      .zipWithIndex.map { case (ei, p) =>
+        var w = Array.tabulate(dim)(k => vecs(k * dim + ei))
+        // sign convention: first largest-|component| is positive
+        val mx = w.indices.maxBy(k => (math.abs(w(k)), -k))
+        if (w(mx) < 0.0) w = w.map(x => -x)
+        val scaled = {
+          val sc = 1.0 / math.sqrt(math.max(ev(ei), 0.0) + 1e-9)
+          w.map(_ * sc)
+        }
+        var b = 0.0
+        var k = 0
+        while (k < dim) { b += scaled(k) * mu(k); k += 1 }
+        (p, ev(ei), scaled.toSeq, b)
+      }
+    import s.implicits._
+    persistO(s, dir, "pca_model", rows.toDF("comp", "lambda", "w", "b"))
+  }
+
+  private def embedPca(s: SparkSession, dir: String): DataFrame = {
+    val model = fitPcaModel(s, dir)
+    t(s, dir, "embeddings")
+      .crossJoin(broadcast(model)) // P-row whitening model side
+      .select(col("vec_id"), col("comp"),
+        round(gf.vec_dot_fd(col("embedding"), col("w")) - col("b"), 6)
+          .as("value"))
+      .orderBy("vec_id", "comp")
+  }
+
+  private def embedPcaSql: String =
+    s"""WITH m AS (SELECT * FROM read_parquet('${pth("pca_model")}/*.parquet'))
+       |SELECT e.vec_id, m.comp,
+       |  round(${vdotSql("e.embedding", "m.w")} - m.b, 6) AS value
+       |FROM embeddings e, m
+       |ORDER BY vec_id, comp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_topk" -> (bruteTopK _),
     "simsearch_lsh" -> (lshTopK _),
@@ -1075,6 +1192,7 @@ object SimilarityOps {
     "simsearch_ivfrq" -> (ivfRqTopK _),
     "simsearch_ivfopq" -> (ivfOpqTopK _),
     "hard_negatives" -> (hardNegatives _),
+    "embed_pca" -> (embedPca _),
     "embed_centroids" -> (embedCentroids _))
 
   // def, not val: the approximate-family mirrors embed the persisted-frame
@@ -1088,5 +1206,6 @@ object SimilarityOps {
     "simsearch_ivfrq" -> ivfRqSql,
     "simsearch_ivfopq" -> ivfOpqSql,
     "hard_negatives" -> hardNegativesSql,
+    "embed_pca" -> embedPcaSql,
     "embed_centroids" -> embedCentroidsSql)
 }

@@ -374,4 +374,29 @@ class SimilaritySpec extends SparkSpec {
     info(f"hard-negative recall@${graft.ops.SimilarityOps.HnK} = $recall%.2f")
     assert(recall >= 0.8, f"hard-negative recall $recall%.2f below 0.8")
   }
+
+  test("PCA whitening yields centered, unit-variance, uncorrelated components") {
+    val P = graft.ops.SimilarityOps.PcaP
+    val rows = SparkEntry.queries("embed_pca")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("vec_id"), x.getAs[Int]("comp"),
+        x.getAs[Double]("value")))
+    val n = rows.map(_._1).distinct.length
+    assert(rows.length == n * P, "every vector must carry P components")
+    val byComp = rows.groupBy(_._2).view.mapValues(_.sortBy(_._1).map(_._3)).toMap
+    for (p <- 0 until P) {
+      val v = byComp(p)
+      val mean = v.sum / n
+      val variance = v.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(mean) < 1e-3, f"comp $p mean $mean%.5f not ~0")
+      assert(math.abs(variance - 1.0) < 1e-2,
+        f"comp $p variance $variance%.4f not ~1 (whitening failed)")
+      for (q <- p + 1 until P) {
+        val u = byComp(q)
+        val mq = u.sum / n
+        val cov = v.zip(u).map { case (a, b) => (a - mean) * (b - mq) }.sum / n
+        assert(math.abs(cov) < 1e-2,
+          f"comps $p,$q covariance $cov%.4f not ~0 (not decorrelated)")
+      }
+    }
+  }
 }

@@ -571,7 +571,81 @@ object CorpusOps {
        |FROM documents d LEFT JOIN ds USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- DoReMi-style domain reweighting ----
+  // Per-domain training-mixture weights from excess loss (Xie et al.
+  // 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+  // Pretraining", arXiv:2305.10429, single-shot variant): domains whose
+  // documents score WORSE than the easiest domain under the corpus
+  // bigram LM get upweighted by exp(η·excess), starting from the
+  // baseline token share. The per-doc loss is [[lmScore]]'s fixed-point
+  // frame (already a distributed bigram aggregate); everything after is
+  // one source-keyed aggregate (|domains| rows) plus three 1-row
+  // broadcast scalars (total tokens, min domain loss, normalizer), so
+  // the reweighting adds NO data-sized shuffle beyond the loss pass.
+  // Parity: losses stay in the [[LmScale]] BIGINT fixed point until the
+  // final exp/divide, whose one IEEE exp ulp is absorbed by round(·,6).
+  private val ReweightEta = 1.0
+
+  private def domainReweight(s: SparkSession, dir: String): DataFrame = {
+    val loss = lmScore(s, dir) // (doc_id, n_bigrams, lm_score_fp)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val dom = docs.join(loss, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        // positive fixed-point mean loss: per-doc lm_score_fp is a
+        // negative log-prob mean, so the domain mean negates first and
+        // uses the same nonnegative-DIV discipline as lmScore
+        expr("(-sum(lm_score_fp)) DIV count(1)").as("loss_fp"))
+    val tot = dom.agg(sum(col("n_tokens")).as("tok_total"),
+      min(col("loss_fp")).as("loss_min"))
+    val scored = dom.crossJoin(broadcast(tot)) // 1-row totals side
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("tok_total"))
+      .withColumn("excess_loss",
+        (col("loss_fp") - col("loss_min")).cast("double") / LmScale)
+      .withColumn("a_hat",
+        col("token_share") * exp(lit(ReweightEta) * col("excess_loss")))
+    val z = scored.agg(sum(col("a_hat")).as("z"))
+    scored.crossJoin(broadcast(z)) // 1-row normalizer side
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("token_share"), 6).as("token_share"),
+        round(col("excess_loss"), 6).as("excess_loss"),
+        round(col("a_hat") / col("z"), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  private def domainReweightSql: String =
+    s"""WITH loss AS ($lmScoreSql),
+       |docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |dom AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    (-CAST(sum(lm_score_fp) AS BIGINT)) // count(*) AS loss_fp
+       |  FROM docs JOIN loss USING (doc_id) GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+       |    min(loss_fp) AS loss_min FROM dom),
+       |scored AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(n_tokens AS DOUBLE) / tok_total AS token_share,
+       |    CAST(loss_fp - loss_min AS DOUBLE) / $LmScale AS excess_loss
+       |  FROM dom CROSS JOIN tot),
+       |ah AS (
+       |  SELECT *, token_share * exp($ReweightEta * excess_loss) AS a_hat
+       |  FROM scored),
+       |z AS (SELECT sum(a_hat) AS z FROM ah)
+       |SELECT source, n_docs, n_tokens,
+       |  round(token_share, 6) AS token_share,
+       |  round(excess_loss, 6) AS excess_loss,
+       |  round(a_hat / z.z, 6) AS weight
+       |FROM ah CROSS JOIN z ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "domain_reweight" -> (domainReweight _),
     "importance_weights" -> (importanceWeights _),
     "text_lm_score" -> (lmScore _),
     "array_funcs" -> (arrayFuncs _),
@@ -585,6 +659,7 @@ object CorpusOps {
     "bpe_train" -> (bpeTrain _))
 
   val oracle: Map[String, String] = Map(
+    "domain_reweight" -> domainReweightSql,
     "importance_weights" -> importanceWeightsSql,
     "text_lm_score" -> lmScoreSql,
     "array_funcs" -> arrayFuncsSql,

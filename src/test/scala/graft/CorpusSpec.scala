@@ -256,4 +256,27 @@ class CorpusSpec extends SparkSpec {
     // log-ratio score must beat every other source's (KL asymmetry)
     assert(bySrc.forall(_ < tMean), s"target mean $tMean not separated")
   }
+
+  test("domain_reweight upweights lossy domains from the token-share baseline") {
+    val r = SparkEntry.queries("domain_reweight")(spark, sf0001)
+      .collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Double]("token_share"),
+        x.getAs[Double]("excess_loss"), x.getAs[Double]("weight")))
+    assert(r.length > 1, "needs multiple domains")
+    // a probability distribution (up to the per-domain round(6))
+    assert(math.abs(r.map(_._4).sum - 1.0) < 1e-4,
+      s"weights sum to ${r.map(_._4).sum}, not 1")
+    assert(r.forall(_._4 > 0.0), "every domain keeps positive mass")
+    // excess loss is anchored at the easiest domain
+    assert(r.map(_._3).min == 0.0, "min excess loss must be 0")
+    assert(r.forall(_._3 >= 0.0), "excess loss is clamped nonnegative")
+    // the zero-excess domain is NOT upweighted; the max-excess domain
+    // gains relative to its baseline share (the DoReMi direction)
+    val easiest = r.minBy(x => (x._3, x._1))
+    assert(easiest._4 <= easiest._2 + 1e-6,
+      s"easiest domain gained mass: $easiest")
+    val hardest = r.maxBy(x => (x._3, x._1))
+    assert(hardest._4 > hardest._2,
+      s"hardest domain not upweighted: $hardest")
+  }
 }

@@ -95,7 +95,8 @@ class PlanSpec extends SparkSpec {
       "source_overlap", // tiny-dim source-catalog pair enumeration
       "importance_weights", // 1-row corpus-total (nt, ns) side
       "curriculum_order", // 1-row corpus-size + 1-row quantile-cutoff sides
-      "embed_pca") // P-row broadcast whitening-model side
+      "embed_pca", // P-row broadcast whitening-model side
+      "domain_reweight") // 1-row vocab/totals/normalizer sides
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !bruteAnchors(name) && !oneRowBounds(name)) {
       val p = plan(name)

@@ -751,7 +751,93 @@ object DedupOps {
        |  ON nb.a_src = nx.a_src AND nb.b_src = nx.b_src
        |ORDER BY nx.a_src, nx.b_src""".stripMargin
 
+  // ---- incremental dedup (arriving batch vs persisted index) ----
+  // The 100 TB ingestion shape: the corpus' MinHash signatures live in a
+  // PERSISTED index that each arriving batch appends to — deduping a
+  // delta never re-scans or re-hashes the base corpus. Here the split is
+  // simulated deterministically (doc_id mod 10: 8/10 base, 2/10 delta);
+  // the delta batch computes its own signatures, band-joins against the
+  // base index plus its earlier-id self-pairs (first-seen-wins inside
+  // the batch), and each duplicate reports its smallest matching doc as
+  // keeper. Cost at scale = |delta| hashing + a band equi-join whose
+  // base side is an indexed read — the base-corpus scan that a
+  // from-scratch dedup would pay is exactly what this op avoids. Both
+  // signature frames persist, so the mirror replays banding, the
+  // candidate join, the 0.5 threshold, and the min-keeper rank.
+  private val IncrBaseMod = 8 // doc_id % 10 < 8 → base, else delta
+  private val IncrTheta = 0.5
+
+  private val incrBasePath = new java.util.concurrent.atomic.AtomicReference(
+    s"${System.getProperty("java.io.tmpdir")}/graft_oracle/unset/incr_base")
+  private val incrDeltaPath = new java.util.concurrent.atomic.AtomicReference(
+    s"${System.getProperty("java.io.tmpdir")}/graft_oracle/unset/incr_delta")
+
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"), gf.minhash(col("text"), lit(K), lit(2)).as("sig"))
+    val base = ContentKey.persistForOracle(s, dir, "incr_base", incrBasePath,
+      sigs.filter(col("doc_id") % 10 < IncrBaseMod))
+    val delta = ContentKey.persistForOracle(s, dir, "incr_delta", incrDeltaPath,
+      sigs.filter(col("doc_id") % 10 >= IncrBaseMod))
+    def bands(df: DataFrame) = df.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until Bands).map(i =>
+        xxhash64(slice(col("sig"), i * Rows + 1, Rows))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bhash")
+    val q = bands(delta).select(col("doc_id"), col("sig"),
+      col("band"), col("bhash"))
+    val idx = bands(base).select(col("doc_id").as("m_id"),
+      col("sig").as("m_sig"), col("band"), col("bhash"))
+      .unionByName(bands(delta).select(col("doc_id").as("m_id"),
+        col("sig").as("m_sig"), col("band"), col("bhash")))
+    val w = Window.partitionBy("doc_id").orderBy("m_id")
+    q.join(idx, Seq("band", "bhash"))
+      .filter(col("m_id") < col("doc_id")) // base ids or earlier delta ids
+      .select(col("doc_id"), col("m_id"),
+        (gf.sig_agree(col("sig"), col("m_sig")).cast("double") / K)
+          .as("est_sim"))
+      .distinct() // candidate set = union over bands
+      .filter(col("est_sim") >= IncrTheta)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("m_id").as("dup_of"), col("est_sim"))
+      .orderBy("doc_id")
+  }
+
+  private def dedupIncrementalSql: String =
+    s"""WITH b0 AS (
+       |  SELECT doc_id, sig FROM read_parquet('${incrBasePath.get}/*.parquet')),
+       |d0 AS (
+       |  SELECT doc_id, sig FROM read_parquet('${incrDeltaPath.get}/*.parquet')),
+       |ix AS (SELECT * FROM b0 UNION ALL SELECT * FROM d0),
+       |qb AS (
+       |  SELECT doc_id, sig,
+       |    b.band, sig[b.band * $Rows + 1 : b.band * $Rows + $Rows] AS bkey
+       |  FROM d0, (SELECT unnest(range(0, $Bands)) AS band) b),
+       |ib AS (
+       |  SELECT doc_id AS m_id, sig AS m_sig,
+       |    b.band, sig[b.band * $Rows + 1 : b.band * $Rows + $Rows] AS bkey
+       |  FROM ix, (SELECT unnest(range(0, $Bands)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT qb.doc_id, ib.m_id, qb.sig, ib.m_sig
+       |  FROM qb JOIN ib ON qb.band = ib.band AND qb.bkey = ib.bkey
+       |  WHERE ib.m_id < qb.doc_id),
+       |est AS (
+       |  SELECT doc_id, m_id,
+       |    CAST(len(list_filter(list_zip(sig, m_sig),
+       |      p -> p[1] = p[2])) AS DOUBLE) / $K AS est_sim
+       |  FROM cand
+       |  ),
+       |kept AS (
+       |  SELECT doc_id, m_id, est_sim,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY m_id) AS rn
+       |  FROM est WHERE est_sim >= $IncrTheta)
+       |SELECT doc_id, m_id AS dup_of, est_sim
+       |FROM kept WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact" -> (exact _),
     "dedup_substring" -> (substringSpans _),
     "source_overlap" -> (sourceOverlap _),
@@ -767,6 +853,7 @@ object DedupOps {
   // def, not val: the simhash/minhash mirrors embed the persisted-frame
   // paths recorded when the queries last ran (Verify dumps afterwards)
   def oracle: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact" -> exactSql,
     "dedup_substring" -> substringSpansSql,
     "source_overlap" -> sourceOverlapSql,

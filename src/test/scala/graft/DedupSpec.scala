@@ -221,4 +221,25 @@ class DedupSpec extends SparkSpec {
     assert(out >= nKept - nEvalKept - nContam,
       s"pipeline dropped more than eval+contaminated can explain ($out of $total)")
   }
+
+  test("incremental dedup agrees with a from-scratch dedup of the same corpus") {
+    // the correctness claim of the incremental path: deduping the delta
+    // against the persisted base index finds EXACTLY the duplicates a
+    // full-corpus LSH pass would report for those docs (same banding,
+    // same threshold), with the smallest matching id as keeper
+    val full = SparkEntry.queries("dedup_minhash_lsh")(spark, sf0001)
+      .collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"),
+        x.getAs[Double]("est_sim")))
+      .filter(_._3 >= 0.5) // incremental's dup threshold
+    val expected = full
+      .filter { case (_, b, _) => b % 10 >= 8 } // delta docs (larger id side)
+      .groupBy(_._2)
+      .map { case (d, ps) => d -> ps.map(_._1).min }
+    val incr = SparkEntry.queries("dedup_incremental")(spark, sf0001)
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("dup_of")).toMap
+    assert(incr == expected,
+      s"incremental $incr differs from from-scratch-restricted $expected")
+  }
 }

@@ -644,8 +644,52 @@ object CorpusOps {
        |  round(a_hat / z.z, 6) AS weight
        |FROM ah CROSS JOIN z ORDER BY source""".stripMargin
 
+  // ---- materialized sampling plan ----
+  // Turns [[domainReweight]]'s mixture into something an epoch loader
+  // executes: per document, how many times it appears in one
+  // corpus-sized pass. Source rate r_d = weight_d · T / tokens_d; every
+  // doc repeats floor(r_d) times and earns one extra by the
+  // fingerprint-mod residual (content-addressed like sample_stratified,
+  // so the plan is reproducible run-to-run and machine-to-machine —
+  // floor, not round, keeps the threshold compare integer-exact in both
+  // engines). Plan cost at scale: the weights are |domains| rows
+  // broadcast onto one corpus scan — no shuffle until the presentation
+  // sort. Downweighted sources get r < 1 and subsample; upweighted ones
+  // repeat — summed per source, planned tokens land within one doc of
+  // weight_d · T (asserted in CorpusSpec).
+  private def samplingPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = domainReweight(s, dir).select(col("source"), col("n_tokens"),
+      col("weight"))
+    val tot = w.agg(sum(col("n_tokens")).as("tok_total"))
+    val rates = w.crossJoin(broadcast(tot)) // 1-row corpus-total side
+      .select(col("source"),
+        (col("weight") * col("tok_total") / col("n_tokens")).as("r"))
+    t(s, dir, "documents").join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"),
+        (floor(col("r")).cast("long") +
+          when(gf.fingerprint(col("text")) % 1000000L <
+            floor((col("r") - floor(col("r"))) * 1e6).cast("long"), 1L)
+            .otherwise(0L)).as("n_repeats"))
+      .orderBy("doc_id")
+  }
+
+  private def samplingPlanSql: String =
+    s"""WITH dw AS ($domainReweightSql),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total FROM dw),
+       |rates AS (
+       |  SELECT source, weight * tot.tok_total / n_tokens AS r
+       |  FROM dw, tot)
+       |SELECT d.doc_id, d.source,
+       |  CAST(floor(r) AS BIGINT) +
+       |    CASE WHEN (${TextOps.fingerprintFoldSql("text")}) % 1000000 <
+       |      CAST(floor((r - floor(r)) * 1000000) AS BIGINT)
+       |    THEN 1 ELSE 0 END AS n_repeats
+       |FROM documents d JOIN rates USING (source)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_reweight" -> (domainReweight _),
+    "sampling_plan" -> (samplingPlan _),
     "importance_weights" -> (importanceWeights _),
     "text_lm_score" -> (lmScore _),
     "array_funcs" -> (arrayFuncs _),
@@ -660,6 +704,7 @@ object CorpusOps {
 
   val oracle: Map[String, String] = Map(
     "domain_reweight" -> domainReweightSql,
+    "sampling_plan" -> samplingPlanSql,
     "importance_weights" -> importanceWeightsSql,
     "text_lm_score" -> lmScoreSql,
     "array_funcs" -> arrayFuncsSql,

@@ -279,4 +279,38 @@ class CorpusSpec extends SparkSpec {
     assert(hardest._4 > hardest._2,
       s"hardest domain not upweighted: $hardest")
   }
+
+  test("sampling_plan lands each source near its reweighted token budget") {
+    import org.apache.spark.sql.functions._
+    val w = SparkEntry.queries("domain_reweight")(spark, sf0001)
+      .collect().map(x => (x.getAs[String]("source"),
+        x.getAs[Long]("n_tokens"), x.getAs[Double]("weight")))
+    val totTok = w.map(_._2).sum.toDouble
+    val plan = SparkEntry.queries("sampling_plan")(spark, sf0001)
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val planned = plan.join(docs, "doc_id")
+      .groupBy("source")
+      .agg(sum(col("n_repeats") * col("n_tok")).as("planned"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    for ((src, nTok, weight) <- w) {
+      val target = weight * totTok
+      val got = planned.getOrElse(src, 0L).toDouble
+      // fingerprint-mod residuals are binomial around the target; allow
+      // 4 sigma plus one max-length doc of slack
+      val p = {
+        val r = target / nTok
+        r - math.floor(r)
+      }
+      val nDocs = plan.filter(col("source") === src).count()
+      val slack = 4 * math.sqrt(nDocs * p * (1 - p) + 1) * (nTok.toDouble / nDocs) + 100
+      assert(math.abs(got - target) <= slack,
+        f"$src planned $got%.0f vs target $target%.0f (slack $slack%.0f)")
+    }
+    // determinism: a second run produces the identical plan
+    val again = SparkEntry.queries("sampling_plan")(spark, sf0001)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val first = plan.collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    assert(first == again, "plan not reproducible")
+  }
 }

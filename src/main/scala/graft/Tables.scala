@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -9,26 +10,32 @@ import org.apache.spark.sql.functions._
   * production scale the same call reads a hive-partitioned directory tree
   * instead — Spark's file index handles both transparently (SURVEY.md §2 A4).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-  * default (PARQUET_TYPE_ILLEGAL); we read it as nanos-since-epoch via the
-  * legacy conf and surface it as a microsecond `TimestampType` (integer
-  * `DIV 1000` — floor, exactly how pre-4.0 Spark truncated nanos). The conf
-  * set is per-session, idempotent, and done here so queries also work on a
-  * driver-provided session.
+  * Timestamp normalization: the generator has shipped `events.ts` both as
+  * parquet TIMESTAMP(NANOS) (read as nanos-since-epoch via the legacy conf,
+  * floored to micros — how pre-4.0 Spark truncated nanos) and, since the
+  * round-6 regeneration, as native TIMESTAMP(MICROS) with
+  * isAdjustedToUTC=false. Every downstream operator (and `unix_micros`)
+  * expects the session-zoned `TimestampType`, so NTZ inference is disabled:
+  * the scan then surfaces stored micros as `TimestampType` directly — no
+  * cast layer, so timestamp predicates still push down to the parquet
+  * footer. The session time zone is pinned to UTC by every entrypoint,
+  * matching DuckDB's `epoch_us` on the same file micro-for-micro. Both
+  * confs are per-session, idempotent, and set here so queries also work on
+  * a driver-provided session.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
 
   /** Geo-aware scan of a lake this engine wrote: reads the parquet tree
     * and reports the GeoParquet primary geometry column found in the

@@ -687,7 +687,170 @@ object CorpusOps {
        |FROM documents d JOIN rates USING (source)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- fastText-style quality classifier ----
+  // Model-based curation (Joulin et al. 2016, "Bag of Tricks for Efficient
+  // Text Classification", arXiv:1607.01759 — the FineWeb-Edu/DataComp
+  // filtering step): a linear classifier over hashed bag-of-words features
+  // scores every document for target-domain-ness, trained IN the engine
+  // with [[QcIters]] unrolled full-batch logistic-regression GD rounds.
+  // Labels need no human curation: y = 1 iff source = [[TargetSrc]] (the
+  // DSIR proxy-label trick, same target as importance_weights — but where
+  // DSIR scores by a generative likelihood ratio, this is its
+  // discriminative twin, and the learned per-bucket weights transfer to
+  // scoring any OTHER corpus).
+  //
+  // Float discipline (the kmFit/lmScore rules): weights are fixed-point
+  // BIGINTs at scale [[QcScale]], so every cross-row sum — the per-doc
+  // logit numerator Σ w_b·cnt_b and the per-bucket gradient Σ r_d·cnt_b —
+  // is an EXACT integer aggregate immune to partition order. The only
+  // transcendental, sigmoid's exp, runs once per doc per round on a
+  // deterministic double; its one IEEE ulp is absorbed by round(·,6) (the
+  // domain_reweight precedent), and residuals are re-discretized to BIGINT
+  // before entering any sum. The driver carries only the ≤256-bucket
+  // weight vector + bias between rounds (the kmFit shape — bounded by
+  // feature dim, never by |corpus|) and applies updates with the same
+  // half-away-from-zero rounding both engines' round() uses ([[rndHalfAway]],
+  // NOT math.round, which rounds negative midpoints up).
+  //
+  // Plan shape at 100 TB: the feature frame (doc × ≤[[NBuckets]] bucket
+  // counts) is built once and checkpointed; each round is two scans of it
+  // — a doc-keyed logit aggregate against a broadcast map literal (no
+  // join, no extra shuffle) and a bucket-keyed gradient aggregate
+  // (map-side partials collapse each partition to ≤256 rows) — plus a
+  // 256-row collect. Scoring is one more scan.
+  // η = 64 looks large but is conservative for this geometry: features are
+  // L1-normalized bucket shares (‖x‖₁ = 1 spread over ~10² buckets), so the
+  // logistic Hessian's λmax ≈ E[‖x‖²]/4 ≈ 3e-3 and full-batch GD is stable
+  // for η < 2/λmax ≈ 6e2. At fractions of that, 3 rounds barely move the
+  // logits off 0 (measured: ±1e-3 at η = 0.5 — under the between-source
+  // noise floor).
+  private[graft] val QcIters = 3
+  private[graft] val QcLr = 64.0
+  private[graft] val QcLrBias = 2.0
+  private[graft] val QcScale = 1000000000L
+
+  /** Spark/DuckDB round(): half AWAY from zero on doubles — math.round
+    * floors x+0.5 instead, which disagrees on negative midpoints. */
+  private def rndHalfAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count()
+    val feats = docs.select(col("doc_id"),
+        when(col("source") === TargetSrc, 1).otherwise(0).as("y"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+      .select(col("doc_id"), col("y"),
+        size(col("toks")).cast("long").as("n_toks"),
+        explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("y"), col("n_toks"),
+        substring(md5(col("tok")), 1, 2).as("b"))
+      .groupBy("doc_id", "y", "n_toks", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+
+    var w = Map.empty[String, Long]
+    var bias = 0L
+    // logit + round-6 sigmoid against the CURRENT weights; every double op
+    // mirrors the SQL textually (same IEEE order), zs is an exact BIGINT
+    def scoredNow(): DataFrame = feats
+      .withColumn("wf",
+        if (w.isEmpty) lit(0L)
+        else coalesce(element_at(typedLit(w), col("b")), lit(0L)))
+      .groupBy("doc_id", "y", "n_toks")
+      .agg(sum(col("wf") * col("cnt")).as("zs"))
+      .withColumn("z",
+        col("zs").cast("double") / (col("n_toks").cast("double") * QcScale)
+          + lit(bias).cast("double") / QcScale)
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+
+    for (_ <- 1 to QcIters) {
+      val sc = scoredNow()
+        .withColumn("r",
+          round((col("p") - col("y")) * QcScale / col("n_toks")).cast("long"))
+        .withColumn("r0", round((col("p") - col("y")) * QcScale).cast("long"))
+      val g = feats.join(sc.select("doc_id", "r"), "doc_id")
+        .groupBy("b").agg(sum(col("r") * col("cnt")).as("g")).collect()
+      val g0 = sc.agg(sum("r0").as("g0")).collect()(0).getLong(0)
+      // g covers exactly feats' distinct buckets (the join keeps every
+      // feature row), so the carried key set matches the mirror's w0
+      w = g.map { row =>
+        val b = row.getString(0)
+        b -> (w.getOrElse(b, 0L) -
+          rndHalfAway(QcLr * row.getLong(1).toDouble / nDocs))
+      }.toMap
+      bias = bias - rndHalfAway(QcLrBias * g0.toDouble / nDocs)
+    }
+    docs.select(col("doc_id"), col("source"))
+      .join(scoredNow(), "doc_id")
+      .select(col("doc_id"), col("source"), col("y"),
+        round(col("z"), 6).as("score"), col("p").as("prob"),
+        when(col("p") > 0.5, 1).otherwise(0).as("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** One unrolled GD round of the mirror: score with w{t-1}/b{t-1},
+    * discretize residuals, fold the exact integer gradients into w{t}/b{t}. */
+  private def qcRoundSql(i: Int): String = {
+    val (wp, bp) = (s"w${i - 1}", s"b${i - 1}")
+    s"""s$i AS MATERIALIZED (
+       |  SELECT doc_id, y, n_toks,
+       |    round(1 / (1 + exp(-(CAST(zs AS DOUBLE)
+       |      / (CAST(n_toks AS DOUBLE) * $QcScale)
+       |      + CAST(bw AS DOUBLE) / $QcScale))), 6) AS p
+       |  FROM (SELECT f.doc_id, y, n_toks,
+       |          CAST(sum(w.w * f.cnt) AS BIGINT) AS zs
+       |        FROM f JOIN $wp w USING (b) GROUP BY 1, 2, 3)
+       |  CROSS JOIN $bp),
+       |r$i AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(round((p - y) * $QcScale / n_toks) AS BIGINT) AS r,
+       |    CAST(round((p - y) * $QcScale) AS BIGINT) AS r0
+       |  FROM s$i),
+       |w$i AS MATERIALIZED (
+       |  SELECT $wp.b,
+       |    $wp.w - CAST(round($QcLr * CAST(g.g AS DOUBLE) / nd) AS BIGINT) AS w
+       |  FROM $wp
+       |  JOIN (SELECT b, CAST(sum(r.r * f.cnt) AS BIGINT) AS g
+       |        FROM f JOIN r$i r USING (doc_id) GROUP BY 1) g USING (b)
+       |  CROSS JOIN nn),
+       |b$i AS (
+       |  SELECT bw - CAST(round($QcLrBias * CAST(r0s AS DOUBLE) / nd) AS BIGINT) AS bw
+       |  FROM $bp, (SELECT CAST(sum(r0) AS BIGINT) AS r0s FROM r$i), nn),""".stripMargin
+  }
+
+  private def qualityClassifierSql: String = {
+    val rounds = (1 to QcIters).map(qcRoundSql).mkString("\n")
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN source = '$TargetSrc' THEN 1 ELSE 0 END AS y,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id, y, n_toks, substring(md5(tok), 1, 2) AS b,
+       |    count(*) AS cnt
+       |  FROM (SELECT doc_id, y, CAST(len(toks) AS BIGINT) AS n_toks,
+       |          unnest(toks) AS tok FROM tk)
+       |  GROUP BY 1, 2, 3, 4),
+       |nn AS (SELECT count(*) AS nd FROM documents),
+       |w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM f),
+       |b0 AS (SELECT CAST(0 AS BIGINT) AS bw),
+       |$rounds
+       |fin AS (
+       |  SELECT doc_id, y, n_toks,
+       |    CAST(zs AS DOUBLE) / (CAST(n_toks AS DOUBLE) * $QcScale)
+       |      + CAST(bw AS DOUBLE) / $QcScale AS z
+       |  FROM (SELECT f.doc_id, y, n_toks,
+       |          CAST(sum(w.w * f.cnt) AS BIGINT) AS zs
+       |        FROM f JOIN w$QcIters w USING (b) GROUP BY 1, 2, 3)
+       |  CROSS JOIN b$QcIters)
+       |SELECT d.doc_id, d.source, fin.y, round(z, 6) AS score,
+       |  round(1 / (1 + exp(-z)), 6) AS prob,
+       |  CASE WHEN round(1 / (1 + exp(-z)), 6) > 0.5 THEN 1 ELSE 0 END AS pred
+       |FROM documents d JOIN fin USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_classifier" -> (qualityClassifier _),
     "domain_reweight" -> (domainReweight _),
     "sampling_plan" -> (samplingPlan _),
     "importance_weights" -> (importanceWeights _),
@@ -703,6 +866,7 @@ object CorpusOps {
     "bpe_train" -> (bpeTrain _))
 
   val oracle: Map[String, String] = Map(
+    "quality_classifier" -> qualityClassifierSql,
     "domain_reweight" -> domainReweightSql,
     "sampling_plan" -> samplingPlanSql,
     "importance_weights" -> importanceWeightsSql,

@@ -257,6 +257,34 @@ class CorpusSpec extends SparkSpec {
     assert(bySrc.forall(_ < tMean), s"target mean $tMean not separated")
   }
 
+  test("quality_classifier learns to separate the target source") {
+    val r = SparkEntry.queries("quality_classifier")(spark, sf0001)
+      .collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Int]("y"),
+        x.getAs[Double]("score"), x.getAs[Double]("prob"),
+        x.getAs[Int]("pred")))
+    assert(r.length == 500, s"one row per document, got ${r.length}")
+    // labels are the source indicator; probabilities are probabilities
+    assert(r.forall(x => (x._2 == 1) == (x._1 == graft.ops.CorpusOps.TargetSrc)))
+    assert(r.forall(x => x._4 > 0.0 && x._4 < 1.0))
+    assert(r.forall(x => (x._5 == 1) == (x._4 > 0.5)))
+    // prob is the round-6 sigmoid of the round-6 score (one ulp of slack
+    // for the double rounding of score itself)
+    assert(r.forall(x => math.abs(x._4 - 1.0 / (1.0 + math.exp(-x._3))) < 1e-5))
+    // three GD rounds are enough to order the classes: the target
+    // source's mean probability must beat every other source's
+    val (tgt, rest) = r.partition(_._2 == 1)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    val tMean = tgt.map(_._4).sum / tgt.length
+    val bySrc = rest.groupBy(_._1).map { case (_, xs) =>
+      xs.map(_._4).sum / xs.length }
+    assert(bySrc.forall(_ < tMean),
+      s"target mean prob $tMean not separated from ${bySrc.toSeq.sorted}")
+    // the learned decision moved off initialization: round 1 scores every
+    // doc at exactly p = 0.5, a trained model must not
+    assert(r.exists(x => math.abs(x._4 - 0.5) > 1e-4), "model did not move")
+  }
+
   test("domain_reweight upweights lossy domains from the token-share baseline") {
     val r = SparkEntry.queries("domain_reweight")(spark, sf0001)
       .collect()

@@ -400,7 +400,10 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  private val resolveSql =
+  /** Shared recursive-closure prefix of the resolve-family oracles:
+    * shingle Jaccard ∪ exact-hash pairs → symmetric edges → `walk`, whose
+    * per-doc min(label) is the connected-component id. */
+  private val resolveClosureSql =
     s"""WITH RECURSIVE tk AS (
       |  SELECT doc_id,
       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -442,9 +445,64 @@ object DedupOps {
       |walk(id, label) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id)
+      |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id)""".stripMargin
+
+  private val resolveSql =
+    s"""$resolveClosureSql
       |SELECT id AS doc_id, min(label) AS keep_id FROM walk
       |GROUP BY id ORDER BY doc_id""".stripMargin
+
+  // Quality-aware keeper selection: real curation pipelines don't keep the
+  // min-id of a duplicate cluster, they keep its best member. Same
+  // connected components as `dedup_resolve` (so the two entries are
+  // directly comparable), keeper = argmax over (distinct-token count,
+  // n_chars, doc_id) — a total order, so the choice is deterministic in
+  // both engines. Plan shape: the propagation is shared with resolve (the
+  // dup subgraph only); the keeper pick is one cluster-keyed window over
+  // |corpus| rows — partitioned by cluster, never a single-partition
+  // funnel. At 100 TB the window's exchange is the only extra shuffle.
+  private def keepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = pairSources(s, dir)
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    val (labels, _) = propagateMin(edges)
+    val toks = split(col("text"), " ")
+    val scored = t(s, dir, "documents")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"),
+        size(array_distinct(toks)).as("uniq_cnt"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("uniq_cnt").desc, col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored
+      .withColumn("keep_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster"), col("keep_id"),
+        when(col("keep_id") === col("doc_id"), 1).otherwise(0).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  private val keepBestSql =
+    s"""$resolveClosureSql,
+      |lab AS (
+      |  SELECT id AS doc_id, min(label) AS cluster FROM walk GROUP BY id),
+      |q AS (
+      |  SELECT d.doc_id, lab.cluster,
+      |    CAST(len(list_distinct(string_split(d.text, ' '))) AS INT)
+      |      AS uniq_cnt,
+      |    d.n_chars
+      |  FROM documents d JOIN lab USING (doc_id))
+      |SELECT doc_id, cluster,
+      |  first_value(doc_id) OVER (PARTITION BY cluster
+      |    ORDER BY uniq_cnt DESC, n_chars DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS keep_id,
+      |  CASE WHEN first_value(doc_id) OVER (PARTITION BY cluster
+      |    ORDER BY uniq_cnt DESC, n_chars DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) = doc_id
+      |    THEN 1 ELSE 0 END AS is_keeper
+      |FROM q ORDER BY doc_id""".stripMargin
 
   // Benchmark decontamination: flag training documents that share any
   // word 4-gram with the held-out eval set (doc_id % EvalMod stands in
@@ -847,6 +905,7 @@ object DedupOps {
     "dedup_embedding_exact" -> (embeddingCosine _),
     "dedup_embedding" -> (embeddingCosineAnn _),
     "dedup_resolve" -> (resolve _),
+    "dedup_keep_best" -> (keepBest _),
     "decontaminate" -> (decontaminate _),
     "corpus_pipeline" -> (corpusPipeline _))
 
@@ -863,6 +922,7 @@ object DedupOps {
     "dedup_embedding_exact" -> embeddingCosineSql,
     "dedup_embedding" -> embeddingAnnSql,
     "dedup_resolve" -> resolveSql,
+    "dedup_keep_best" -> keepBestSql,
     "decontaminate" -> decontaminateSql,
     "corpus_pipeline" -> corpusPipelineSql)
 }

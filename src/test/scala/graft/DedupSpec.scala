@@ -154,6 +154,31 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 0L))
   }
 
+  test("dedup_keep_best keeps the argmax-quality member of each resolve cluster") {
+    val clusters = SparkEntry.queries("dedup_resolve")(spark, fixtureDir)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("keep_id"))
+      .toMap
+    val quality = Tables(spark, fixtureDir, "documents")
+      .select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).as("u"), col("n_chars"))
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getLong(2)))).toMap
+    val r = SparkEntry.queries("dedup_keep_best")(spark, fixtureDir)
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("cluster"),
+        x.getAs[Long]("keep_id"), x.getAs[Int]("is_keeper")))
+    // same components as dedup_resolve (cluster id = component min)
+    assert(r.map(x => x._1 -> x._2).toMap == clusters)
+    // exactly one keeper per cluster, and it is the (uniq, n_chars, -id)
+    // argmax of its members — not necessarily the min id
+    for ((cl, members) <- r.groupBy(_._2)) {
+      val keepers = members.filter(_._4 == 1)
+      assert(keepers.length == 1, s"cluster $cl keepers: $keepers")
+      val best = members.map(_._1).minBy(d =>
+        (-quality(d)._1, -quality(d)._2, d))
+      assert(members.forall(_._3 == best),
+        s"cluster $cl keep_id ${members.head._3} != argmax $best")
+    }
+  }
+
   test("dedup_resolve on an all-unique corpus keeps every doc (no pairs edge case)") {
     val dir = Files.createTempDirectory("graft-unique").toString
     import spark.implicits._

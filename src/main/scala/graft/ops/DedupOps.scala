@@ -385,14 +385,31 @@ object DedupOps {
     (labels, it)
   }
 
+  /** Component labels of the dup subgraph, built once per dataset content
+    * (the kmFit fit-once rule): `dedup_resolve` and `dedup_keep_best` share
+    * the same pair generation + propagation, and a production engine
+    * resolves the closure once and serves both views from it. The cached
+    * frame is localCheckpointed (by [[propagateMin]]), so reuse replays
+    * stored blocks, not the iterative lineage; a regenerated corpus
+    * changes the content key and rebuilds. */
+  private val labelsCache = new ContentKey.Lru[DataFrame](8)
+
+  private def resolvedLabels(s: SparkSession, dir: String): DataFrame = {
+    val key = ContentKey.of(s, Seq(s"$dir/documents.parquet"))
+    labelsCache.get(key) {
+      val pairs = pairSources(s, dir)
+      val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+        .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      // propagate only over docs that appear in some pair — the dup
+      // subgraph is sparse at any scale, so each iteration shuffles
+      // |paired docs| rows, not |corpus|; singletons rejoin via the
+      // callers' final left joins.
+      propagateMin(edges)._1
+    }
+  }
+
   private def resolve(s: SparkSession, dir: String): DataFrame = {
-    val pairs = pairSources(s, dir)
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-    // propagate only over docs that appear in some pair — the dup subgraph
-    // is sparse at any scale, so each iteration shuffles |paired docs|
-    // rows, not |corpus|; singletons rejoin via the final left join.
-    val (labels, _) = propagateMin(edges)
+    val labels = resolvedLabels(s, dir)
     t(s, dir, "documents")
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -463,10 +480,7 @@ object DedupOps {
   // funnel. At 100 TB the window's exchange is the only extra shuffle.
   private def keepBest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = pairSources(s, dir)
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-    val (labels, _) = propagateMin(edges)
+    val labels = resolvedLabels(s, dir)
     val toks = split(col("text"), " ")
     val scored = t(s, dir, "documents")
       .join(labels, Seq("doc_id"), "left")

@@ -734,10 +734,9 @@ object CorpusOps {
   private def rndHalfAway(x: Double): Long =
     if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
 
-  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val nDocs = docs.count()
-    val feats = docs.select(col("doc_id"),
+  /** Per-doc hashed-bucket counts: (doc_id, y, n_toks, b, cnt). */
+  private def qcFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
         when(col("source") === TargetSrc, 1).otherwise(0).as("y"),
         filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
       .select(col("doc_id"), col("y"),
@@ -748,40 +747,59 @@ object CorpusOps {
       .groupBy("doc_id", "y", "n_toks", "b").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
 
-    var w = Map.empty[String, Long]
-    var bias = 0L
-    // logit + round-6 sigmoid against the CURRENT weights; every double op
-    // mirrors the SQL textually (same IEEE order), zs is an exact BIGINT
-    def scoredNow(): DataFrame = feats
-      .withColumn("wf",
-        if (w.isEmpty) lit(0L)
-        else coalesce(element_at(typedLit(w), col("b")), lit(0L)))
-      .groupBy("doc_id", "y", "n_toks")
-      .agg(sum(col("wf") * col("cnt")).as("zs"))
-      .withColumn("z",
-        col("zs").cast("double") / (col("n_toks").cast("double") * QcScale)
-          + lit(bias).cast("double") / QcScale)
-      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+  // logit + round-6 sigmoid against the given weights; every double op
+  // mirrors the SQL textually (same IEEE order), zs is an exact BIGINT
+  private def qcScored(feats: DataFrame, w: Map[String, Long],
+      bias: Long): DataFrame = feats
+    .withColumn("wf",
+      if (w.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(w), col("b")), lit(0L)))
+    .groupBy("doc_id", "y", "n_toks")
+    .agg(sum(col("wf") * col("cnt")).as("zs"))
+    .withColumn("z",
+      col("zs").cast("double") / (col("n_toks").cast("double") * QcScale)
+        + lit(bias).cast("double") / QcScale)
+    .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
 
-    for (_ <- 1 to QcIters) {
-      val sc = scoredNow()
-        .withColumn("r",
-          round((col("p") - col("y")) * QcScale / col("n_toks")).cast("long"))
-        .withColumn("r0", round((col("p") - col("y")) * QcScale).cast("long"))
-      val g = feats.join(sc.select("doc_id", "r"), "doc_id")
-        .groupBy("b").agg(sum(col("r") * col("cnt")).as("g")).collect()
-      val g0 = sc.agg(sum("r0").as("g0")).collect()(0).getLong(0)
-      // g covers exactly feats' distinct buckets (the join keeps every
-      // feature row), so the carried key set matches the mirror's w0
-      w = g.map { row =>
-        val b = row.getString(0)
-        b -> (w.getOrElse(b, 0L) -
-          rndHalfAway(QcLr * row.getLong(1).toDouble / nDocs))
-      }.toMap
-      bias = bias - rndHalfAway(QcLrBias * g0.toDouble / nDocs)
+  /** Fit-once cache keyed by dataset content (the kmFit rule). */
+  private val qcCache = new ContentKey.Lru[(Map[String, Long], Long)](8)
+
+  /** The trained model: (bucket → fixed-point weight, fixed-point bias) —
+    * what a production pipeline persists after the offline fit and
+    * broadcasts to every scoring site (batch rescans and the streaming
+    * ingest gate, [[graft.streaming.QualityMonitor]]). */
+  private[graft] def qcFit(s: SparkSession, dir: String): (Map[String, Long], Long) = {
+    val key = ContentKey.of(s, Seq(s"$dir/documents.parquet"))
+    qcCache.get(key) {
+      val nDocs = t(s, dir, "documents").count()
+      val feats = qcFeatures(s, dir)
+      var w = Map.empty[String, Long]
+      var bias = 0L
+      for (_ <- 1 to QcIters) {
+        val sc = qcScored(feats, w, bias)
+          .withColumn("r",
+            round((col("p") - col("y")) * QcScale / col("n_toks")).cast("long"))
+          .withColumn("r0", round((col("p") - col("y")) * QcScale).cast("long"))
+        val g = feats.join(sc.select("doc_id", "r"), "doc_id")
+          .groupBy("b").agg(sum(col("r") * col("cnt")).as("g")).collect()
+        val g0 = sc.agg(sum("r0").as("g0")).collect()(0).getLong(0)
+        // g covers exactly feats' distinct buckets (the join keeps every
+        // feature row), so the carried key set matches the mirror's w0
+        w = g.map { row =>
+          val b = row.getString(0)
+          b -> (w.getOrElse(b, 0L) -
+            rndHalfAway(QcLr * row.getLong(1).toDouble / nDocs))
+        }.toMap
+        bias = bias - rndHalfAway(QcLrBias * g0.toDouble / nDocs)
+      }
+      (w, bias)
     }
-    docs.select(col("doc_id"), col("source"))
-      .join(scoredNow(), "doc_id")
+  }
+
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val (w, bias) = qcFit(s, dir)
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(qcScored(qcFeatures(s, dir), w, bias), "doc_id")
       .select(col("doc_id"), col("source"), col("y"),
         round(col("z"), 6).as("score"), col("p").as("prob"),
         when(col("p") > 0.5, 1).otherwise(0).as("pred"))

@@ -399,6 +399,40 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming quality scores equal the batch classifier doc-for-doc") {
+    import graft.streaming.QualityMonitor
+    val dir = Files.createTempDirectory("graft-qscore").toString
+    // model trained offline on the batch side; the stream only scores
+    val (w, bias) = graft.ops.CorpusOps.qcFit(spark, sf0001)
+    assert(w.nonEmpty, "fit produced no weights")
+    val docs = Tables(spark, sf0001, "documents")
+    docs.filter(col("doc_id") < 250).write.parquet(s"$dir/b1")
+    val feed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+    val q = QualityMonitor.scores(feed, w, bias)
+      .writeStream.format("memory").queryName("qscores")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") >= 250).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val streamed = spark.table("qscores").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(2), r.getInt(3)))).toMap
+      val batch = SparkEntry.queries("quality_classifier")(spark, sf0001)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("prob"), r.getAs[Int]("pred")))).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"doc sets differ: ${streamed.size} vs ${batch.size}")
+      // EXACT equality, not tolerance: same integer logit, same double
+      // ops, same round-6 sigmoid — batching cannot change a score
+      streamed.foreach { case (d, (p, pr)) =>
+        assert(p == batch(d)._1 && pr == batch(d)._2,
+          s"doc $d: streamed ($p,$pr) != batch ${batch(d)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming EMA state is bit-identical to the batch events_ema fold") {
     import graft.streaming.EmaMonitor
     val dir = Files.createTempDirectory("graft-ema").toString

@@ -193,12 +193,112 @@ object RetrievalOps {
        |    + CAST(difficulty > q3 AS INT) AS phase
        |FROM diff, cuts ORDER BY doc_id""".stripMargin
 
+  // ---- BM25 ranked retrieval ----
+  // The query half of the index/query retrieval pair (Robertson &
+  // Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and
+  // Beyond" — public): score(d) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b +
+  // b·dl/avgdl)), k1 = 1.2, b = 0.75, idf = ln((N−df+0.5)/(df+0.5)+1)
+  // (the +1 keeps high-df terms nonnegative). The query is a pinned
+  // 3-term literal — the retrieval shape is what's under test, any term
+  // set exercises it.
+  //
+  // Float discipline: idf is discretized ONCE per term (round(·1e6),
+  // ≤|query| ln calls) and each per-(doc, term) contribution is
+  // re-discretized to BIGINT before the per-doc sum — so the only
+  // order-sensitive reduction is an exact integer add, and the double
+  // ops before it (the dl/avgdl saturation denominator) are the same
+  // IEEE sequence in both engines.
+  //
+  // Scale shape: the token scan filters to the query terms FIRST (an
+  // IN-3 predicate — at 100 TB this is the posting-list read an index
+  // serves; here it's a pushed-down scan filter), so tf/df and the score
+  // join touch only matching docs. dl/avgdl come from one doc-length
+  // aggregate; avgdl rides a 1-row broadcast. Top-K is orderBy+limit —
+  // TakeOrdered, per-partition heads + a K-row merge, never a global
+  // window.
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private[graft] val Bm25Query = Seq("spark", "window", "merge")
+  private val Bm25K = 20
+  private val IdfScale = 1000000L
+
+  private def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val tokens = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks("text")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
+      .withColumn("avgdl", col("tot").cast("double") / col("nd"))
+    val tf = tokens.filter(col("term").isin(Bm25Query: _*))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus)) // 1-row (nd, avgdl) side
+      .withColumn("idf_fp",
+        round(log((col("nd") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) * IdfScale).cast("long"))
+      .withColumn("contrib_fp",
+        round(col("idf_fp") * (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) +
+            lit(Bm25B) * (col("dl").cast("double") / col("avgdl")))))
+          .cast("long"))
+    val w = Window.orderBy(col("score_fp").desc, col("doc_id"))
+    contrib.groupBy("doc_id")
+      .agg(sum(col("contrib_fp")).as("score_fp"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(Bm25K)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("score_fp"), col("n_terms"))
+      .orderBy("rank")
+  }
+
+  private val bm25SearchSql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH tokens AS (
+       |  SELECT doc_id, term
+       |  FROM (SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents)
+       |  WHERE term <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1),
+       |corpus AS (
+       |  SELECT nd, CAST(tot AS DOUBLE) / nd AS avgdl
+       |  FROM (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tot FROM dl)),
+       |tf AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM tokens
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * $IdfScale)
+       |        AS BIGINT)
+       |      * (tf * ${Bm25K1 + 1}) /
+       |      (tf + $Bm25K1 * (${1 - Bm25B} +
+       |        $Bm25B * (CAST(dl.dl AS DOUBLE) / avgdl)))) AS BIGINT)
+       |      AS contrib_fp
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN corpus),
+       |scored AS (
+       |  SELECT doc_id, CAST(sum(contrib_fp) AS BIGINT) AS score_fp,
+       |    count(*) AS n_terms
+       |  FROM contrib GROUP BY 1
+       |  ORDER BY score_fp DESC, doc_id LIMIT $Bm25K)
+       |SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS INT)
+       |    AS rank,
+       |  doc_id, score_fp, n_terms
+       |FROM scored ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_search" -> (bm25Search _),
     "doc_chunk" -> (docChunk _),
     "inverted_index" -> (invertedIndex _),
     "curriculum_order" -> (curriculumOrder _))
 
   val oracle: Map[String, String] = Map(
+    "bm25_search" -> bm25SearchSql,
     "doc_chunk" -> docChunkSql,
     "inverted_index" -> invertedIndexSql,
     "curriculum_order" -> curriculumOrderSql)

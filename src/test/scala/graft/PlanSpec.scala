@@ -97,7 +97,8 @@ class PlanSpec extends SparkSpec {
       "curriculum_order", // 1-row corpus-size + 1-row quantile-cutoff sides
       "embed_pca", // P-row broadcast whitening-model side
       "domain_reweight", // 1-row vocab/totals/normalizer sides
-      "sampling_plan") // wraps domain_reweight's 1-row sides
+      "sampling_plan", // wraps domain_reweight's 1-row sides
+      "bm25_search") // 1-row (nd, avgdl) corpus side
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !bruteAnchors(name) && !oneRowBounds(name)) {
       val p = plan(name)

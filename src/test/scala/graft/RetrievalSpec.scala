@@ -51,6 +51,26 @@ class RetrievalSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("bm25_search ranks by descending score and prefers term-dense docs") {
+    val r = SparkEntry.queries("bm25_search")(spark, sf0001)
+      .collect().map(x => (x.getAs[Int]("rank"), x.getAs[Long]("doc_id"),
+        x.getAs[Long]("score_fp"), x.getAs[Long]("n_terms")))
+    assert(r.length == 20, s"top-K must fill at 20, got ${r.length}")
+    assert(r.map(_._1).toSeq == (1 to 20), "ranks must be dense 1..20")
+    // descending by (score, then doc_id for ties)
+    assert(r.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) })
+    // a doc can match at most the query's terms; every hit matched >= 1
+    assert(r.forall(x => x._4 >= 1 &&
+      x._4 <= graft.ops.RetrievalOps.Bm25Query.length))
+    // the BM25 direction: the top hit must out-score a doc that matches
+    // fewer distinct query terms than it (if any such doc is in the list)
+    val top = r.head
+    r.find(_._4 < top._4).foreach(worse => assert(top._3 > worse._3))
+    // scores are positive: idf(+1 form) is nonnegative and tf >= 1
+    assert(r.forall(_._3 > 0), "BM25 +1-idf scores must be positive")
+  }
+
   test("curriculum_order phases quarter the corpus and track difficulty") {
     val r = SparkEntry.queries("curriculum_order")(spark, sf0001).cache()
     val n = r.count()

@@ -209,13 +209,14 @@ object RetrievalOps {
   // ops before it (the dl/avgdl saturation denominator) are the same
   // IEEE sequence in both engines.
   //
-  // Scale shape: the token scan filters to the query terms FIRST (an
-  // IN-3 predicate — at 100 TB this is the posting-list read an index
-  // serves; here it's a pushed-down scan filter), so tf/df and the score
-  // join touch only matching docs. dl/avgdl come from one doc-length
-  // aggregate; avgdl rides a 1-row broadcast. Top-K is orderBy+limit —
-  // TakeOrdered, per-partition heads + a K-row merge, never a global
-  // window.
+  // Scale shape: the exploded token stream is filtered to the query
+  // terms BEFORE any aggregation (an IN-3 predicate directly above the
+  // Generate — at 100 TB an index serves this as a posting-list read
+  // instead of a scan; the relational pipeline after that point is
+  // identical), so tf/df and the score join touch only matching docs.
+  // dl/avgdl come from one doc-length aggregate; avgdl rides a 1-row
+  // broadcast. Top-K is orderBy+limit — TakeOrdered, per-partition heads
+  // + a K-row merge; the rank window runs on the 20 survivors only.
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
   private[graft] val Bm25Query = Seq("spark", "window", "merge")

@@ -19,22 +19,59 @@ import org.apache.spark.sql.types.LongType
   * the scan then surfaces stored micros as `TimestampType` directly — no
   * cast layer, so timestamp predicates still push down to the parquet
   * footer. The session time zone is pinned to UTC by every entrypoint,
-  * matching DuckDB's `epoch_us` on the same file micro-for-micro. Both
-  * confs are per-session, idempotent, and set here so queries also work on
-  * a driver-provided session.
+  * matching DuckDB's `epoch_us` on the same file micro-for-micro.
+  *
+  * Conf scoping: neither conf has a per-read parquet option, so both are
+  * set only around the EAGER schema inference of the one table with a
+  * timestamp column (`events`) and restored immediately after. That is
+  * sufficient AND safe for the NTZ conf because execution-time conversion
+  * follows the relation's requested schema, not the conf: a MICROS column
+  * inferred as `TimestampType` reads as micros-since-epoch regardless of
+  * the conf's action-time value (verified empirically: a pinned-LTZ read
+  * of an NTZ file under default confs returns identical micros and keeps
+  * footer predicate pushdown). The NANOS branch is the one case that
+  * genuinely needs the conf live at action time (the vectorized reader
+  * consults it before reading INT64(NANOS) as long), so only when a
+  * legacy NANOS regeneration is actually detected does the conf stay set
+  * — a documented, loudly-logged residual; unrelated reads in a
+  * driver-provided session are otherwise untouched.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+  private val NtzConf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
+  /** Set `key`, run `body` (whose schema inference is eager), restore the
+    * caller's previous value — unset keys go back to unset/default. */
+  private def withConf[T](spark: SparkSession, key: String, v: String)(
+      body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, v)
+    try body
+    finally prev match {
+      case Some(old) => spark.conf.set(key, old)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name != "events") spark.read.parquet(s"$dir/$name.parquet")
+    else withConf(spark, NtzConf, "false") {
+      val df = withConf(spark, NanosConf, "true") {
+        spark.read.parquet(s"$dir/$name.parquet")
+      }
+      if (df.schema("ts").dataType == LongType) {
+        // Legacy TIMESTAMP(NANOS) regeneration: the reader needs the conf
+        // at action time to surface nanos as long, so re-set it for the
+        // session lifetime (the documented global side effect — only on
+        // this data shape) rather than hand out a frame that fails later.
+        spark.conf.set(NanosConf, "true")
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      } else df
+    }
   }
 
   /** Geo-aware scan of a lake this engine wrote: reads the parquet tree

@@ -48,6 +48,18 @@ private[graft] object ContentKey {
     s.read.parquet(path)
   }
 
+  /** Content key additionally scoped to the live SparkContext
+    * (applicationId + startTime — a restarted context changes both).
+    * REQUIRED for any cache whose value is a session-bound DataFrame
+    * (localCheckpointed frames hold block ids on the context's executors):
+    * a plain content key would let a new session reading the same
+    * unregenerated dir adopt a frame whose checkpoint blocks died with
+    * the old context, failing only at action time. */
+  def ofScoped(s: SparkSession, paths: Seq[String]): String = {
+    val sc = s.sparkContext
+    s"${sc.applicationId}@${sc.startTime}/${of(s, paths)}"
+  }
+
   /** Digest of every file's (path, length, mtime) triple under the given
     * table paths. Per-file, not aggregated: summing lengths / maxing
     * mtimes would let a regeneration with identical total bytes alias to

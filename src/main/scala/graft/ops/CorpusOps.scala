@@ -734,18 +734,30 @@ object CorpusOps {
   private def rndHalfAway(x: Double): Long =
     if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
 
+  /** Checkpointed feature frame, built once per (context, corpus content):
+    * `qcFit`'s 3 GD rounds and `qualityClassifier`'s scoring pass all read
+    * the SAME stored blocks — a cache miss here used to mean a second full
+    * tokenize/explode/groupBy plus a second set of pinned checkpoint
+    * blocks per scoring call. Context-scoped key for the same reason as
+    * `labelsCache`: the value is a session-bound checkpointed frame. */
+  private val qcFeatsCache = new ContentKey.Lru[DataFrame](8)
+
   /** Per-doc hashed-bucket counts: (doc_id, y, n_toks, b, cnt). */
-  private def qcFeatures(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
-        when(col("source") === TargetSrc, 1).otherwise(0).as("y"),
-        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
-      .select(col("doc_id"), col("y"),
-        size(col("toks")).cast("long").as("n_toks"),
-        explode(col("toks")).as("tok"))
-      .select(col("doc_id"), col("y"), col("n_toks"),
-        substring(md5(col("tok")), 1, 2).as("b"))
-      .groupBy("doc_id", "y", "n_toks", "b").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+  private def qcFeatures(s: SparkSession, dir: String): DataFrame = {
+    val key = ContentKey.ofScoped(s, Seq(s"$dir/documents.parquet"))
+    qcFeatsCache.get(key) {
+      t(s, dir, "documents").select(col("doc_id"),
+          when(col("source") === TargetSrc, 1).otherwise(0).as("y"),
+          filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+        .select(col("doc_id"), col("y"),
+          size(col("toks")).cast("long").as("n_toks"),
+          explode(col("toks")).as("tok"))
+        .select(col("doc_id"), col("y"), col("n_toks"),
+          substring(md5(col("tok")), 1, 2).as("b"))
+        .groupBy("doc_id", "y", "n_toks", "b").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+    }
+  }
 
   // logit + round-6 sigmoid against the given weights; every double op
   // mirrors the SQL textually (same IEEE order), zs is an exact BIGINT

@@ -223,6 +223,8 @@ object DedupOps {
     s"SELECT vec_id, embedding, sqrt(${vdotSql("embedding", "embedding")}) AS norm FROM embeddings"
 
   private def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    ExactAnchorGuard.check(s, dir, "embeddings",
+      "dedup_embedding_exact", "dedup_embedding")
     val e = normed(s, dir)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("norm").as("a_norm"))
@@ -391,11 +393,14 @@ object DedupOps {
     * resolves the closure once and serves both views from it. The cached
     * frame is localCheckpointed (by [[propagateMin]]), so reuse replays
     * stored blocks, not the iterative lineage; a regenerated corpus
-    * changes the content key and rebuilds. */
+    * changes the content key and rebuilds. Key is context-scoped
+    * ([[ContentKey.ofScoped]]) because the cached value is a
+    * session-bound checkpointed frame — a restarted context must rebuild,
+    * not replay dead block ids. */
   private val labelsCache = new ContentKey.Lru[DataFrame](8)
 
   private def resolvedLabels(s: SparkSession, dir: String): DataFrame = {
-    val key = ContentKey.of(s, Seq(s"$dir/documents.parquet"))
+    val key = ContentKey.ofScoped(s, Seq(s"$dir/documents.parquet"))
     labelsCache.get(key) {
       val pairs = pairSources(s, dir)
       val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
@@ -481,7 +486,9 @@ object DedupOps {
   private def keepBest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labels = resolvedLabels(s, dir)
-    val toks = split(col("text"), " ")
+    // empty tokens filtered before the distinct count — the repo-wide
+    // tokenizer convention (runs of spaces must not credit '' as a token)
+    val toks = filter(split(col("text"), " "), x => x =!= lit(""))
     val scored = t(s, dir, "documents")
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -503,7 +510,8 @@ object DedupOps {
       |  SELECT id AS doc_id, min(label) AS cluster FROM walk GROUP BY id),
       |q AS (
       |  SELECT d.doc_id, lab.cluster,
-      |    CAST(len(list_distinct(string_split(d.text, ' '))) AS INT)
+      |    CAST(len(list_distinct(list_filter(string_split(d.text, ' '),
+      |      t -> t <> ''))) AS INT)
       |      AS uniq_cnt,
       |    d.n_chars
       |  FROM documents d JOIN lab USING (doc_id))

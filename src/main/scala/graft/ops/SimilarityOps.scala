@@ -96,6 +96,8 @@ object SimilarityOps {
 
   // Brute-force cosine top-k: queries × all candidates, ranked per query.
   private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    ExactAnchorGuard.check(s, dir, "embeddings",
+      "simsearch_topk", "simsearch_lsh/simsearch_ivf")
     val e = normed(s, dir)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

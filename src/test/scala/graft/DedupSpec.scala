@@ -160,7 +160,8 @@ class DedupSpec extends SparkSpec {
       .toMap
     val quality = Tables(spark, fixtureDir, "documents")
       .select(col("doc_id"),
-        size(array_distinct(split(col("text"), " "))).as("u"), col("n_chars"))
+        size(array_distinct(filter(split(col("text"), " "),
+          x => x =!= lit("")))).as("u"), col("n_chars"))
       .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getLong(2)))).toMap
     val r = SparkEntry.queries("dedup_keep_best")(spark, fixtureDir)
       .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("cluster"),

@@ -19,6 +19,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("brute anchors refuse above the row guard, run below it") {
+    import graft.ops.ExactAnchorGuard
+    // refusal regime: tiny threshold → both anchors fail loudly, naming
+    // the production twin, BEFORE executing an unbucketed plan
+    spark.conf.set(ExactAnchorGuard.MaxRowsKey, "10")
+    try {
+      for ((q, twin) <- Seq("simsearch_topk" -> "simsearch_lsh",
+          "dedup_embedding_exact" -> "dedup_embedding")) {
+        val e = intercept[IllegalStateException] {
+          SparkEntry.queries(q)(spark, sf0001).collect()
+        }
+        assert(e.getMessage.contains(twin), s"$q refusal must name $twin")
+        assert(e.getMessage.contains(ExactAnchorGuard.MaxRowsKey))
+      }
+    } finally spark.conf.unset(ExactAnchorGuard.MaxRowsKey)
+    // permitted regime: default threshold admits bench-scale data
+    assert(SparkEntry.queries("simsearch_topk")(spark, sf0001).count() > 0)
+  }
+
   test("LSH top-k finds same-bucket neighbors with sane similarities") {
     val r = SparkEntry.queries("simsearch_lsh")(spark, sf0001)
       .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id")))

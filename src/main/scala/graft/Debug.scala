@@ -27,7 +27,10 @@ object Debug {
       else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(n)(spark, dir)
+      val df =
+        if (n == "ivf_inline") // bisect twin: round-5 inline candidate shape
+          graft.ops.SimilarityOps.ivfTopKAssign(spark, dir, None)
+        else SparkEntry.queries(n)(spark, dir)
       df.write.mode("overwrite").format("noop").save()
       println(f"[debug] $n ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }

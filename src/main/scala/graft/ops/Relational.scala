@@ -293,9 +293,86 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  // Bottom-k (KMV) distinct-count estimator — the exact-oracle twin of
+  // `approx_distinct`. HLL sketch buffers are engine-private, so that
+  // entry is rows-only; a bottom-k sketch is not: md5 keys sort
+  // identically in both engines (the `source_overlap` precedent), so the
+  // k smallest hashes per group — and therefore the estimate — are
+  // exactly mirrorable. Estimator (Bar-Yossef/Beyer KMV): with D ≥ k
+  // distinct values hashed uniformly into [0,1), the k-th smallest hash
+  // h(k) ≈ k/D, so D̂ = (k-1)/h(k) (unbiased); with D < k the sketch IS
+  // the distinct set and the count is exact. The hash fraction comes
+  // from the first 15 hex chars (60 bits) — bigint in both engines, one
+  // double division, round(·,6) absorbing the last ulp.
+  //
+  // 100 TB shape: one (group, hash) distinct — same map-side-combining
+  // exchange countDistinct needs — then a per-group top-k window over
+  // distinct hashes only. The sketch is |groups|·k rows: mergeable,
+  // broadcastable, and the thing a production profiler persists.
+  // (`exact_parts` is joined in here only because the entry doubles as
+  // its own error-bound witness.)
+  private val BottomK = 256
+  private val Pow60 = 1152921504606846976L // 2^60, exact in a double
+
+  private def distinctBottomK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        md5(col("l_partkey").cast("string")).as("h"))
+      .distinct()
+    val sk = hs
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("l_returnflag").orderBy("h")))
+      .filter(col("rk") <= BottomK)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sample"), max(col("h")).as("hk"))
+      .withColumn("hv",
+        conv(substring(col("hk"), 1, 15), 16, 10).cast("long"))
+      .select(col("l_returnflag"), col("n_sample"),
+        when(col("n_sample") < BottomK, col("n_sample").cast("double"))
+          .otherwise(round(
+            lit((BottomK - 1).toDouble) * Pow60 / col("hv").cast("double"),
+            6))
+          .as("est_parts"))
+    val exact = t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    sk.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_sample"), col("est_parts"),
+        col("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  private val distinctBottomKSql =
+    s"""WITH hs AS (
+       |  SELECT DISTINCT l_returnflag,
+       |    md5(CAST(l_partkey AS VARCHAR)) AS h
+       |  FROM lineitem),
+       |sk AS (
+       |  SELECT l_returnflag, count(*) AS n_sample, max(h) AS hk
+       |  FROM (
+       |    SELECT l_returnflag, h,
+       |      row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+       |    FROM hs)
+       |  WHERE rk <= $BottomK GROUP BY l_returnflag),
+       |est AS (
+       |  SELECT l_returnflag, n_sample,
+       |    CASE WHEN n_sample < $BottomK THEN CAST(n_sample AS DOUBLE)
+       |    ELSE round(CAST(${BottomK - 1} AS DOUBLE) * $Pow60
+       |      / CAST(('0x' || substr(hk, 1, 15))::BIGINT AS DOUBLE), 6)
+       |    END AS est_parts
+       |  FROM sk),
+       |ex AS (
+       |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT est.l_returnflag, n_sample, est_parts, exact_parts
+       |FROM est JOIN ex USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "date_range" -> (dateRange _),
     "approx_distinct" -> (approxDistinct _),
+    "distinct_bottomk" -> (distinctBottomK _),
     "agg_stats" -> (aggStats _),
     "join_chain" -> (joinChain _),
     "window_dedup" -> (windowDedup _),
@@ -311,6 +388,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "date_range" -> dateRangeSql,
+    "distinct_bottomk" -> distinctBottomKSql,
     "agg_stats" -> aggStatsSql,
     "join_chain" -> joinChainSql,
     "window_dedup" -> windowDedupSql,

@@ -292,14 +292,142 @@ object RetrievalOps {
        |FROM scored ORDER BY rank""".stripMargin
   }
 
+  // ---- BM25 over chunks (the composed retrieval pair) ----
+  // A RAG user retrieves CHUNKS, not whole documents: `doc_chunk` defines
+  // the geometry, `bm25_search` the ranking — this entry composes them.
+  // The unit of retrieval is the (doc_id, chunk_id) window: dl is the
+  // chunk's non-empty token count, avgdl the mean over all chunks, df the
+  // number of CHUNKS containing the term, and the returned span
+  // (start_tok, n_tok_chunk) locates the hit inside its document — what
+  // the retriever actually pastes into a prompt.
+  //
+  // Same float discipline as `bm25_search` (idf discretized once per
+  // term, contributions re-discretized to BIGINT before the only
+  // order-sensitive sum) and the same scale shape: one Generate feeds the
+  // chunk-length aggregate and the IN-3-filtered tf branch (at 100 TB the
+  // tf side is a posting-list read over a chunk-keyed index — built by
+  // `inverted_index` on the same chunk stream), avgdl rides a 1-row
+  // broadcast, and top-K is TakeOrdered with the rank window on the K
+  // survivors only. Chunking adds no shuffle: the slice explode is a
+  // narrow per-row generate, and every aggregation after it is keyed by
+  // (doc_id, chunk_id) — same exchange count as the doc-level query.
+  private def bm25Chunks(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      col("doc_id"), toks("text").as("toks"),
+      size(toks("text")).cast("long").as("n_tok"))
+    val ch = d.withColumn("n_chunks",
+        expr(s"(greatest(n_tok - $ChunkW, 0L) + ${ChunkS - 1}) DIV $ChunkS + 1"))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * ChunkS)
+      .withColumn("n_tok_chunk",
+        least(lit(ChunkW), col("n_tok") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("start_tok"), col("n_tok_chunk"),
+        slice(col("toks"), col("start_tok") + 1, col("n_tok_chunk"))
+          .as("ctoks"))
+    val tokens = ch.select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tok_chunk"), explode(col("ctoks")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = tokens
+      .groupBy("doc_id", "chunk_id", "start_tok", "n_tok_chunk")
+      .agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
+      .withColumn("avgdl", col("tot").cast("double") / col("nd"))
+    val tf = tokens.filter(col("term").isin(Bm25Query: _*))
+      .groupBy("term", "doc_id", "chunk_id").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), "term")
+      .join(dl, Seq("doc_id", "chunk_id"))
+      .crossJoin(broadcast(corpus)) // 1-row (nd, avgdl) side
+      .withColumn("idf_fp",
+        round(log((col("nd") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) * IdfScale).cast("long"))
+      .withColumn("contrib_fp",
+        round(col("idf_fp") * (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) +
+            lit(Bm25B) * (col("dl").cast("double") / col("avgdl")))))
+          .cast("long"))
+    val w = Window.orderBy(col("score_fp").desc, col("doc_id"),
+      col("chunk_id"))
+    contrib.groupBy("doc_id", "chunk_id", "start_tok", "n_tok_chunk")
+      .agg(sum(col("contrib_fp")).as("score_fp"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_fp").desc, col("doc_id"), col("chunk_id"))
+      .limit(Bm25K)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tok_chunk"), col("score_fp"), col("n_terms"))
+      .orderBy("rank")
+  }
+
+  private val bm25ChunksSql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, ${toksSql("text")} AS toks,
+       |    CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, n_tok,
+       |    unnest(range(0, (greatest(n_tok - $ChunkW, 0) + ${ChunkS - 1})
+       |      // $ChunkS + 1)) AS chunk_id
+       |  FROM d),
+       |ch AS (
+       |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |    chunk_id * $ChunkS AS start_tok,
+       |    least($ChunkW, n_tok - chunk_id * $ChunkS) AS n_tok_chunk,
+       |    list_slice(toks, chunk_id * $ChunkS + 1,
+       |      chunk_id * $ChunkS
+       |        + least($ChunkW, n_tok - chunk_id * $ChunkS)) AS ctoks
+       |  FROM c),
+       |tokens AS (
+       |  SELECT doc_id, chunk_id, start_tok, n_tok_chunk, term
+       |  FROM (SELECT doc_id, chunk_id, start_tok, n_tok_chunk,
+       |          unnest(ctoks) AS term FROM ch)
+       |  WHERE term <> ''),
+       |dl AS (
+       |  SELECT doc_id, chunk_id, start_tok, n_tok_chunk, count(*) AS dl
+       |  FROM tokens GROUP BY 1, 2, 3, 4),
+       |corpus AS (
+       |  SELECT nd, CAST(tot AS DOUBLE) / nd AS avgdl
+       |  FROM (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tot FROM dl)),
+       |tf AS (
+       |  SELECT term, doc_id, chunk_id, count(*) AS tf FROM tokens
+       |  WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT tf.doc_id, tf.chunk_id, dl.start_tok, dl.n_tok_chunk,
+       |    CAST(round(
+       |      CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * $IdfScale)
+       |        AS BIGINT)
+       |      * (tf * ${Bm25K1 + 1}) /
+       |      (tf + $Bm25K1 * (${1 - Bm25B} +
+       |        $Bm25B * (CAST(dl.dl AS DOUBLE) / avgdl)))) AS BIGINT)
+       |      AS contrib_fp
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id, chunk_id)
+       |  CROSS JOIN corpus),
+       |scored AS (
+       |  SELECT doc_id, chunk_id, start_tok, n_tok_chunk,
+       |    CAST(sum(contrib_fp) AS BIGINT) AS score_fp,
+       |    count(*) AS n_terms
+       |  FROM contrib GROUP BY 1, 2, 3, 4
+       |  ORDER BY score_fp DESC, doc_id, chunk_id LIMIT $Bm25K)
+       |SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id,
+       |    chunk_id) AS INT) AS rank,
+       |  doc_id, chunk_id, start_tok, n_tok_chunk, score_fp, n_terms
+       |FROM scored ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_search" -> (bm25Search _),
+    "bm25_chunks" -> (bm25Chunks _),
     "doc_chunk" -> (docChunk _),
     "inverted_index" -> (invertedIndex _),
     "curriculum_order" -> (curriculumOrder _))
 
   val oracle: Map[String, String] = Map(
     "bm25_search" -> bm25SearchSql,
+    "bm25_chunks" -> bm25ChunksSql,
     "doc_chunk" -> docChunkSql,
     "inverted_index" -> invertedIndexSql,
     "curriculum_order" -> curriculumOrderSql)

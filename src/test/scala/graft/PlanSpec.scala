@@ -98,7 +98,8 @@ class PlanSpec extends SparkSpec {
       "embed_pca", // P-row broadcast whitening-model side
       "domain_reweight", // 1-row vocab/totals/normalizer sides
       "sampling_plan", // wraps domain_reweight's 1-row sides
-      "bm25_search") // 1-row (nd, avgdl) corpus side
+      "bm25_search", // 1-row (nd, avgdl) corpus side
+      "bm25_chunks") // same 1-row corpus side, chunk-keyed
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !bruteAnchors(name) && !oneRowBounds(name)) {
       val p = plan(name)

@@ -82,6 +82,20 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("distinct_bottomk estimate tracks the exact distinct count") {
+    val r = q("distinct_bottomk").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, est, exact) = (row.getLong(1), row.getDouble(2), row.getLong(3))
+      if (n < 256) // sketch not saturated → the sketch IS the distinct set
+        assert(est == exact.toDouble,
+          s"unsaturated sketch must be exact: $est vs $exact")
+      else // KMV rsd ≈ 1/sqrt(k-2) ≈ 6.3% at k=256; 3σ bound ≈ 19%
+        assert(math.abs(est - exact) / exact <= 0.19,
+          s"bottom-k estimate $est vs exact $exact")
+    }
+  }
+
   test("approx_percentile tracks the exact percentiles within 1%") {
     // the sketch path must agree with its oracle-anchored exact twin to
     // within the configured rank accuracy (1/10000 rank error is far

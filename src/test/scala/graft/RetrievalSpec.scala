@@ -51,6 +51,34 @@ class RetrievalSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("bm25_chunks ranks chunks with spans inside their documents") {
+    val r = SparkEntry.queries("bm25_chunks")(spark, sf0001)
+      .collect().map(x => (x.getAs[Int]("rank"), x.getAs[Long]("doc_id"),
+        x.getAs[Int]("chunk_id"), x.getAs[Long]("start_tok"),
+        x.getAs[Long]("n_tok_chunk"), x.getAs[Long]("score_fp"),
+        x.getAs[Long]("n_terms")))
+    assert(r.nonEmpty && r.map(_._1).toSeq == (1 to r.length),
+      "ranks must be dense from 1")
+    // descending by (score, doc_id, chunk_id)
+    assert(r.sliding(2).forall {
+      case Array(a, b) => a._6 > b._6 ||
+        (a._6 == b._6 && (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)))
+      case _ => true
+    })
+    // spans obey the chunk geometry: start = chunk_id * stride, length
+    // in (0, window]; and the span lies inside the document's tokens
+    val nTok = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.foreach { case (_, doc, chunk, start, len, score, nt) =>
+      assert(start == chunk * 24L, s"start_tok must be chunk_id*stride")
+      assert(len >= 1 && len <= 32, s"span length $len outside (0, 32]")
+      assert(start + len <= nTok(doc), "span must end inside the document")
+      assert(score > 0 && nt >= 1 &&
+        nt <= graft.ops.RetrievalOps.Bm25Query.length)
+    }
+  }
+
   test("bm25_search ranks by descending score and prefers term-dense docs") {
     val r = SparkEntry.queries("bm25_search")(spark, sf0001)
       .collect().map(x => (x.getAs[Int]("rank"), x.getAs[Long]("doc_id"),

@@ -844,36 +844,42 @@ object DedupOps {
   // from-scratch dedup would pay is exactly what this op avoids. Both
   // signature frames persist, so the mirror replays banding, the
   // candidate join, the 0.5 threshold, and the min-keeper rank.
-  private val IncrBaseMod = 8 // doc_id % 10 < 8 → base, else delta
-  private val IncrTheta = 0.5
+  private[graft] val IncrBaseMod = 8 // doc_id % 10 < 8 → base, else delta
+  private[graft] val IncrTheta = 0.5
 
-  private val incrBasePath = new java.util.concurrent.atomic.AtomicReference(
-    s"${System.getProperty("java.io.tmpdir")}/graft_oracle/unset/incr_base")
-  private val incrDeltaPath = new java.util.concurrent.atomic.AtomicReference(
-    s"${System.getProperty("java.io.tmpdir")}/graft_oracle/unset/incr_delta")
+  /** (doc_id, sig) MinHash signature frame — the ONE hashing definition
+    * both the batch incremental dedup and its streaming twin
+    * ([[graft.streaming.MinhashMonitor]]) use, so their signatures are
+    * bit-identical by construction. */
+  private[graft] def minhashSigs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      gf.minhash(col(textCol), lit(K), lit(2)).as("sig"))
 
-  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sigs = t(s, dir, "documents")
-      .select(col("doc_id"), gf.minhash(col("text"), lit(K), lit(2)).as("sig"))
-    val base = ContentKey.persistForOracle(s, dir, "incr_base", incrBasePath,
-      sigs.filter(col("doc_id") % 10 < IncrBaseMod))
-    val delta = ContentKey.persistForOracle(s, dir, "incr_delta", incrDeltaPath,
-      sigs.filter(col("doc_id") % 10 >= IncrBaseMod))
-    def bands(df: DataFrame) = df.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until Bands).map(i =>
-        xxhash64(slice(col("sig"), i * Rows + 1, Rows))): _*)))
+  /** Banded view (doc_id, sig, band, bhash) of a signature frame. */
+  private[graft] def bandSigs(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until Bands).map(i =>
+          xxhash64(slice(col("sig"), i * Rows + 1, Rows))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bhash")
-    val q = bands(delta).select(col("doc_id"), col("sig"),
+
+  /** Dup verdicts of `delta` against `index` ∪ `delta`'s own earlier ids
+    * (first-seen-wins inside the delta): the LSH band equi-join, the
+    * exact-signature agreement estimate, the θ threshold, and the
+    * min-keeper rank. Shared verbatim by `dedup_incremental` and the
+    * streaming twin — both frames are (doc_id, sig). */
+  private[graft] def incrVerdicts(delta: DataFrame, index: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = bandSigs(delta).select(col("doc_id"), col("sig"),
       col("band"), col("bhash"))
-    val idx = bands(base).select(col("doc_id").as("m_id"),
+    val idx = bandSigs(index).select(col("doc_id").as("m_id"),
       col("sig").as("m_sig"), col("band"), col("bhash"))
-      .unionByName(bands(delta).select(col("doc_id").as("m_id"),
+      .unionByName(bandSigs(delta).select(col("doc_id").as("m_id"),
         col("sig").as("m_sig"), col("band"), col("bhash")))
     val w = Window.partitionBy("doc_id").orderBy("m_id")
     q.join(idx, Seq("band", "bhash"))
-      .filter(col("m_id") < col("doc_id")) // base ids or earlier delta ids
+      .filter(col("m_id") < col("doc_id")) // index ids or earlier delta ids
       .select(col("doc_id"), col("m_id"),
         (gf.sig_agree(col("sig"), col("m_sig")).cast("double") / K)
           .as("est_sim"))
@@ -882,7 +888,20 @@ object DedupOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("m_id").as("dup_of"), col("est_sim"))
-      .orderBy("doc_id")
+  }
+
+  private val incrBasePath = new java.util.concurrent.atomic.AtomicReference(
+    s"${System.getProperty("java.io.tmpdir")}/graft_oracle/unset/incr_base")
+  private val incrDeltaPath = new java.util.concurrent.atomic.AtomicReference(
+    s"${System.getProperty("java.io.tmpdir")}/graft_oracle/unset/incr_delta")
+
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(t(s, dir, "documents"), "doc_id", "text")
+    val base = ContentKey.persistForOracle(s, dir, "incr_base", incrBasePath,
+      sigs.filter(col("doc_id") % 10 < IncrBaseMod))
+    val delta = ContentKey.persistForOracle(s, dir, "incr_delta", incrDeltaPath,
+      sigs.filter(col("doc_id") % 10 >= IncrBaseMod))
+    incrVerdicts(delta, base).orderBy("doc_id")
   }
 
   private def dedupIncrementalSql: String =

@@ -20,6 +20,18 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // A query stopped between processAllAvailable() and stop() can lose a
+    // teardown race: the interrupted foreachBatch surfaces as a scary but
+    // benign `ForeachBatchUserFuncException: InterruptedException` ERROR
+    // in an otherwise green run. Tests assert outcomes, not logs — mute
+    // the two stream-driver loggers (test scope only; production keeps
+    // them, and real failures still fail the suite through assertions).
+    Seq("org.apache.spark.sql.execution.streaming.MicroBatchExecution",
+        "org.apache.spark.sql.execution.streaming.StreamExecution",
+        "org.apache.spark.sql.classic.StreamingQueryManager").foreach { l =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        l, org.apache.logging.log4j.Level.FATAL)
+    }
     graft.expr.functions.register(s)
     s
   }

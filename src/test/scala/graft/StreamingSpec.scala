@@ -532,6 +532,64 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming MinHash dedup over micro-batches equals batch dedup_incremental") {
+    import graft.streaming.MinhashMonitor
+    // Corpus: the real table plus two planted copy sets chosen by residue
+    // so every path is exercised. dedup_incremental splits doc_id%10 into
+    // base (<8, the seeded index) and delta (>=8, the stream):
+    //  * +100008 copies of %10∈{0,1} docs land in the delta and match a
+    //    BASE original → the seeded-index join path;
+    //  * +200009 copies of %10=9 docs land in the delta at ids above every
+    //    batch-1 id and match a batch-1 DELTA original → the cross-batch
+    //    index-append path.
+    val aug = Files.createTempDirectory("graft-mhdedup-corpus").toString
+    val docs0 = Tables(spark, sf0001, "documents")
+    docs0.unionByName(docs0.filter(col("doc_id") % 10 <= 1)
+        .withColumn("doc_id", col("doc_id") + lit(100008L)))
+      .unionByName(docs0.filter(col("doc_id") % 10 === 9)
+        .withColumn("doc_id", col("doc_id") + lit(200009L)))
+      .coalesce(1).write.parquet(s"$aug/documents.parquet")
+    val docs = spark.read.parquet(s"$aug/documents.parquet")
+      .select("doc_id", "text")
+    val mod = graft.ops.DedupOps.IncrBaseMod
+    val delta = docs.filter(col("doc_id") % 10 >= mod)
+    val dir = Files.createTempDirectory("graft-mhdedup-feed").toString
+    val idx = Files.createTempDirectory("graft-mhdedup-idx").toString
+    val out = Files.createTempDirectory("graft-mhdedup-out").toString
+    // seed = the batch op's base side; stream = its delta in two
+    // ascending-id micro-batches (the DedupMonitor replay contract)
+    MinhashMonitor.seed(docs.filter(col("doc_id") % 10 < mod),
+      "doc_id", "text", idx)
+    val split = 200000L // batch 1: original delta ids; batch 2: +200009 copies
+    delta.filter(col("doc_id") <= split).write.parquet(s"$dir/b1")
+    val feed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+    val q = MinhashMonitor.attach(feed, "doc_id", "text", idx, out).start()
+    try {
+      q.processAllAvailable()
+      delta.filter(col("doc_id") > split).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("est_sim"))).toSet
+    val streamed = rows(spark.read.parquet(s"$out/b*"))
+    val batch = rows(SparkEntry.queries("dedup_incremental")(spark, aug))
+    assert(streamed == batch,
+      s"stream-over-batches diverged: ${streamed.size} vs ${batch.size} verdicts")
+    // both planted paths actually fired
+    val baseIds = docs.filter(col("doc_id") % 10 < mod)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.exists(v => baseIds(v._2)),
+      "no verdict resolved against the seeded base index")
+    val b2 = rows(spark.read.parquet(f"$out/b${1}%08d"))
+    assert(b2.exists(v => !baseIds(v._2) && v._2 <= split),
+      "no batch-2 verdict matched a batch-1 delta doc via the index append")
+    // the index grew by exactly the two streamed batches
+    assert(new java.io.File(idx).listFiles().count(_.isDirectory) == 3,
+      "index must hold seed + one directory per micro-batch")
+  }
+
   test("streaming session windows merge by gap and close at the watermark") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-03-05T10:00:00Z")

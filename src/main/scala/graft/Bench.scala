@@ -33,7 +33,14 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query allowlist for targeted
+    // runs (the sf1 scale-proof passes run the heavy family only);
+    // SPARK_GRAFT_BENCH_NO_STREAM skips the streaming latency block (it
+    // measures the poll path, which has no scale-factor dimension).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(c => only.forall(_.contains(c._1)))
 
     // Streaming end-to-end latency FIRST, in a quiet JVM: round 5
     // measured it after a 107-query catalog had filled the same session
@@ -45,7 +52,8 @@ object Bench {
     // durability cost per trigger is quantified rather than confounded.
     // Failure degrades to an empty object, not a dead bench.
     val stream =
-      try {
+      if (sys.env.contains("SPARK_GRAFT_BENCH_NO_STREAM")) "{}"
+      else try {
         graft.streaming.StreamLatency.measure(spark, triggers = 2, useV2 = false)
         graft.streaming.StreamLatency.measure(spark, triggers = 2)
         val (l50, l95, ln) = graft.streaming.StreamLatency
@@ -131,8 +139,12 @@ object Bench {
         f"[bench] $name $sec%.2fs (passes ${ss.map(s => f"$s%.2f").mkString(" / ")})")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // 3-decimal rounding: millisecond resolution is already below the
+    // noise floor, and the compact map is what survives the driver's
+    // 2000-char stdout tail
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // Plan-generation fingerprint: md5 of the committed PLANS.md (the
@@ -150,8 +162,23 @@ object Bench {
     // estimator documented in-band: per-query min over 2 full passes plus
     // up to 3 suspect-retry passes (see the noise model above) — so a
     // round-over-round delta on an unchanged query is a real plan change,
-    // not a shared-noise-window artifact
-    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min_of_2_passes_plus_suspect_retries","queries":$qs,"stream":$stream,"plans_md5":$plansMd5,"sf":"$sfDir"}""")
+    // not a shared-noise-window artifact.
+    //
+    // Field order is deliberate: the driver archives only the LAST 2000
+    // chars of stdout, so the big per-query map goes FIRST and the
+    // summary scalars (total, stream, plans_md5, sf) go LAST — whatever
+    // truncation happens eats the head of the map, never the summary.
+    // The complete line is ALSO written to bench_full.json in the repo
+    // root, which the driver commits with the round — the durable,
+    // never-truncated record.
+    val line = s"""{"queries":$qs,"metric":"total","value":${f"$total%.3f"},"unit":"sec","estimator":"min_of_2_passes_plus_suspect_retries","stream":$stream,"plans_md5":$plansMd5,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-json write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset scaler for the sf1 (10×) scale-proof runs.
+  *
+  * The driver ships sf0.001/0.01/0.1 only; the 100 TB argument needs at
+  * least one measured decade of scaling, so this main synthesizes
+  * `sfN = R × sf0.1` from the shipped data — replication with key
+  * offsets, NOT naive row copying:
+  *
+  *   - Every surrogate key (orderkey, partkey, custkey, doc_id, vec_id,
+  *     user_id …) is offset per replica by `max(key)+1`, so the R
+  *     replicas are disjoint key shards whose JOIN/GROUP cardinalities
+  *     scale exactly linearly — the shape a real 10× dataset has (more
+  *     keys, same per-key density), with every FK relationship preserved
+  *     shard-locally (lineitem.l_partkey still hits part.p_partkey in
+  *     the same replica).
+  *   - `documents.text` is perturbed per replica (every whitespace token
+  *     gets a replica suffix for r>0): replicas are DISTINCT in
+  *     shingle/token space, so the duplicate structure per shard matches
+  *     the original corpus instead of turning every doc into an R-way
+  *     near-dup cluster (which would quadratically inflate every LSH
+  *     band join and make the scale measurement dishonest).
+  *   - `embeddings.embedding` is cyclically rotated by r dimensions:
+  *     norms and intra-replica pairwise geometry are preserved (each
+  *     shard is an isometric copy of the original cloud), while
+  *     cross-replica vectors decorrelate — again the honest "same
+  *     density, more points" shape.
+  *   - Dimension tables that do not scale in a star schema (region,
+  *     nation) are copied once; their FKs (nationkey) are left alone.
+  *
+  * Replica 0 is byte-identical to the source rows, so literal anchors in
+  * the catalog (simsearch's `vec_id < 8` query set, flagship date
+  * windows) keep their selectivity: query sets stay fixed while the
+  * corpus grows — the scan/probe side scales, the driver side does not.
+  *
+  * Everything is a pure column expression over (row, replica): no RNG,
+  * no timestamps — rerunning produces identical bytes, so content-keyed
+  * caches behave.
+  */
+object ScaleGen {
+
+  /** key' = key + r * (max(key)+1) — offsets computed once per table. */
+  private def offsetCol(c: String, r: Column, base: Long): Column =
+    (col(c) + r * lit(base)).as(c)
+
+  private def maxOf(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).head().getLong(0) + 1L
+
+  def scaleTable(spark: SparkSession, dir: String, name: String,
+      replicas: Int): DataFrame = {
+    val src = Tables(spark, dir, name)
+    // replicate via explode of a literal range: one scan, R output rows
+    // per input row, no join
+    val r = explode(typedLit((0 until replicas).map(_.toLong))).as("_r")
+    def rep(cols: Column*): DataFrame =
+      src.select((src.columns.map(col) :+ r): _*)
+        .select(cols :+ col("_r"): _*).drop("_r")
+    val rc = col("_r")
+    name match {
+      case "region" | "nation" => src
+      case "customer" =>
+        val ck = maxOf(src, "c_custkey")
+        rep(offsetCol("c_custkey", rc, ck) +:
+          src.columns.filterNot(_ == "c_custkey").map(col): _*)
+      case "supplier" =>
+        val sk = maxOf(src, "s_suppkey")
+        rep(offsetCol("s_suppkey", rc, sk) +:
+          src.columns.filterNot(_ == "s_suppkey").map(col): _*)
+      case "part" =>
+        val pk = maxOf(src, "p_partkey")
+        rep(offsetCol("p_partkey", rc, pk) +:
+          src.columns.filterNot(_ == "p_partkey").map(col): _*)
+      case "orders" =>
+        val ok = maxOf(src, "o_orderkey")
+        val ck = maxOf(Tables(spark, dir, "customer"), "c_custkey")
+        rep(src.columns.map {
+          case "o_orderkey" => offsetCol("o_orderkey", rc, ok)
+          case "o_custkey" => offsetCol("o_custkey", rc, ck)
+          case c => col(c)
+        }: _*)
+      case "lineitem" =>
+        val ok = maxOf(Tables(spark, dir, "orders"), "o_orderkey")
+        val pk = maxOf(Tables(spark, dir, "part"), "p_partkey")
+        val sk = maxOf(Tables(spark, dir, "supplier"), "s_suppkey")
+        rep(src.columns.map {
+          case "l_orderkey" => offsetCol("l_orderkey", rc, ok)
+          case "l_partkey" => offsetCol("l_partkey", rc, pk)
+          case "l_suppkey" => offsetCol("l_suppkey", rc, sk)
+          case c => col(c)
+        }: _*)
+      case "events" =>
+        val ek = maxOf(src, "event_id")
+        val uk = maxOf(src, "user_id")
+        rep(src.columns.map {
+          case "event_id" => offsetCol("event_id", rc, ek)
+          case "user_id" => offsetCol("user_id", rc, uk)
+          case c => col(c)
+        }: _*)
+      case "documents" =>
+        val dk = maxOf(src, "doc_id")
+        // r>0: suffix every whitespace token with "q<r>" — pure-letter
+        // tokens stay pure-letter (langid/tokenizers unaffected), every
+        // word n-gram shingle becomes replica-unique
+        val text0 = when(rc === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            t => when(t === "", t)
+              .otherwise(concat(t, lit("q"), rc.cast("string")))), " "))
+        rep(offsetCol("doc_id", rc, dk), text0.as("text"), col("lang"),
+          col("source"), length(text0).cast("long").as("n_chars"))
+      case "embeddings" =>
+        val vk = maxOf(src, "vec_id")
+        // cyclic dimension rotation by r: norm-preserving, intra-replica
+        // isometric, cross-replica decorrelated
+        val d = size(col("embedding"))
+        val rot = concat(
+          slice(col("embedding"), rc.cast("int") + 1, (d - rc).cast("int")),
+          slice(col("embedding"), lit(1), rc.cast("int")))
+        rep(offsetCol("vec_id", rc, vk),
+          when(rc === 0, col("embedding")).otherwise(rot).as("embedding"),
+          col("label"))
+      case other =>
+        throw new IllegalArgumentException(s"no scale rule for $other")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "testdata-sf1"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.all.foreach { name =>
+      val t0 = System.nanoTime()
+      scaleTable(spark, srcDir, name, replicas)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+      println(f"[scalegen] $name done in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    spark.stop()
+  }
+}

@@ -139,8 +139,15 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     Tables.all.foreach { name =>
       val t0 = System.nanoTime()
-      scaleTable(spark, srcDir, name, replicas)
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+      val df = scaleTable(spark, srcDir, name, replicas)
+      // R part files per table, not one: the driver's single-file-per-table
+      // convention would make every narrow pre-scan stage single-threaded
+      // at R× the work (observed: a 475 s one-task partial aggregate). A
+      // real R× lake carries ~R× the files; writing R files restores the
+      // scan parallelism such a lake gets for free.
+      val out = if (Seq("region", "nation").contains(name)) df
+        else df.repartition(replicas)
+      out.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
       println(f"[scalegen] $name done in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     spark.stop()

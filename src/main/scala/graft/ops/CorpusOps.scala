@@ -131,6 +131,50 @@ object CorpusOps {
        |  lang, count(*) AS n
        |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
+  // ---- deterministic global shuffle + shard layout ----
+  // The pre-training export step every data pipeline ends with: assign
+  // each document a pseudo-random but fully deterministic position so
+  // the training order is (a) decorrelated from ingest/source order,
+  // (b) reproducible run-to-run, and (c) re-derivable per document
+  // (content-addressed key — the sample_split property, salted so the
+  // shuffle permutation is independent of the split buckets). Shard =
+  // key mod NShards, position = rank of (key, doc_id) within the shard
+  // — at scale this is exactly `repartition(N, shard)` + a
+  // within-partition sort (one exchange, no global ordering), and the
+  // per-shard sequence files it describes are what a data loader maps.
+  // The (key, doc_id) order key is total, so the layout is
+  // engine-independent and replay-stable; integer fold arithmetic → the
+  // mirror is exact.
+
+  private val ShuffleSalt = "shuf1"
+  private val NShards = 8
+
+  private def shuffleExport(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        gf.fingerprint(concat(lit(ShuffleSalt), col("text"))).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(NShards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"), col("skey"))
+      .orderBy("shard", "pos")
+  }
+
+  private val shuffleExportSql =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    ${TextOps.fingerprintFoldSql(s"('$ShuffleSalt' || text)")} AS skey
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, skey,
+       |    ((skey % $NShards) + $NShards) % $NShards AS shard
+       |  FROM k)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+       |    AS INT) AS pos,
+       |  skey
+       |FROM sh ORDER BY shard, pos""".stripMargin
+
   // ---- vocabulary building (top-K by term frequency) ----
 
   private val VocabK = 25
@@ -889,6 +933,7 @@ object CorpusOps {
     "text_normalize" -> (normalize _),
     "pii_redact" -> (piiRedact _),
     "sample_split" -> (sampleSplit _),
+    "shuffle_export" -> (shuffleExport _),
     "vocab_topk" -> (vocabTopK _),
     "tfidf_topk" -> (tfidfTopK _),
     "embed_quantize" -> (embedQuantize _),
@@ -905,6 +950,7 @@ object CorpusOps {
     "text_normalize" -> normalizeSql,
     "pii_redact" -> piiRedactSql,
     "sample_split" -> sampleSplitSql,
+    "shuffle_export" -> shuffleExportSql,
     "vocab_topk" -> vocabTopKSql,
     "tfidf_topk" -> tfidfTopKSql,
     "embed_quantize" -> embedQuantizeSql,

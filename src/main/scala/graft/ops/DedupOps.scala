@@ -658,7 +658,11 @@ object DedupOps {
   // why the DuckDB mirror can stay the simple single-pass SQL.
   private val RunL = 40
 
-  private def substringSpans(s: SparkSession, dir: String): DataFrame = {
+  private def substringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpansCore(s, dir)
+      .orderBy("doc_id", "span_start")
+
+  private def substringSpansCore(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
     val hashed = docs
@@ -693,11 +697,60 @@ object DedupOps {
         (max(col("pos")) + RunL).as("span_end"))
     spans.select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_len"))
-      .orderBy("doc_id", "span_start")
   }
 
-  private val substringSpansSql =
-    s"""WITH w AS (
+  // The consumer of the cut list: rewrite each document with its marked
+  // spans removed — what Lee et al.'s pipeline actually feeds the next
+  // training stage. Keep-segments are the gaps between consecutive spans
+  // (lag over the per-doc span sequence) plus the tail after the last
+  // span; each segment extracts its substring via ONE doc_id equi-join
+  // against the text (segments exist only for the small survivor set, so
+  // the join probe side is tiny) and the per-doc concat is an
+  // order-keyed fold (array_sort on (seg_start, piece) structs — a total
+  // key, replay-stable). Untouched documents bypass the whole span
+  // machinery with an anti-join and pass through verbatim. Integer
+  // positions and plain substrings end to end → exact DuckDB mirror
+  // (string_agg ORDER BY seg_start = the same total-keyed concat).
+  private def substringRewrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val spans = substringSpansCore(s, dir).localCheckpoint()
+    val wD = Window.partitionBy("doc_id").orderBy("span_start")
+    val headMid = spans
+      .withColumn("seg_start",
+        coalesce(lag(col("span_end"), 1).over(wD), lit(0)))
+      .select(col("doc_id"), col("seg_start"), col("span_start").as("seg_end"))
+    val tail = spans.groupBy("doc_id")
+      .agg(max(col("span_end")).as("seg_start"))
+      .withColumn("seg_end", lit(Int.MaxValue))
+    val pieces = headMid.unionByName(tail)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("seg_stop", least(col("seg_end"), length(col("text"))))
+      .filter(col("seg_stop") > col("seg_start"))
+      .select(col("doc_id"), col("seg_start"),
+        substr(col("text"), col("seg_start") + 1,
+          col("seg_stop") - col("seg_start")).as("piece"))
+    val rebuilt = pieces.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seg_start"), col("piece")))),
+        x => x("piece")), "").as("clean_text"))
+    val cutAgg = spans.groupBy("doc_id").agg(sum(col("span_len")).as("n_cut"))
+    val cut = docs.select("doc_id").join(cutAgg, "doc_id")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"), col("n_cut"))
+    val untouched = docs.join(cutAgg, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text").as("clean_text"),
+        lit(0L).as("n_cut"))
+    cut.unionByName(untouched)
+      .withColumn("clean_len", length(col("clean_text")))
+      .orderBy("doc_id")
+  }
+
+  /** Shared WITH-clause body producing the `spans` relation — the spans
+    * query and the rewrite query mirror the same cut-list computation. */
+  private val substringSpansCtes =
+    s"""w AS (
        |  SELECT doc_id,
        |    CAST(unnest(range(0, greatest(len(text) - $RunL + 1, 0))) AS INT)
        |      AS pos,
@@ -723,12 +776,53 @@ object DedupOps {
        |  SELECT doc_id, pos,
        |    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-       |  FROM fl)
-       |SELECT doc_id, min(pos) AS span_start,
-       |  max(pos) + $RunL AS span_end,
-       |  max(pos) + $RunL - min(pos) AS span_len
-       |FROM grp GROUP BY doc_id, island
+       |  FROM fl),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start,
+       |    max(pos) + $RunL AS span_end,
+       |    max(pos) + $RunL - min(pos) AS span_len
+       |  FROM grp GROUP BY doc_id, island)""".stripMargin
+
+  private val substringSpansSql =
+    s"""WITH $substringSpansCtes
+       |SELECT doc_id, span_start, span_end, span_len FROM spans
        |ORDER BY doc_id, span_start""".stripMargin
+
+  private val substringRewriteSql =
+    s"""WITH $substringSpansCtes,
+       |hm AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(span_end) OVER (PARTITION BY doc_id
+       |      ORDER BY span_start), 0) AS seg_start,
+       |    span_start AS seg_end
+       |  FROM spans),
+       |segs AS (
+       |  SELECT doc_id, seg_start, seg_end FROM hm
+       |  UNION ALL
+       |  SELECT doc_id, max(span_end) AS seg_start, 2147483647 AS seg_end
+       |  FROM spans GROUP BY doc_id),
+       |pieces AS (
+       |  SELECT s.doc_id, s.seg_start,
+       |    substr(d.text, s.seg_start + 1,
+       |      least(s.seg_end, len(d.text)) - s.seg_start) AS piece
+       |  FROM segs s JOIN documents d USING (doc_id)
+       |  WHERE least(s.seg_end, len(d.text)) > s.seg_start),
+       |rebuilt AS (
+       |  SELECT doc_id, string_agg(piece, '' ORDER BY seg_start) AS clean_text
+       |  FROM pieces GROUP BY doc_id),
+       |cut_agg AS (
+       |  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS n_cut
+       |  FROM spans GROUP BY doc_id),
+       |outp AS (
+       |  SELECT a.doc_id, coalesce(r.clean_text, '') AS clean_text, a.n_cut
+       |  FROM cut_agg a LEFT JOIN rebuilt r USING (doc_id)
+       |  UNION ALL
+       |  SELECT d.doc_id, d.text AS clean_text, CAST(0 AS BIGINT) AS n_cut
+       |  FROM documents d
+       |  WHERE d.doc_id NOT IN (SELECT doc_id FROM cut_agg))
+       |SELECT doc_id, clean_text, n_cut,
+       |  CAST(len(clean_text) AS INT) AS clean_len
+       |FROM outp ORDER BY doc_id""".stripMargin
 
   // Cross-source dataset overlap audit — "how much of source A is in
   // source B" for a corpus catalog, the question a curation team asks
@@ -939,6 +1033,7 @@ object DedupOps {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact" -> (exact _),
     "dedup_substring" -> (substringSpans _),
+    "dedup_substring_rewrite" -> (substringRewrite _),
     "source_overlap" -> (sourceOverlap _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -956,6 +1051,7 @@ object DedupOps {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact" -> exactSql,
     "dedup_substring" -> substringSpansSql,
+    "dedup_substring_rewrite" -> substringRewriteSql,
     "source_overlap" -> sourceOverlapSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,

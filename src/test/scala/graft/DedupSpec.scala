@@ -59,6 +59,36 @@ class DedupSpec extends SparkSpec {
     assert(r.forall(_._4 >= 40), "span shorter than the window length")
   }
 
+  test("dedup_substring_rewrite cuts exactly the marked spans and no more") {
+    val spans = SparkEntry.queries("dedup_substring")(spark, fixtureDir)
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[Int]("span_start"), x.getAs[Int]("span_end"))).toSeq
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text"))
+      .toMap
+    val r = SparkEntry.queries("dedup_substring_rewrite")(spark, fixtureDir)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("clean_text"), x.getAs[Long]("n_cut"),
+          x.getAs[Int]("clean_len"))).toMap
+    // every document appears exactly once
+    assert(r.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val cuts = spans.filter(_._1 == id).map(s => (s._2, s._3)).sorted
+      // independent reference rewrite: drop every cut char position
+      val expect = text.zipWithIndex.collect {
+        case (c, i) if !cuts.exists(s => i >= s._1 && i < s._2) => c
+      }.mkString
+      val (clean, nCut, cleanLen) = r(id)
+      assert(clean == expect, s"doc $id rewrite mismatch")
+      assert(nCut == cuts.map(s => s._2 - s._1).sum.toLong)
+      assert(cleanLen == expect.length)
+    }
+    // the fully-duplicated docs must collapse to empty
+    assert(r(0L)._1 == "" && r(1L)._1 == "")
+    // untouched docs pass through verbatim
+    assert(r(3L)._1 == docs(3L) && r(4L)._1 == docs(4L))
+  }
+
   test("source_overlap: identical sources score 1, disjoint sources 0") {
     val dir = Files.createTempDirectory("graft-overlap").toString
     import spark.implicits._

@@ -21,12 +21,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.expr.functions.register(spark)
 
+    // per-query progress to stderr so a hung/slow scale run identifies
+    // its culprit from outside (jstack shows the stage, this names it)
+    val progress = sys.env.contains("SPARK_GRAFT_BENCH_PROGRESS")
     def runOne(name: String, fn: (SparkSession, String) => DataFrame,
         dir: String): Double = {
       val t0 = System.nanoTime()
+      if (progress) System.err.println(s"[bench] start $name")
       try {
         fn(spark, dir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (progress) System.err.println(f"[bench] done $name $sec%.2fs")
+        sec
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed on $dir: ${e.getMessage}")
         -1.0

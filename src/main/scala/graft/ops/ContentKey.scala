@@ -41,7 +41,14 @@ private[graft] object ContentKey {
       s"${md5(dir)}/$sub"
     val key = s"${of(s, Seq(dir))}/$sub"
     if (!persistedKeys.contains(key)) {
-      df.coalesce(1).write.mode("overwrite").parquet(path)
+      // Natural partitioning, NOT coalesce(1): these frames feed heavy
+      // downstream fanout (cell joins, band joins), and a single-file
+      // write re-reads as a single-split scan — at 10x data that turned
+      // the candidate join + partial distinct into one multi-minute task
+      // while 31 cores idled. File count tracking the source scan's
+      // splits is exactly how a real lake behaves; the DuckDB mirrors
+      // glob ('/*.parquet'), so multi-file frames replay identically.
+      df.write.mode("overwrite").parquet(path)
       persistedKeys.add(key) // only a COMPLETED write marks the key
     }
     ref.set(path)

@@ -235,8 +235,42 @@ object SimilarityOps {
     val k = math.max(16, math.min(4096,
       math.round(math.sqrt(n.toDouble)).toInt))
     val probe = math.max(8, math.round(k * 0.1875f))
-    val sample = math.max(1024, math.min(16384, 40 * k))
+    // the sample serves BOTH quantizer fits; the mining fit's K grows
+    // linearly (K ≈ N/MineCell), so at large N it is the binding target
+    val sample = math.max(1024, math.min(16384,
+      40 * math.max(k, (n / MineCell).toInt)))
     (k, probe, sample)
+  }
+
+  /** Mining-path IVF parameters (`hard_negatives`): the search path's
+    * "probe a constant cell FRACTION" rule (probe ∝ K ∝ √N) keeps recall
+    * flat for a FIXED query set, but mining anchors the whole corpus —
+    * candidate pairs ≈ N·probe·(N·assign/K) = 0.1875·assign·N² under
+    * that rule (the √N in probe cancels the √N in K), measured as a
+    * 100× single-stage blowup at 10× data. Mining instead holds cell
+    * OCCUPANCY constant (K ≈ N/MineCell) and probes a constant cell
+    * COUNT: per-anchor candidates ≈ MineProbe·MineCell·MineAssign stay
+    * flat and total mining work is O(N). K is capped by the training
+    * sample (driver Lloyd needs points per centroid); past the cap
+    * occupancy grows again — the documented frontier where a production
+    * fit goes hierarchical (two-level k-means), not a silent cliff. */
+  private[graft] val MineCell = 128
+  private[graft] val MineProbe = 4
+  private[graft] val MineAssign = 2
+
+  private[graft] def miningK(n: Long, sampleN: Int): Int =
+    math.max(16, math.min(sampleN, (n / MineCell).toInt))
+
+  private val miningCache = new ContentKey.Lru[(Int, Array[Double])](8)
+
+  /** (dim, flattened mining-K×dim centroid matrix) — same deterministic
+    * sample and Lloyd loop as [[fitCentroids]], K from [[miningK]]. */
+  private[graft] def fitMiningCentroids(s: SparkSession, dir: String): (Int, Array[Double]) = {
+    val key = ContentKey.of(s, Seq(s"$dir/embeddings.parquet"))
+    miningCache.get(key) {
+      val (n, sample) = trainingSample(s, dir)
+      lloydFit(sample, miningK(n, sample.length))
+    }
   }
 
   /** Fit-once bounded caches: the quantizers are deterministic per
@@ -281,12 +315,19 @@ object SimilarityOps {
   private def fitCentroidsUncached(s: SparkSession, dir: String): (Int, Array[Double], Int) = {
     val (n, sample) = trainingSample(s, dir)
     val (cells, _, _) = ivfParams(n)
-    val dim = sample.head.length
     val k = math.min(cells, sample.length)
     // probe derives from the FINAL k: if the sample capped k below the
     // ivfParams cell count, a probe computed from the uncapped value
     // would silently degrade IVF to a near-full scan
     val probe = math.max(8, math.round(k * 0.1875f))
+    val (dim, flat) = lloydFit(sample, k)
+    (dim, flat, probe)
+  }
+
+  /** The shared Lloyd loop: deterministic (first-k seed, fixed iteration
+    * count, scalar fold order) per (sample, k). */
+  private def lloydFit(sample: Array[Array[Float]], k: Int): (Int, Array[Double]) = {
+    val dim = sample.head.length
     var cents = Array.tabulate(k, dim)((c, i) => sample(c)(i).toDouble)
     for (_ <- 0 until IvfIters) {
       val sums = Array.ofDim[Double](k, dim)
@@ -317,7 +358,7 @@ object SimilarityOps {
       val rn = math.sqrt(r.map(x => x * x).sum)
       r.map(x => if (rn == 0) x else x / rn)
     }
-    (dim, flat, probe)
+    (dim, flat)
   }
 
   /** Query-side probed cells (q_id, cell) — identical for every IVF
@@ -1014,18 +1055,17 @@ object SimilarityOps {
   private[graft] val HnK = 4
 
   private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
-    val (dim, cmat, probe) = fitCentroids(s, dir)
-    val assign = assignFor(cmat.length / dim)
+    val (dim, cmat) = fitMiningCentroids(s, dir)
     val cLit = typedLit(cmat.toSeq)
     val emb = t(s, dir, "embeddings")
     val idx = persistO(s, dir, "hn_idx",
       emb.select(col("vec_id").as("c_id"), col("label").as("c_label"),
-        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
-          .as("cell")))
+        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim),
+          lit(MineAssign))).as("cell")))
     val pr = persistO(s, dir, "hn_probe",
       emb.select(col("vec_id").as("a_id"), col("label").as("a_label"),
-        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(probe)))
-          .as("cell")))
+        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim),
+          lit(MineProbe))).as("cell")))
     val e = normed(s, dir)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("norm").as("a_norm"))
@@ -1033,7 +1073,19 @@ object SimilarityOps {
       col("norm").as("c_norm"))
     val w = Window.partitionBy("a_id")
       .orderBy(col("cos_sim").desc, col("c_id"))
-    pr.join(idx, "cell")
+    // Explicit pre-join spread of the probe side: when the index side
+    // broadcasts (any bench SF), the join inherits the probe scan's
+    // partitioning — a handful of narrow input splits fanning out to
+    // millions of candidate rows inside too few tasks. Hashing on
+    // (cell, a_id) costs one narrow exchange of 3-column rows and gives
+    // the fanout + partial-distinct full parallelism; the explicit
+    // partition count keeps AQE from coalescing the small pre-fanout
+    // bytes back into one task. In the non-broadcast regime (index >
+    // threshold) the join re-shuffles by cell anyway and this exchange
+    // stays narrow.
+    pr.repartition(s.sessionState.conf.numShufflePartitions,
+        col("cell"), col("a_id"))
+      .join(idx, "cell")
       .filter(col("a_label") =!= col("c_label")) // same id ⇒ same label ⇒ excluded
       .select("a_id", "c_id").distinct()         // union over probed cells
       .join(a, "a_id")

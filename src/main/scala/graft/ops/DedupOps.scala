@@ -249,19 +249,20 @@ object DedupOps {
 
   // IVF-bucketed embedding near-dup — the production-named scale path
   // (`dedup_embedding`), measured against the brute-force
-  // `dedup_embedding_exact` oracle anchor: vectors indexed in
-  // their top IVF cells (same sample-fit coarse quantizer as
-  // `simsearch_ivf`; assignment count derived from the cell count via
-  // SimilarityOps.pairAssignFor — the symmetric pair join has no
-  // query-side probe, so it indexes wider than the search path), candidate
-  // pairs from the cell equi-join only. Candidate volume ≈
-  // (assign²/K)·N²/2, and K grows ~√N at scale, so the ratio collapses on
-  // real corpora; on these near-uniform synthetic embeddings pair-recall
-  // ≈ 0.9 vs brute at the 0.35 threshold (asserted in SimilaritySpec;
-  // real near-dups at cos ≥ 0.9 bucket together essentially always).
+  // `dedup_embedding_exact` oracle anchor: vectors indexed in their top
+  // cells of the CONSTANT-OCCUPANCY mining quantizer (K ≈ N/MineCell,
+  // SimilarityOps.fitMiningCentroids — the same all-vs-all scale shape
+  // as hard-negative mining, so the same parameterization applies, NOT
+  // the search path's √N-cell rule whose symmetric pair join is
+  // Θ(N^1.5)); the symmetric join has no query-side probe, so it
+  // indexes wider (PairAssign = 4) than the mining path's 2. Candidate
+  // pairs ≈ K·(occ·assign)²/2 = N·MineCell·assign²/2 — linear in N.
+  // Pair-recall vs brute at the 0.35 threshold is asserted in
+  // SimilaritySpec; real near-dups at cos ≥ 0.9 bucket together
+  // essentially always.
   private def embeddingCosineAnn(s: SparkSession, dir: String): DataFrame = {
-    val (dim, cmat, _) = SimilarityOps.fitCentroids(s, dir)
-    val assign = SimilarityOps.pairAssignFor(cmat.length / dim)
+    val (dim, cmat) = SimilarityOps.fitMiningCentroids(s, dir)
+    val assign = SimilarityOps.PairAssign
     val cLit = typedLit(cmat.toSeq)
     // ids-only cell index (the 100 TB shape: assignment entries carry an
     // id + a cell int, not `assign` copies of the embedding); persisted so
@@ -272,7 +273,14 @@ object DedupOps {
       normed(s, dir).select(col("vec_id"),
         explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
           .as("cell")))
-    val pairs = cells.as("a").join(cells.as("b"),
+    // left side spread by (cell, id) before the fanout — same rule as
+    // the mining join: when the right side broadcasts, the join would
+    // otherwise inherit the scan's few input splits and funnel the
+    // pair fanout + partial distinct through too few tasks
+    val pairs = cells
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("cell"), col("vec_id"))
+      .as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))

@@ -217,13 +217,16 @@ object SimilarityOps {
   private[graft] def assignFor(k: Int): Int =
     math.max(2, math.min(8, math.round(k * 0.15f)))
 
-  /** Pair-join (symmetric) multi-assignment for the dedup path: capture
-    * needs BOTH vectors of a near-dup pair to co-occur in a cell — there
-    * is no query-side probe widening the net — so the fraction is roughly
-    * double the asymmetric case, clamped to [4, 12]. K≈22 derives the
-    * measured-at value 6. */
-  private[graft] def pairAssignFor(k: Int): Int =
-    math.max(4, math.min(12, math.round(k * 0.28f)))
+  /** Pair-join (symmetric) multi-assignment for the dedup path
+    * (`dedup_embedding`): capture needs BOTH vectors of a near-dup pair
+    * to co-occur in a cell — there is no query-side probe widening the
+    * net — so it assigns wider than the mining path's 2. Fixed (not
+    * K-derived) because the pair path runs on the constant-occupancy
+    * mining quantizer: candidate pairs ≈ K·(occ·assign)²/2 =
+    * N·MineCell·assign²/2 — linear in N with assign held constant,
+    * whereas the original √N-cell rule made the same join Θ(N^1.5)
+    * (measured 11× at 10× data, 31 s at sf1, before the switch). */
+  private[graft] val PairAssign = 4
 
   /** IVF parameters scaled by corpus size (the FAISS K ≈ √N guidance): a
     * fixed K tuned for one SF over-partitions tiny corpora and

@@ -97,15 +97,18 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("assign derivations scale with the cell count and stay clamped") {
-    import graft.ops.SimilarityOps.{assignFor, pairAssignFor}
+    import graft.ops.SimilarityOps.{assignFor, miningK, MineCell}
     assert(assignFor(22) == 3, "test-scale operating point moved")
-    assert(pairAssignFor(22) == 6, "test-scale pair operating point moved")
-    assert(assignFor(16) == 2 && pairAssignFor(16) == 4) // floors
-    assert(assignFor(4096) == 8 && pairAssignFor(4096) == 12) // caps
+    assert(assignFor(16) == 2) // floor
+    assert(assignFor(4096) == 8) // cap
     // monotone in K between the clamps
     val ks = Seq(16, 22, 32, 48, 64, 4096)
     assert(ks.map(assignFor) == ks.map(assignFor).sorted)
-    assert(ks.map(pairAssignFor) == ks.map(pairAssignFor).sorted)
+    // mining K holds cell occupancy constant (linear in N), floored so
+    // tiny corpora still partition, capped by the training sample
+    assert(miningK(500, 16384) == 16, "mining floor moved")
+    assert(miningK(50000, 16384) == 50000 / MineCell)
+    assert(miningK(100000000L, 16384) == 16384, "sample cap not applied")
   }
 
   test("IVF parameters scale as sqrt(N) with bounded sample and probe fraction") {

@@ -112,12 +112,21 @@ object ScaleGen {
           col("source"), length(text0).cast("long").as("n_chars"))
       case "embeddings" =>
         val vk = maxOf(src, "vec_id")
-        // cyclic dimension rotation by r: norm-preserving, intra-replica
-        // isometric, cross-replica decorrelated
+        // cyclic dimension rotation by r mod d: norm-preserving,
+        // intra-replica isometric, cross-replica decorrelated. Once R
+        // exceeds the dimension count the rotation wraps, which would
+        // make replica r an exact copy of replica r-d (fake cross-shard
+        // exact-dup clusters); the second cycle is negated instead —
+        // still an isometry, and cos(x, -x) = -1 keeps the wrapped twin
+        // out of every similarity threshold. Covers R up to 2d shards.
         val d = size(col("embedding"))
-        val rot = concat(
-          slice(col("embedding"), rc.cast("int") + 1, (d - rc).cast("int")),
-          slice(col("embedding"), lit(1), rc.cast("int")))
+        val rm = (rc.cast("int") % d)
+        // floor-div: Column./ on integers is DOUBLE division
+        val sign = when(floor(rc.cast("int") / d).cast("int") % 2 === 1,
+          lit(-1.0f)).otherwise(lit(1.0f))
+        val rot = transform(concat(
+          slice(col("embedding"), rm + 1, d - rm),
+          slice(col("embedding"), lit(1), rm)), x => x * sign)
         rep(offsetCol("vec_id", rc, vk),
           when(rc === 0, col("embedding")).otherwise(rot).as("embedding"),
           col("label"))

@@ -49,8 +49,21 @@ object ScaleGen {
   private def maxOf(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head().getLong(0) + 1L
 
+  /** Deterministic hot-key remap for the skew variant: in replicas r>0,
+    * rows whose xxhash64(original key, r) lands in the skew fraction are
+    * reassigned to replica 0's MINIMUM key — one global hot key that
+    * absorbs ~`skewPct`% of ALL rows while every other key keeps its
+    * original density (the power-law head a real event/fact table has).
+    * FK-valid (the hot key exists in replica 0 of the parent table) and
+    * RNG-free; non-skewed rows take the usual per-replica offset. */
+  private def skewOrOffset(c: String, rc: Column, hot: Long, skewPct: Int,
+      base: Long): Column =
+    if (skewPct == 0) offsetCol(c, rc, base)
+    else when(rc > 0 && pmod(xxhash64(col(c), rc), lit(100)) < skewPct,
+      lit(hot)).otherwise(col(c) + rc * lit(base)).as(c)
+
   def scaleTable(spark: SparkSession, dir: String, name: String,
-      replicas: Int): DataFrame = {
+      replicas: Int, skewPct: Int = 0): DataFrame = {
     val src = Tables(spark, dir, name)
     // replicate via explode of a literal range: one scan, R output rows
     // per input row, no join
@@ -82,11 +95,14 @@ object ScaleGen {
           case c => col(c)
         }: _*)
       case "lineitem" =>
-        val ok = maxOf(Tables(spark, dir, "orders"), "o_orderkey")
+        val orders = Tables(spark, dir, "orders")
+        val ok = maxOf(orders, "o_orderkey")
+        val okMin = orders.agg(min(col("o_orderkey"))).head().getLong(0)
         val pk = maxOf(Tables(spark, dir, "part"), "p_partkey")
         val sk = maxOf(Tables(spark, dir, "supplier"), "s_suppkey")
         rep(src.columns.map {
-          case "l_orderkey" => offsetCol("l_orderkey", rc, ok)
+          case "l_orderkey" =>
+            skewOrOffset("l_orderkey", rc, okMin, skewPct, ok)
           case "l_partkey" => offsetCol("l_partkey", rc, pk)
           case "l_suppkey" => offsetCol("l_suppkey", rc, sk)
           case c => col(c)
@@ -94,9 +110,10 @@ object ScaleGen {
       case "events" =>
         val ek = maxOf(src, "event_id")
         val uk = maxOf(src, "user_id")
+        val ukMin = src.agg(min(col("user_id"))).head().getLong(0)
         rep(src.columns.map {
           case "event_id" => offsetCol("event_id", rc, ek)
-          case "user_id" => offsetCol("user_id", rc, uk)
+          case "user_id" => skewOrOffset("user_id", rc, ukMin, skewPct, uk)
           case c => col(c)
         }: _*)
       case "documents" =>
@@ -139,6 +156,9 @@ object ScaleGen {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "testdata-sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: percent of lineitem.l_orderkey / events.user_id
+    // rows remapped to one global hot key (skew-robustness benches)
+    val skewPct = if (args.length > 3) args(3).toInt else 0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -148,7 +168,7 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     Tables.all.foreach { name =>
       val t0 = System.nanoTime()
-      val df = scaleTable(spark, srcDir, name, replicas)
+      val df = scaleTable(spark, srcDir, name, replicas, skewPct)
       // R part files per table, not one: the driver's single-file-per-table
       // convention would make every narrow pre-scan stage single-threaded
       // at R× the work (observed: a 475 s one-task partial aggregate). A

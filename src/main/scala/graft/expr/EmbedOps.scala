@@ -106,6 +106,100 @@ object EmbedOps {
     ArrayData.toArrayData(out)
   }
 
+  /** Two-level (hierarchical) top-cell assignment: score the k1 level-1
+    * rows of `c1`, descend into the best `spill` blocks of `c2` (block b
+    * holds rows [b·k2, (b+1)·k2)), and return the global top-`top` cell
+    * ids (block·k2 + sub) among the spilled blocks' cells. Cost per
+    * vector is (k1 + spill·k2)·dim instead of the flat kernel's K·dim —
+    * the difference between Θ(N²) and ~Θ(N^1.5) total assignment work
+    * when the cell count K grows linearly with the corpus (constant
+    * occupancy). Spilling > 1 block is the standard boundary-loss
+    * mitigation (FAISS IMI / spill trees). Ties break to the lower id at
+    * both levels; an all-NaN score set degrades deterministically to the
+    * lowest unused id, like [[topCells]]. */
+  def topCells2(vec: ArrayData, c1: ArrayData, c2: ArrayData, dim: Int,
+      spill: Int, top: Int): ArrayData = {
+    val n = math.min(vec.numElements(), dim)
+    val k1 = c1.numElements() / dim
+    val k2 = c2.numElements() / dim / k1
+    // level 1: score blocks
+    val s1 = new Array[Double](k1)
+    var b = 0
+    while (b < k1) {
+      var acc = 0.0
+      var i = 0
+      val base = b * dim
+      while (i < n) { acc += vec.getFloat(i).toDouble * c1.getDouble(base + i); i += 1 }
+      s1(b) = acc
+      b += 1
+    }
+    val nb = math.min(spill, k1)
+    val blocks = new Array[Int](nb)
+    val used1 = new Array[Boolean](k1)
+    var j = 0
+    while (j < nb) {
+      var best = -1
+      var bv = Double.NegativeInfinity
+      var bb = 0
+      while (bb < k1) {
+        if (!used1(bb) && s1(bb) > bv) { bv = s1(bb); best = bb }
+        bb += 1
+      }
+      if (best < 0) {
+        var f = 0
+        while (best < 0 && f < k1) { if (!used1(f)) best = f; f += 1 }
+      }
+      used1(best) = true
+      blocks(j) = best
+      j += 1
+    }
+    // deterministic tie-breaks at level 2 need ascending global-id scan
+    java.util.Arrays.sort(blocks)
+    // level 2: score the spilled blocks' cells
+    val m = nb * k2
+    val ids = new Array[Int](m)
+    val sims = new Array[Double](m)
+    var p = 0
+    var bi = 0
+    while (bi < nb) {
+      val blk = blocks(bi)
+      var sc = 0
+      while (sc < k2) {
+        val cell = blk * k2 + sc
+        var acc = 0.0
+        var i = 0
+        val base = cell * dim
+        while (i < n) { acc += vec.getFloat(i).toDouble * c2.getDouble(base + i); i += 1 }
+        ids(p) = cell
+        sims(p) = acc
+        p += 1
+        sc += 1
+      }
+      bi += 1
+    }
+    val t = math.min(top, m)
+    val out = new Array[Int](t)
+    val used = new Array[Boolean](m)
+    var o = 0
+    while (o < t) {
+      var best = -1
+      var bv = Double.NegativeInfinity
+      var cc = 0
+      while (cc < m) { // ids ascend with cc, so > keeps the lowest id on ties
+        if (!used(cc) && sims(cc) > bv) { bv = sims(cc); best = cc }
+        cc += 1
+      }
+      if (best < 0) {
+        var f = 0
+        while (best < 0 && f < m) { if (!used(f)) best = f; f += 1 }
+      }
+      used(best) = true
+      out(o) = ids(best)
+      o += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Product-quantization encode: split the first `dim` floats into `m`
     * subvectors of dim/m, and for each pick the nearest (L2) code from that
     * subspace's `ks`-entry codebook. `codebook` is flattened row-major

@@ -151,6 +151,16 @@ object functions {
     inv(EmbedOps.getClass, ArrayType(IntegerType, containsNull = false),
       "topCells", vec, centroids, dim.cast("int"), top.cast("int"))
 
+  /** Two-level hierarchical top-cell assignment: level-1 matrix `c1`
+    * picks `spill` blocks, level-2 matrix `c2` (k1 consecutive k2-row
+    * blocks) scores only those blocks' cells. Same output id space as a
+    * flat k1·k2 matrix at (k1 + spill·k2)/K of the flat scoring cost. */
+  def ivf_cells2(vec: Column, c1: Column, c2: Column, dim: Column,
+      spill: Column, top: Column): Column =
+    inv(EmbedOps.getClass, ArrayType(IntegerType, containsNull = false),
+      "topCells2", vec, c1, c2, dim.cast("int"), spill.cast("int"),
+      top.cast("int"))
+
   /** Multi-table LSH bucket: hyperplanes [offset, offset+bits). */
   def lsh_bucket_offset(vec: Column, bits: Column, offset: Column): Column =
     inv(EmbedOps.getClass, IntegerType, "lshBucketOffset", vec,

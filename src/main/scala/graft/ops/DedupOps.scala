@@ -261,9 +261,7 @@ object DedupOps {
   // SimilaritySpec; real near-dups at cos ≥ 0.9 bucket together
   // essentially always.
   private def embeddingCosineAnn(s: SparkSession, dir: String): DataFrame = {
-    val (dim, cmat) = SimilarityOps.fitMiningCentroids(s, dir)
-    val assign = SimilarityOps.PairAssign
-    val cLit = typedLit(cmat.toSeq)
+    val model = SimilarityOps.fitMiningModel(s, dir)
     // ids-only cell index (the 100 TB shape: assignment entries carry an
     // id + a cell int, not `assign` copies of the embedding); persisted so
     // the DuckDB mirror replays the identical pair join — this query is
@@ -271,8 +269,8 @@ object DedupOps {
     val cells = ContentKey.persistForOracle(s, dir, "dedup_cells",
       dedupCellsPath,
       normed(s, dir).select(col("vec_id"),
-        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
-          .as("cell")))
+        explode(SimilarityOps.miningCells(model, col("embedding"),
+          SimilarityOps.PairAssign)).as("cell")))
     // left side spread by (cell, id) before the fanout — same rule as
     // the mining join: when the right side broadcasts, the join would
     // otherwise inherit the scan's few input splits and funnel the

@@ -264,17 +264,91 @@ object SimilarityOps {
   private[graft] def miningK(n: Long, sampleN: Int): Int =
     math.max(16, math.min(sampleN, (n / MineCell).toInt))
 
-  private val miningCache = new ContentKey.Lru[(Int, Array[Double])](8)
+  /** Mining quantizer model. Constant-occupancy cells (K ∝ N) make the
+    * FLAT assignment kernel itself quadratic — N·K·dim total work, which
+    * the sf10 (100×) decade measured as a 694 s stage. Below
+    * [[MineFlatMax]] cells flat scoring is cheapest and the model stays
+    * byte-identical to the small-scale fits; above it the model goes
+    * two-level (k1 ≈ k2 ≈ √K): assignment scores k1 level-1 rows, spills
+    * into [[MineSpill]] blocks, and scores only their k2 cells each —
+    * (k1 + spill·k2)·dim per vector, ~Θ(N^1.5) total with a tiny
+    * constant. More levels generalize the same trade beyond the measured
+    * range; two suffice through the sample-capped K. */
+  private[graft] sealed trait MiningModel { def dim: Int }
+  private[graft] final case class MiningFlat(dim: Int, cmat: Array[Double])
+    extends MiningModel
+  private[graft] final case class MiningTree(dim: Int, c1: Array[Double],
+    c2: Array[Double], k2: Int) extends MiningModel
 
-  /** (dim, flattened mining-K×dim centroid matrix) — same deterministic
-    * sample and Lloyd loop as [[fitCentroids]], K from [[miningK]]. */
-  private[graft] def fitMiningCentroids(s: SparkSession, dir: String): (Int, Array[Double]) = {
+  private[graft] val MineFlatMax = 256
+  private[graft] val MineSpill = 2
+
+  private val miningCache = new ContentKey.Lru[MiningModel](8)
+
+  /** Fit-once mining quantizer — same deterministic sample and Lloyd
+    * loop as [[fitCentroids]], K from [[miningK]]. */
+  private[graft] def fitMiningModel(s: SparkSession, dir: String): MiningModel = {
     val key = ContentKey.of(s, Seq(s"$dir/embeddings.parquet"))
     miningCache.get(key) {
       val (n, sample) = trainingSample(s, dir)
-      lloydFit(sample, miningK(n, sample.length))
+      val k = miningK(n, sample.length)
+      if (k <= MineFlatMax) {
+        val (dim, flat) = lloydFit(sample, k)
+        MiningFlat(dim, flat)
+      } else {
+        val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+        val k2 = k1
+        val (dim, c1) = lloydFit(sample, k1)
+        // deterministic sample partition by best (lowest-id-tie) block
+        val byBlock = Array.fill(k1)(Vector.newBuilder[Array[Float]])
+        for (v <- sample) {
+          var best = 0
+          var bv = Double.NegativeInfinity
+          var b = 0
+          while (b < k1) {
+            var acc = 0.0
+            var i = 0
+            val base = b * dim
+            while (i < dim) { acc += v(i) * c1(base + i); i += 1 }
+            if (acc > bv) { bv = acc; best = b }
+            b += 1
+          }
+          byBlock(best) += v
+        }
+        val c2 = new Array[Double](k1 * k2 * dim)
+        var b = 0
+        while (b < k1) {
+          val block = byBlock(b).result()
+          val kb = math.min(k2, block.length)
+          val sub = if (kb > 0) lloydFit(block.toArray, kb)._2
+            else Array.emptyDoubleArray
+          // short blocks pad with the block's own (normalized) level-1
+          // row: duplicate centroids tie, and ties already break to the
+          // lowest id, so padding never changes an assignment outcome
+          var sc = 0
+          while (sc < k2) {
+            val dst = (b * k2 + sc) * dim
+            if (sc < kb) System.arraycopy(sub, sc * dim, c2, dst, dim)
+            else System.arraycopy(c1, b * dim, c2, dst, dim)
+            sc += 1
+          }
+          b += 1
+        }
+        MiningTree(dim, c1, c2, k2)
+      }
     }
   }
+
+  /** The assignment column for a fitted mining model: flat single-kernel
+    * scoring or the two-level spill descent — callers are agnostic. */
+  private[graft] def miningCells(m: MiningModel, vec: Column, top: Int): Column =
+    m match {
+      case MiningFlat(dim, cmat) =>
+        gf.ivf_cells(vec, typedLit(cmat.toSeq), lit(dim), lit(top))
+      case MiningTree(dim, c1, c2, _) =>
+        gf.ivf_cells2(vec, typedLit(c1.toSeq), typedLit(c2.toSeq),
+          lit(dim), lit(MineSpill), lit(top))
+    }
 
   /** Fit-once bounded caches: the quantizers are deterministic per
     * dataset, so repeated invocations (both ANN queries, repeated bench
@@ -1058,17 +1132,16 @@ object SimilarityOps {
   private[graft] val HnK = 4
 
   private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
-    val (dim, cmat) = fitMiningCentroids(s, dir)
-    val cLit = typedLit(cmat.toSeq)
+    val model = fitMiningModel(s, dir)
     val emb = t(s, dir, "embeddings")
     val idx = persistO(s, dir, "hn_idx",
       emb.select(col("vec_id").as("c_id"), col("label").as("c_label"),
-        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim),
-          lit(MineAssign))).as("cell")))
+        explode(miningCells(model, col("embedding"), MineAssign))
+          .as("cell")))
     val pr = persistO(s, dir, "hn_probe",
       emb.select(col("vec_id").as("a_id"), col("label").as("a_label"),
-        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim),
-          lit(MineProbe))).as("cell")))
+        explode(miningCells(model, col("embedding"), MineProbe))
+          .as("cell")))
     val e = normed(s, dir)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("norm").as("a_norm"))

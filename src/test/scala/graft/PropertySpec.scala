@@ -104,6 +104,38 @@ object PropertySpec extends Properties("graft.kernels") {
       ids == (0 until math.min(top, 4)) // deterministic lowest-id fallback
     }
 
+  // full spill (= k1) must reduce the hierarchical kernel to flat
+  // scoring of the concatenated level-2 matrix — the tree is then pure
+  // reorganization, and any divergence is a descent/tie-break bug
+  property("topCells2 with full spill equals flat topCells on the level-2 matrix") =
+    forAll(vec, Gen.listOfN(2 * 8, Gen.chooseNum(-1.0, 1.0)),
+      Gen.listOfN(2 * 3 * 8, Gen.chooseNum(-1.0, 1.0)),
+      Gen.chooseNum(1, 7)) { (v, c1l, c2l, top) =>
+      val arrD = (l: List[Double]) =>
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(l.toArray)
+      val (c1, c2) = (arrD(c1l), arrD(c2l)) // k1=2 blocks of k2=3 cells
+      val h = graft.expr.EmbedOps.topCells2(v, c1, c2, 8, 2, top)
+      val f = graft.expr.EmbedOps.topCells(v, c2, 8, top)
+      (0 until h.numElements()).map(h.getInt) ==
+        (0 until f.numElements()).map(f.getInt)
+    }
+
+  property("topCells2 spill=1 ids stay inside the chosen block, dot-ordered") =
+    forAll(vec, Gen.listOfN(2 * 8, Gen.chooseNum(-1.0, 1.0)),
+      Gen.listOfN(2 * 3 * 8, Gen.chooseNum(-1.0, 1.0))) { (v, c1l, c2l) =>
+      val arrD = (l: List[Double]) =>
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(l.toArray)
+      val out = graft.expr.EmbedOps.topCells2(v, arrD(c1l), arrD(c2l), 8, 1, 3)
+      val ids = (0 until out.numElements()).map(out.getInt)
+      val blk = ids.head / 3
+      def dot(cell: Int): Double =
+        (0 until 8).map(i => v.getFloat(i).toDouble * c2l(cell * 8 + i)).sum
+      val dots = ids.map(dot)
+      ids.length == 3 && ids.forall(i => i / 3 == blk) &&
+        ids.distinct.length == 3 &&
+        dots.zip(dots.tail).forall { case (a, b) => a >= b - 1e-12 }
+    }
+
   property("count-min sketch never under-counts, any corpus, any merge split") =
     forAll(Gen.listOf(Gen.oneOf("a", "bb", "ccc", "d e", "ffff", "g"))) { toks =>
       val agg = new graft.expr.CmsAggregator(64, 4)

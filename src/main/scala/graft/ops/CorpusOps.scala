@@ -386,32 +386,73 @@ object CorpusOps {
   // reference implementation at sf0.001.
   private[graft] val BpeMerges = 8
 
+  // The fit is cached content-keyed (plain values — rank/pair tuples, no
+  // session-bound frames) so bpe_train and bpe_encode share one training
+  // pass per dataset: exactly how a production tokenizer is used (train
+  // once, encode many).
+  private val bpeFitCache =
+    new ContentKey.Lru[Seq[(Int, String, String, Long)]](8)
+
+  private[graft] def bpeFit(
+      s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    val key = ContentKey.of(s, Seq(dir))
+    bpeFitCache.get(key) {
+      var toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+        .localCheckpoint()
+      val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      for (rank <- 1 to BpeMerges) {
+        val top = toks
+          .select(explode(expr(
+            "transform(slice(toks, 1, size(toks) - 1), (x, i) -> struct(x AS l, element_at(toks, i + 2) AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          learned += ((rank, l, r, c))
+          toks = toks.select(col("doc_id"),
+            gf.bpe_merge(col("toks"), lit(l), lit(r)).as("toks"))
+            .localCheckpoint()
+        }
+      }
+      learned.toSeq
+    }
+  }
+
   private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    var toks = t(s, dir, "documents")
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
-      .localCheckpoint()
-    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    for (rank <- 1 to BpeMerges) {
-      val top = toks
-        .select(explode(expr(
-          "transform(slice(toks, 1, size(toks) - 1), (x, i) -> struct(x AS l, element_at(toks, i + 2) AS r))"))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.nonEmpty) {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        learned += ((rank, l, r, c))
-        toks = toks.select(col("doc_id"),
-          gf.bpe_merge(col("toks"), lit(l), lit(r)).as("toks"))
-          .localCheckpoint()
-      }
-    }
-    learned.toSeq.toDF("rank", "left", "right", "pair_count")
+    bpeFit(s, dir).toDF("rank", "left", "right", "pair_count")
       .orderBy("rank")
+  }
+
+  // ---- BPE encoding (apply the trained merges) ----
+  // The other half of the tokenizer loop: encode every document with the
+  // learned merge table. The merges ride into the plan as literals (the
+  // model is O(BpeMerges) driver-side values, nothing broadcast-joined),
+  // and the encode itself is [[BpeMerges]] nested `bpe_merge` kernel
+  // applications — a stateless, shuffle-free projection over the corpus,
+  // the shape that scales to 100 TB trivially (scan → codegen fold →
+  // scan-local output). Output carries the pre/post token counts (the
+  // compression a tokenizer buys) and an md5 fingerprint of the encoded
+  // sequence, so the oracle compares the full encoding exactly without
+  // shipping the sequences through the driver compare.
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFit(s, dir)
+    val toks0 = filter(split(col("text"), " "), x => x =!= lit(""))
+    val encoded = merges.foldLeft(toks0) { case (c, (_, l, r, _)) =>
+      gf.bpe_merge(c, lit(l), lit(r))
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks0.as("toks0"), encoded.as("enc"))
+      .select(col("doc_id"),
+        size(col("toks0")).cast("long").as("n_tok"),
+        size(col("enc")).cast("long").as("n_bpe"),
+        md5(array_join(col("enc"), " ")).as("enc_fp"))
+      .orderBy("doc_id")
   }
 
   // ---- bigram language-model quality score ----
@@ -494,7 +535,12 @@ object CorpusOps {
     * wrapping each token as a single-element list makes that seed the
     * initial accumulator. The last round's rewrite is omitted: only the
     * m-CTEs reach the output. */
-  private val bpeTrainSql: String = {
+  /** The unrolled train-loop CTE chain, shared by the train and encode
+    * mirrors. `finalRewrite = true` additionally materializes the LAST
+    * round's corpus rewrite (t[[BpeMerges]]) — the train mirror only
+    * needs the m-CTEs, the encode mirror needs the fully-rewritten
+    * corpus. */
+  private def bpeCtes(finalRewrite: Boolean): String = {
     val ctes = Seq.newBuilder[String]
     ctes += s"""t0 AS MATERIALIZED (
        |  SELECT doc_id,
@@ -509,7 +555,7 @@ object CorpusOps {
          |  GROUP BY u.l, u.r)""".stripMargin
       ctes += s"""m$r AS MATERIALIZED (
          |  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
-      if (r < BpeMerges)
+      if (r < BpeMerges || finalRewrite)
         ctes += s"""t$r AS MATERIALIZED (
            |  SELECT doc_id, CASE WHEN len(toks) <= 1 THEN toks ELSE
            |    list_reduce(list_transform(toks, t -> [t]),
@@ -517,13 +563,29 @@ object CorpusOps {
            |        THEN acc[:-2] || [m.l || m.r] ELSE acc || x END) END AS toks
            |  FROM t${r - 1}, m$r m)""".stripMargin
     }
+    ctes.result().mkString(",\n")
+  }
+
+  private val bpeTrainSql: String = {
     val finals = (1 to BpeMerges).map(r =>
       s"""SELECT $r AS rank, l AS "left", r AS "right", cnt AS pair_count
          |  FROM m$r""".stripMargin).mkString(" UNION ALL ")
-    s"""WITH ${ctes.result().mkString(",\n")}
+    s"""WITH ${bpeCtes(finalRewrite = false)}
        |SELECT CAST(rank AS INT) AS rank, "left", "right", pair_count
        |FROM ($finals) ORDER BY rank""".stripMargin
   }
+
+  /** SQL twin of [[bpeEncode]]: replays the whole train loop (so the
+    * mirror's merge table is derived, not copied) INCLUDING the final
+    * rewrite, then reads the per-doc encoding off t[[BpeMerges]]. */
+  private val bpeEncodeSql: String =
+    s"""WITH ${bpeCtes(finalRewrite = true)}
+       |SELECT t0.doc_id,
+       |  CAST(len(t0.toks) AS BIGINT) AS n_tok,
+       |  CAST(len(te.toks) AS BIGINT) AS n_bpe,
+       |  md5(array_to_string(te.toks, ' ')) AS enc_fp
+       |FROM t0 JOIN t$BpeMerges te USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   // ---- DSIR-style importance weighting (Xie et al. 2023, public) ----
   // Data selection for a TARGET domain: score every document by how much
@@ -923,6 +985,44 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- per-source document quota (domain cap) ----
+  // The C4/Common-Crawl-style guard against any one domain dominating the
+  // mixture: cap each source at [[QuotaCap]] documents, keeping a
+  // deterministic, content-addressed sample — rank by (md5(text), doc_id)
+  // within the source, keep rank ≤ cap. The md5-first order makes the
+  // kept set a uniform content sample (not "first N crawled", which
+  // over-represents whatever the crawler hit first) and reproducible
+  // across engines and runs; doc_id breaks exact-duplicate-text ties so
+  // the rank is total (the determinism discipline in SCALE.md).
+  //
+  // Plan shape: ONE window keyed by source — the same shape as
+  // window_dedup, and the same hot-key escape applies: a skewed source
+  // uses the salted two-stage variant (per-salt top-cap, then global
+  // top-cap over |salts|·cap survivors), exactly window_dedup_salted's
+  // construction. At 100 TB the output set is |sources|·cap rows.
+  private[graft] val QuotaCap = 16
+
+  private def sourceQuota(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"),
+        when(col("rk") <= QuotaCap, 1).otherwise(0).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val sourceQuotaSql =
+    s"""SELECT doc_id, source, CAST(rk AS INT) AS rk,
+       |  CASE WHEN rk <= $QuotaCap THEN 1 ELSE 0 END AS kept
+       |FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(text), doc_id) AS rk
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_classifier" -> (qualityClassifier _),
     "domain_reweight" -> (domainReweight _),
@@ -938,7 +1038,9 @@ object CorpusOps {
     "tfidf_topk" -> (tfidfTopK _),
     "embed_quantize" -> (embedQuantize _),
     "freq_sketch" -> (freqSketch _),
-    "bpe_train" -> (bpeTrain _))
+    "bpe_train" -> (bpeTrain _),
+    "bpe_encode" -> (bpeEncode _),
+    "source_quota" -> (sourceQuota _))
 
   val oracle: Map[String, String] = Map(
     "quality_classifier" -> qualityClassifierSql,
@@ -954,5 +1056,7 @@ object CorpusOps {
     "vocab_topk" -> vocabTopKSql,
     "tfidf_topk" -> tfidfTopKSql,
     "embed_quantize" -> embedQuantizeSql,
-    "bpe_train" -> bpeTrainSql)
+    "bpe_train" -> bpeTrainSql,
+    "bpe_encode" -> bpeEncodeSql,
+    "source_quota" -> sourceQuotaSql)
 }

@@ -1035,7 +1035,87 @@ object DedupOps {
        |SELECT doc_id, m_id AS dup_of, est_sim
        |FROM kept WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---- paragraph-level dedup (CCNet-style, blocks as paragraphs) ----
+  // CCNet-style sub-document dedup: a boilerplate paragraph shared by
+  // thousands of pages is dropped everywhere but its first occurrence
+  // while the surrounding documents survive — the granularity exact
+  // doc-level dedup cannot reach. The synthetic corpus carries no newline
+  // structure, so the paragraph analog is the fixed NON-overlapping
+  // [[ParaW]]-token block (doc_chunk's window with stride = window); the
+  // block definition is a tokenizer detail, the pipeline — hash every
+  // unit, keep the global first occurrence, reassemble documents from
+  // their surviving units — is the real one.
+  //
+  // Plan shape: a narrow per-row generate explodes blocks (linear in
+  // corpus tokens), ONE md5-keyed window picks each block's first
+  // occurrence under the total order (doc_id, block_id) — deterministic
+  // across engines and retries — and ONE doc_id-keyed re-agg rebuilds
+  // each document from its kept blocks in block order. Two linear
+  // exchanges, no joins, nothing driver-side: the 100 TB shape. A doc
+  // reduced to nothing (every block seen earlier) survives as the md5 of
+  // the empty string — the caller's drop filter, not silent loss.
+  private[graft] val ParaW = 32L
+
+  private def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+    val blocks = d
+      .withColumn("n_blk",
+        greatest(lit(1L), expr(s"(n_tok + ${ParaW - 1}) DIV $ParaW")))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0L, n_blk - 1)")).as("blk_id"))
+      .withColumn("blk", array_join(
+        slice(col("toks"), (col("blk_id") * ParaW + 1).cast("int"),
+          lit(ParaW.toInt)), " "))
+    val w = Window.partitionBy(md5(col("blk")))
+      .orderBy(col("doc_id"), col("blk_id"))
+    blocks
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(blk_id, blk) END)), x -> x.blk)"),
+          " ")).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val paragraphDedupSql =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS BIGINT) AS n_tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, greatest(1, (n_tok + ${ParaW - 1}) // $ParaW)))
+      |      AS blk_id
+      |  FROM d),
+      |h AS (
+      |  SELECT doc_id, blk_id,
+      |    array_to_string(list_slice(toks,
+      |      blk_id * $ParaW + 1, blk_id * $ParaW + $ParaW), ' ') AS blk
+      |  FROM b),
+      |k AS (
+      |  SELECT doc_id, blk_id, blk,
+      |    row_number() OVER (PARTITION BY md5(blk)
+      |      ORDER BY doc_id, blk_id) = 1 AS keep
+      |  FROM h)
+      |SELECT doc_id, count(*) AS n_blocks,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  -- COALESCE: an all-dropped doc's FILTERed list() is NULL in
+      |  -- DuckDB but an empty array under Spark's collect_list — both
+      |  -- must hash the empty string
+      |  md5(array_to_string(COALESCE(list(blk ORDER BY blk_id)
+      |    FILTER (WHERE keep), []), ' ')) AS kept_fp
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph" -> (paragraphDedup _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact" -> (exact _),
     "dedup_substring" -> (substringSpans _),
@@ -1054,6 +1134,7 @@ object DedupOps {
   // def, not val: the simhash/minhash mirrors embed the persisted-frame
   // paths recorded when the queries last ran (Verify dumps afterwards)
   def oracle: Map[String, String] = Map(
+    "dedup_paragraph" -> paragraphDedupSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact" -> exactSql,
     "dedup_substring" -> substringSpansSql,

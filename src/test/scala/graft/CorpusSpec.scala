@@ -151,6 +151,61 @@ class CorpusSpec extends SparkSpec {
       s"merge sequence diverged:\n got   ${got.toSeq}\n expect $expect")
   }
 
+  test("bpe_encode matches an in-memory re-encode with the learned merges") {
+    import org.apache.spark.sql.functions.col
+    // reference: take bpeFit's merge table (already pinned against the
+    // reference TRAINER above) and re-apply it greedily left-to-right
+    // in memory; the distributed encode must agree doc-for-doc on both
+    // the token count and the full-sequence fingerprint
+    val merges = graft.ops.CorpusOps.bpeFit(spark, sf0001)
+      .map { case (_, l, r, _) => (l, r) }
+    val expect = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { row =>
+        var d = row.getString(1).split(' ').filter(_.nonEmpty).toVector
+        val n0 = d.length.toLong
+        merges.foreach { case (l, r) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < d.length) {
+            if (i + 1 < d.length && d(i) == l && d(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += d(i); i += 1 }
+          }
+          d = out.result()
+        }
+        row.getLong(0) -> ((n0, d.length.toLong,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(d.mkString(" ").getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString))
+      }.toMap
+    val got = SparkEntry.queries("bpe_encode")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_bpe"),
+          r.getAs[String]("enc_fp")))).toMap
+    assert(got == expect)
+    // the encode must compress: 8 learned merges applied corpus-wide
+    assert(got.values.map(v => v._1 - v._2).sum > 0)
+  }
+
+  test("source_quota caps every source at QuotaCap with a dense deterministic rank") {
+    import graft.ops.CorpusOps.QuotaCap
+    val rows = SparkEntry.queries("source_quota")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("rk"), r.getAs[Int]("kept")))
+    val bySrc = rows.groupBy(_._2)
+    bySrc.foreach { case (src, rs) =>
+      // ranks are a dense permutation of 1..n within the source
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq, src)
+      // exactly min(cap, n) docs kept
+      assert(rs.count(_._4 == 1) == math.min(QuotaCap, rs.length), src)
+    }
+    // content-addressed: a second run picks the identical kept set
+    val again = SparkEntry.queries("source_quota")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("kept")))
+    assert(again.toSeq == rows.map(r => (r._1, r._4)).toSeq)
+  }
+
   test("count-min sketch estimates match exact counts and are partition-invariant") {
     import graft.expr.{functions => gf}
     import graft.ops.CorpusOps.{CmsDepth, CmsWidth}

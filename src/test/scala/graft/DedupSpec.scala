@@ -298,4 +298,52 @@ class DedupSpec extends SparkSpec {
     assert(incr == expected,
       s"incremental $incr differs from from-scratch-restricted $expected")
   }
+
+  test("dedup_paragraph drops a repeated block but keeps the host documents") {
+    import spark.implicits._
+    import graft.ops.DedupOps.ParaW
+    val w = ParaW.toInt
+    // doc0 = X ++ Y, doc1 = X ++ Z (X is a shared 32-token block: the
+    // boilerplate paragraph); doc2 is all-fresh. Paragraph dedup must
+    // drop doc1's copy of X (first occurrence is doc0's), keep Y and Z
+    // intact, and leave doc2 untouched — sub-document granularity that
+    // doc-level dedup cannot express (doc0 != doc1 as whole texts).
+    val X = (0 until w).map(i => s"x$i").mkString(" ")
+    val Y = (0 until w).map(i => s"y$i").mkString(" ")
+    val Z = (0 until w).map(i => s"z$i").mkString(" ")
+    val dir = Files.createTempDirectory("graft-para").toString
+    Seq((0L, s"$X $Y", "en", "s0"), (1L, s"$X $Z", "en", "s1"),
+        (2L, (0 until w).map(i => s"w$i").mkString(" "), "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("dedup_paragraph")(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_blocks"), x.getAs[Long]("n_kept"),
+          x.getAs[String]("kept_fp")))).toMap
+    assert(r(0L) == ((2L, 2L, md5Hex(s"$X $Y"))))
+    assert(r(1L) == ((2L, 1L, md5Hex(Z)))) // X dropped, Z survives
+    assert(r(2L)._1 == 1L && r(2L)._2 == 1L)
+  }
+
+  test("dedup_paragraph: a fully-duplicated doc reduces to the empty fingerprint") {
+    import spark.implicits._
+    import graft.ops.DedupOps.ParaW
+    val w = ParaW.toInt
+    val X = (0 until w).map(i => s"x$i").mkString(" ")
+    val dir = Files.createTempDirectory("graft-para2").toString
+    Seq((0L, X, "en", "s0"), (1L, X, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("dedup_paragraph")(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_kept"), x.getAs[String]("kept_fp")))).toMap
+    assert(r(0L) == ((1L, md5Hex(X))))
+    assert(r(1L) == ((0L, md5Hex("")))) // survives as a row, fp of ""
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 }

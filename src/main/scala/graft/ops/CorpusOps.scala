@@ -997,6 +997,55 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- BPE tokenize-and-pack (the pretraining exporter end to end) ----
+  // Composes the tokenizer loop with sequence packing: documents are
+  // BPE-encoded with the trained merges (fit shared content-keyed with
+  // bpe_train/bpe_encode) and packed concatenate-then-chunk into
+  // [[PackBudget]]-token bins — by the REAL post-merge token counts, not
+  // the whitespace proxy seq_pack bins on. Same scale shape as seq_pack:
+  // the encode is a stateless codegen fold, sharding is content-addressed
+  // (fingerprint mod [[PackShards]]), and each shard's prefix sum is an
+  // independent window — no global ORDER BY anywhere, so 100 TB packs as
+  // |shards| independent linear passes.
+  private val PackShards = 8L
+  private val PackBudget = 2048L
+
+  private def tokenizePack(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFit(s, dir)
+    val toks0 = filter(split(col("text"), " "), x => x =!= lit(""))
+    val encoded = merges.foldLeft(toks0) { case (c, (_, l, r, _)) =>
+      gf.bpe_merge(c, lit(l), lit(r))
+    }
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      gf.fingerprint(col("text")).as("fp"),
+      size(encoded).cast("long").as("n_bpe"))
+    val w = Window.partitionBy("shard").orderBy("fp", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("shard", col("fp") % PackShards)
+      .withColumn("start_off", sum(col("n_bpe")).over(w) - col("n_bpe"))
+      .groupBy(col("shard"),
+        expr(s"start_off DIV $PackBudget").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("n_tokens"))
+      .orderBy("shard", "bin")
+  }
+
+  private val tokenizePackSql =
+    s"""WITH ${bpeCtes(finalRewrite = true)},
+       |dd AS (
+       |  SELECT d.doc_id, ${TextOps.fingerprintFoldSql("d.text")} AS fp,
+       |    CAST(len(te.toks) AS BIGINT) AS n_bpe
+       |  FROM documents d JOIN t$BpeMerges te USING (doc_id)),
+       |p AS (
+       |  SELECT doc_id, fp % $PackShards AS shard, n_bpe,
+       |    sum(n_bpe) OVER (PARTITION BY fp % $PackShards
+       |      ORDER BY fp, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe
+       |      AS start_off
+       |  FROM dd)
+       |SELECT shard, CAST(start_off AS BIGINT) // $PackBudget AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+       |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+
   // ---- per-source document quota (domain cap) ----
   // The C4/Common-Crawl-style guard against any one domain dominating the
   // mixture: cap each source at [[QuotaCap]] documents, keeping a
@@ -1052,6 +1101,7 @@ object CorpusOps {
     "freq_sketch" -> (freqSketch _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
+    "tokenize_pack" -> (tokenizePack _),
     "source_quota" -> (sourceQuota _))
 
   val oracle: Map[String, String] = Map(
@@ -1070,5 +1120,6 @@ object CorpusOps {
     "embed_quantize" -> embedQuantizeSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
+    "tokenize_pack" -> tokenizePackSql,
     "source_quota" -> sourceQuotaSql)
 }

@@ -188,6 +188,23 @@ class CorpusSpec extends SparkSpec {
     assert(got.values.map(v => v._1 - v._2).sum > 0)
   }
 
+  test("tokenize_pack conserves the BPE token mass and packs contiguous bins") {
+    val enc = SparkEntry.queries("bpe_encode")(spark, sf0001).collect()
+    val totalBpe = enc.map(_.getAs[Long]("n_bpe")).sum
+    val packs = SparkEntry.queries("tokenize_pack")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    // conservation: every BPE token of every doc lands in exactly one bin
+    assert(packs.map(_._4).sum == totalBpe)
+    assert(packs.map(_._3).sum == enc.length.toLong)
+    // contiguity: each shard's bins are 0..max with no holes (a hole
+    // would mean a >budget gap in the prefix sum, which cannot happen)
+    packs.groupBy(_._1).foreach { case (shard, bins) =>
+      val ids = bins.map(_._2).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq, s"shard $shard")
+    }
+  }
+
   test("source_quota caps every source at QuotaCap with a dense deterministic rank") {
     import graft.ops.CorpusOps.QuotaCap
     val rows = SparkEntry.queries("source_quota")(spark, sf0001).collect()

@@ -1197,6 +1197,78 @@ object SimilarityOps {
        |SELECT a_id, c_id AS neg_id, cos_sim, CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= $HnK ORDER BY a_id, rank""".stripMargin
 
+  // ---- corpus-wide k-NN graph ----
+  // The neighbor graph SemDeDup-style semantic curation, graph-based
+  // cluster refinement, and label propagation all start from: for EVERY
+  // vector, its KnnK nearest neighbors by cosine. Structurally
+  // hard_negatives without the label exclusion (self excluded by id) —
+  // and it REUSES hard_negatives' persisted cell frames verbatim
+  // (persistForOracle is write-once per dataset content, so whichever of
+  // the two queries runs first pays the index build; the production
+  // amortization of sharing one coarse quantizer across consumers).
+  // Scale shape is identical: constant-occupancy cells keep total work
+  // O(N); the candidate join moves (id, cell) pairs only; vectors enter
+  // through two id-keyed joins at the exact-cosine rank.
+  private[graft] val KnnK = 4
+
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val model = fitMiningModel(s, dir)
+    val emb = t(s, dir, "embeddings")
+    val idx = persistO(s, dir, "hn_idx",
+      emb.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        explode(miningCells(model, col("embedding"), MineAssign))
+          .as("cell")))
+    val pr = persistO(s, dir, "hn_probe",
+      emb.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        explode(miningCells(model, col("embedding"), MineProbe))
+          .as("cell")))
+    val e = normed(s, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("norm").as("a_norm"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"))
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    // same pre-join spread as hard_negatives (see the comment there)
+    pr.repartition(s.sessionState.conf.numShufflePartitions,
+        col("cell"), col("a_id"))
+      .join(idx, "cell")
+      .filter(col("a_id") =!= col("c_id"))
+      .select("a_id", "c_id").distinct()
+      .join(a, "a_id")
+      .join(c, "c_id")
+      .select(col("a_id"), col("c_id"),
+        (vdot(col("a_emb"), col("c_emb")) / (col("a_norm") * col("c_norm")))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("a_id").as("vec_id"), col("c_id").as("nbr_id"),
+        col("cos_sim"), col("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  private def knnGraphSql: String =
+    s"""WITH n AS ($normedSql),
+       |idx AS (SELECT * FROM read_parquet('${pth("hn_idx")}/*.parquet')),
+       |pr AS (SELECT * FROM read_parquet('${pth("hn_probe")}/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT pr.a_id, idx.c_id
+       |  FROM pr JOIN idx USING (cell)
+       |  WHERE pr.a_id <> idx.c_id),
+       |sims AS (
+       |  SELECT cand.a_id, cand.c_id,
+       |    ${vdotSql("ae.embedding", "ce.embedding")} / (ae.norm * ce.norm)
+       |      AS cos_sim
+       |  FROM cand
+       |  JOIN n ae ON ae.vec_id = cand.a_id
+       |  JOIN n ce ON ce.vec_id = cand.c_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY cos_sim DESC, c_id) AS rank
+       |  FROM sims)
+       |SELECT a_id AS vec_id, c_id AS nbr_id, cos_sim, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
+
   // ---- PCA whitening ----
   // Distributed fit, driver eigensolve, distributed apply — the standard
   // embedding-preprocessing pass (whitening before cosine/ANN, e.g.
@@ -1322,6 +1394,7 @@ object SimilarityOps {
     "simsearch_ivfrq" -> (ivfRqTopK _),
     "simsearch_ivfopq" -> (ivfOpqTopK _),
     "hard_negatives" -> (hardNegatives _),
+    "knn_graph" -> (knnGraph _),
     "embed_pca" -> (embedPca _),
     "embed_centroids" -> (embedCentroids _))
 
@@ -1336,6 +1409,7 @@ object SimilarityOps {
     "simsearch_ivfrq" -> ivfRqSql,
     "simsearch_ivfopq" -> ivfOpqSql,
     "hard_negatives" -> hardNegativesSql,
+    "knn_graph" -> knnGraphSql,
     "embed_pca" -> embedPcaSql,
     "embed_centroids" -> embedCentroidsSql)
 }

@@ -397,6 +397,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"hard-negative recall $recall%.2f below 0.8")
   }
 
+  test("knn_graph serves every vector with recall vs the brute neighbor graph") {
+    val knn = SparkEntry.queries("knn_graph")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("nbr_id"),
+        x.getAs[Int]("rank"), x.getAs[Double]("cos_sim")))
+    val e = graft.Tables(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+        (r.getLong(0), v, n)
+      }
+    assert(knn.map(_._1).distinct.length == e.length, "vectors missing")
+    assert(knn.forall { case (a, n, _, _) => a != n }, "self loop")
+    knn.groupBy(_._1).foreach { case (a, rows) =>
+      val sims = rows.sortBy(_._3).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y },
+        s"vector $a similarities increase with rank")
+    }
+    val brute = e.flatMap { case (a, av, an) =>
+      e.filter(_._1 != a)
+        .map { case (c, cv, cn) =>
+          val dot = av.zip(cv).map { case (x, y) => x.toDouble * y.toDouble }.sum
+          (a, c, dot / (an * cn))
+        }.sortBy { case (_, c, s) => (-s, c) }.take(graft.ops.SimilarityOps.KnnK)
+    }.map { case (a, c, _) => (a, c) }.toSet
+    val got = knn.map { case (a, n, _, _) => (a, n) }.toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"knn-graph recall@${graft.ops.SimilarityOps.KnnK} = $recall%.2f")
+    assert(recall >= 0.8, f"knn-graph recall $recall%.2f below 0.8")
+  }
+
   test("PCA whitening yields centered, unit-variance, uncorrelated components") {
     val P = graft.ops.SimilarityOps.PcaP
     val rows = SparkEntry.queries("embed_pca")(spark, sf0001)

@@ -362,7 +362,68 @@ object TextOps {
        |  reason, reason IS NULL AS keep
        |FROM gated ORDER BY doc_id""".stripMargin
 
+  // ---- token-distribution entropy ----
+  // Shannon entropy of each document's token distribution — the
+  // diversity signal between `text_quality`'s crude uniq_frac and a full
+  // LM score: word salad maximizes it, boilerplate repetition minimizes
+  // it, so curation pipelines cut both tails. Fixed-point discipline
+  // (the text_lm_score rule): each distinct token's log-probability is
+  // discretized ONCE — round(ln(c/n)·1e6) AS BIGINT — then the per-doc
+  // sum/divide runs in exact integer arithmetic in both engines, so
+  // engine ulp drift cannot reach the output. entropy_fp is the entropy
+  // in nats ×10⁶.
+  //
+  // Plan shape: one (doc_id, tok) count aggregate, a doc_id-keyed window
+  // for the token total (per-key rows = distinct tokens per doc —
+  // bounded), one doc_id re-agg. Linear, three narrow exchanges, nothing
+  // driver-side.
+  private def entropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), x => x =!= lit(""))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("doc_id")
+    cnt
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("lp", round(log(col("c").cast("double") /
+        col("n").cast("double")) * CorpusOps.LmScale).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tok"),
+        // cnt's rows are already distinct (doc_id, tok): plain count IS
+        // the distinct-token count, no expand needed
+        count(lit(1)).as("n_uniq"),
+        // c·lp sums are ≤ 0 and H = −Σ(c/n)·lp: negating BEFORE the DIV
+        // both applies the entropy sign and makes the dividend
+        // nonnegative, where Spark's truncate and DuckDB's floor agree
+        expr("(-sum(c * lp)) DIV max(n)").as("entropy_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val entropySql =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+       |p AS (
+       |  SELECT doc_id, tok, c,
+       |    sum(c) OVER (PARTITION BY doc_id) AS n
+       |  FROM cnt),
+       |lp AS (
+       |  SELECT doc_id, c, n,
+       |    CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ${CorpusOps.LmScale}) AS BIGINT) AS lp
+       |  FROM p)
+       |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tok,
+       |  count(*) AS n_uniq,
+       |  (-CAST(sum(c * lp) AS BIGINT)) // CAST(max(n) AS BIGINT)
+       |    AS entropy_fp
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (entropy _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
     "text_tokens" -> (tokens _),
@@ -373,6 +434,7 @@ object TextOps {
     "quality_gate" -> (qualityGate _))
 
   val oracle: Map[String, String] = Map(
+    "text_entropy" -> entropySql,
     "text_quality" -> qualitySql,
     "text_langid" -> langidSql,
     "text_tokens" -> tokensSql,

@@ -188,6 +188,34 @@ class CorpusSpec extends SparkSpec {
     assert(got.values.map(v => v._1 - v._2).sum > 0)
   }
 
+  test("text_entropy: zero for constant docs, ln(n) for uniform, bounded between") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ent").toString
+    Seq((0L, "a a a a a a a a"),         // constant → H = 0
+        (1L, "a b c d e f g h"),         // uniform over 8 → H = ln 8
+        (2L, "a a a a b b c d"))         // mixed → 0 < H < ln 4
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_entropy")(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_uniq"), x.getAs[Long]("entropy_fp")))).toMap
+    val scale = graft.ops.CorpusOps.LmScale
+    assert(r(0L) == ((1L, 0L)))
+    assert(math.abs(r(1L)._2 - math.round(math.log(8) * scale)) <= 8,
+      s"uniform entropy ${r(1L)._2} != ln(8)*1e6")
+    val h2 = r(2L)._2
+    assert(h2 > 0 && h2 < math.round(math.log(4) * scale), s"mixed entropy $h2")
+    // corpus-wide bound: H <= ln(n_uniq) (+ discretization slack)
+    SparkEntry.queries("text_entropy")(spark, sf0001).collect().foreach { x =>
+      val (u, h) = (x.getAs[Long]("n_uniq"), x.getAs[Long]("entropy_fp"))
+      assert(h >= 0 && h <= math.round(math.log(u.toDouble) * scale) + u,
+        s"doc ${x.getAs[Long]("doc_id")}: H=$h outside [0, ln($u)]")
+    }
+  }
+
   test("tokenize_pack conserves the BPE token mass and packs contiguous bins") {
     val enc = SparkEntry.queries("bpe_encode")(spark, sf0001).collect()
     val totalBpe = enc.map(_.getAs[Long]("n_bpe")).sum

@@ -1211,7 +1211,7 @@ object SimilarityOps {
   // through two id-keyed joins at the exact-cosine rank.
   private[graft] val KnnK = 4
 
-  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  private def knnCore(s: SparkSession, dir: String): DataFrame = {
     val model = fitMiningModel(s, dir)
     val emb = t(s, dir, "embeddings")
     val idx = persistO(s, dir, "hn_idx",
@@ -1244,11 +1244,15 @@ object SimilarityOps {
       .filter(col("rank") <= KnnK)
       .select(col("a_id").as("vec_id"), col("c_id").as("nbr_id"),
         col("cos_sim"), col("rank"))
-      .orderBy("vec_id", "rank")
   }
 
-  private def knnGraphSql: String =
-    s"""WITH n AS ($normedSql),
+  private def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnCore(s, dir).orderBy("vec_id", "rank")
+
+  /** Shared CTE chain of the k-NN graph mirror, extended by the
+    * label-propagation mirror below. */
+  private def knnCtes: String =
+    s"""n AS ($normedSql),
        |idx AS (SELECT * FROM read_parquet('${pth("hn_idx")}/*.parquet')),
        |pr AS (SELECT * FROM read_parquet('${pth("hn_probe")}/*.parquet')),
        |cand AS (
@@ -1265,9 +1269,55 @@ object SimilarityOps {
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY a_id
        |    ORDER BY cos_sim DESC, c_id) AS rank
-       |  FROM sims)
+       |  FROM sims)""".stripMargin
+
+  private def knnGraphSql: String =
+    s"""WITH $knnCtes
        |SELECT a_id AS vec_id, c_id AS nbr_id, cos_sim, CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
+
+  // ---- k-NN label propagation ----
+  // The pseudo-labeling step over the neighbor graph: each vector's
+  // predicted label is the majority vote of its KnnK nearest neighbors
+  // (ties broken by smaller label — a total order, so both engines pick
+  // identically). The agreement flag against the vector's own label is
+  // the confusion signal semi-supervised pipelines threshold on.
+  // Incremental cost over knn_graph: one |edges| groupBy and two
+  // broadcast-scale joins of the (id, label) table — the graph build
+  // (shared persisted frames) dominates.
+  private def knnLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val lbl = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val votes = knnCore(s, dir)
+      .join(lbl.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), "nbr_id")
+      .groupBy("vec_id", "nbr_label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("votes").desc, col("nbr_label"))
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(lbl, "vec_id")
+      .select(col("vec_id"), col("label"),
+        col("nbr_label").as("pred_label"), col("votes"),
+        (col("label") === col("nbr_label")).as("agree"))
+      .orderBy("vec_id")
+  }
+
+  private def knnLabelPropSql: String =
+    s"""WITH $knnCtes,
+       |g AS (SELECT a_id, c_id FROM ranked WHERE rank <= $KnnK),
+       |votes AS (
+       |  SELECT g.a_id, e.label AS nbr_label, count(*) AS votes
+       |  FROM g JOIN embeddings e ON e.vec_id = g.c_id
+       |  GROUP BY 1, 2),
+       |pick AS (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY votes DESC, nbr_label) AS rn
+       |  FROM votes)
+       |SELECT p.a_id AS vec_id, e.label, p.nbr_label AS pred_label,
+       |  p.votes, e.label = p.nbr_label AS agree
+       |FROM pick p JOIN embeddings e ON e.vec_id = p.a_id
+       |WHERE p.rn = 1 ORDER BY vec_id""".stripMargin
 
   // ---- PCA whitening ----
   // Distributed fit, driver eigensolve, distributed apply — the standard
@@ -1395,6 +1445,7 @@ object SimilarityOps {
     "simsearch_ivfopq" -> (ivfOpqTopK _),
     "hard_negatives" -> (hardNegatives _),
     "knn_graph" -> (knnGraph _),
+    "knn_label_prop" -> (knnLabelProp _),
     "embed_pca" -> (embedPca _),
     "embed_centroids" -> (embedCentroids _))
 
@@ -1410,6 +1461,7 @@ object SimilarityOps {
     "simsearch_ivfopq" -> ivfOpqSql,
     "hard_negatives" -> hardNegativesSql,
     "knn_graph" -> knnGraphSql,
+    "knn_label_prop" -> knnLabelPropSql,
     "embed_pca" -> embedPcaSql,
     "embed_centroids" -> embedCentroidsSql)
 }

@@ -428,6 +428,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"knn-graph recall $recall%.2f below 0.8")
   }
 
+  test("knn_label_prop is the exact majority vote over the knn_graph edges") {
+    import org.apache.spark.sql.functions.col
+    val labels = graft.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = SparkEntry.queries("knn_graph")(spark, sf0001).collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("nbr_id")))
+    val expect = edges.groupBy(_._1).map { case (v, es) =>
+      val byLabel = es.map(e => labels(e._2)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.length) }
+      // majority, ties to the smaller label — the op's documented order
+      val (pl, n) = byLabel.toSeq.minBy { case (l, c) => (-c, l) }
+      v -> ((labels(v), pl, n.toLong, labels(v) == pl))
+    }
+    val got = SparkEntry.queries("knn_label_prop")(spark, sf0001).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        ((x.getAs[Int]("label"), x.getAs[Int]("pred_label"),
+          x.getAs[Long]("votes"), x.getAs[Boolean]("agree")))).toMap
+    assert(got.size == labels.size, "a vector is missing a prediction")
+    assert(got == expect)
+  }
+
   test("PCA whitening yields centered, unit-variance, uncorrelated components") {
     val P = graft.ops.SimilarityOps.PcaP
     val rows = SparkEntry.queries("embed_pca")(spark, sf0001)

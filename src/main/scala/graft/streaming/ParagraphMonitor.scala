@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.ops.DedupOps
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
+
+/** The streaming twin of the batch `dedup_paragraph` catalog query:
+  * block-level (CCNet-paragraph) dedup-on-arrival. Incoming documents are
+  * exploded into the SAME fixed [[DedupOps.ParaW]]-token blocks as the
+  * batch operator, keyed by block hash; the first arrival of a hash —
+  * within one batch, the minimum (doc_id, block_id), the batch query's
+  * exact tie order — claims it and every later occurrence streams out
+  * `kept = false`. Downstream reassembles each document from its kept
+  * blocks, exactly the batch pipeline's tail.
+  *
+  * State is ONE boolean per distinct block hash — no text, no ids —
+  * strictly smaller than [[DedupMonitor]]'s per-document carry relative
+  * to the corpus (block space is larger but each entry is a claim bit;
+  * a production deployment puts a TTL on it to bound the store).
+  *
+  * Exactness contract (the [[DedupMonitor]] discipline): when
+  * micro-batches partition the corpus in ascending doc_id order, the
+  * per-document (n_blocks, n_kept) aggregates of the emitted decisions
+  * over batches 1..k EQUAL the batch `dedup_paragraph` result on the
+  * union — first-arrival == global-first under ordered replay. Under
+  * arbitrary arrival order the keeper degrades to first-arrival, the
+  * honest streaming semantics.
+  */
+class ParagraphProcessor
+    extends StatefulProcessor[String, (String, Long, Long),
+      (String, Long, Long, Boolean)] {
+
+  @transient private var claimed: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    claimed = getHandle.getValueState[Boolean]("claimed",
+      Encoders.scalaBoolean, TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, Long)],
+      timers: TimerValues): Iterator[(String, Long, Long, Boolean)] = {
+    // (doc_id, blk_id) ascending — the batch window's total order, so
+    // the within-batch winner is the batch query's winner
+    val rs = rows.toArray.sortBy(r => (r._2, r._3))
+    if (rs.isEmpty) Iterator.empty
+    else {
+      val pre = claimed.exists() && claimed.get()
+      claimed.update(true)
+      rs.iterator.zipWithIndex.map { case ((h, d, b), i) =>
+        (h, d, b, !pre && i == 0)
+      }
+    }
+  }
+}
+
+object ParagraphMonitor {
+  /** Wire the processor over any (id, text) stream: emits one
+    * (block_hash, doc_id, blk_id, kept) decision per input block. The
+    * block derivation is expression-for-expression the batch
+    * `dedup_paragraph` explode, so the two agree on block boundaries by
+    * construction. */
+  def dedupBlocks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val W = DedupOps.ParaW
+    df.select(col(idCol).cast("long").as("doc_id"),
+        filter(split(col(textCol), " "), x => x =!= lit("")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_blk",
+        greatest(lit(1L), expr(s"(n_tok + ${W - 1}) DIV $W")))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0L, n_blk - 1)")).as("blk_id"))
+      .withColumn("blk", array_join(
+        slice(col("toks"), (col("blk_id") * W + 1).cast("int"),
+          lit(W.toInt)), " "))
+      .select(md5(col("blk")).as("h"), col("doc_id"), col("blk_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new ParagraphProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("block_hash", "doc_id", "blk_id", "kept")
+  }
+}

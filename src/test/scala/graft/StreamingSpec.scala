@@ -532,6 +532,71 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming paragraph dedup decisions equal the batch dedup_paragraph") {
+    import graft.streaming.ParagraphMonitor
+    val W = graft.ops.DedupOps.ParaW.toInt
+    // corpus = the real table plus, for every 5th doc, a later doc whose
+    // FIRST block is a verbatim copy of the original's first block and
+    // whose tail is a fresh unique token — so batch 2 re-delivers block
+    // content batch 1 ingested (the cross-batch claim path) while its
+    // second block stays unique (the kept path).
+    val aug = Files.createTempDirectory("graft-spara-corpus").toString
+    val base = Tables(spark, sf0001, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val planted = base.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+      .withColumn("text", concat(
+        array_join(slice(filter(split(col("text"), " "),
+          x => x =!= lit("")), 1, W), " "),
+        lit(" fresh"), col("doc_id").cast("string")))
+    base.unionByName(planted)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$aug/documents.parquet")
+    val docs = spark.read.parquet(s"$aug/documents.parquet")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-spara").toString
+    docs.filter(col("doc_id") < 100000L).write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = spark.readStream
+        .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+      val q = ParagraphMonitor.dedupBlocks(feed, "doc_id", "text")
+        .writeStream.format("memory").queryName("spara").outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        docs.filter(col("doc_id") >= 100000L).write.parquet(s"$dir/b2")
+        q.processAllAvailable()
+        // each block decided exactly once; per-doc aggregates must equal
+        // the batch operator on the union corpus
+        val streamed = spark.table("spara").collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        val perDoc = streamed.groupBy(_._1).map { case (d, rs) =>
+          d -> ((rs.length.toLong, rs.count(_._3).toLong))
+        }
+        val batch = SparkEntry.queries("dedup_paragraph")(spark, aug)
+          .collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_kept")))).toMap
+        assert(perDoc == batch,
+          s"streaming paragraph decisions diverged (${perDoc.size} vs ${batch.size} docs)")
+        // the cross-batch path must actually fire: a planted doc whose
+        // ORIGINAL had >= W tokens carries 2 blocks — block 0 a verbatim
+        // copy claimed in batch 1 (dropped), block 1 the fresh token
+        // (kept) — so exactly 1 of 2 survives; originals shorter than W
+        // produce a single genuinely-new block, kept
+        val plantedDocs = perDoc.filter(_._1 >= 100000L)
+        val twoBlock = plantedDocs.filter(_._2._1 == 2L)
+        assert(twoBlock.nonEmpty, "fixture lost its cross-batch duplicates")
+        assert(twoBlock.forall(_._2._2 == 1L),
+          "a re-delivered first block was not dropped")
+        assert(plantedDocs.filter(_._2._1 == 1L).forall(_._2._2 == 1L),
+          "a genuinely-new short block was dropped")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming MinHash dedup over micro-batches equals batch dedup_incremental") {
     import graft.streaming.MinhashMonitor
     // Corpus: the real table plus two planted copy sets chosen by residue

@@ -1046,6 +1046,148 @@ object CorpusOps {
        |  count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS n_tokens
        |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
 
+  // ---- URL canonicalization ----
+  // The prerequisite of URL-level dedup in web-crawl curation: two
+  // spellings of one page must canonicalize identically before the hash
+  // groupBy. The synthetic corpus carries no URLs, so (the pii_redact
+  // convention) both engines seed an identical deterministic messy URL
+  // per doc — upper-cased host, sometimes an explicit default port,
+  // tracking params, a fragment — then canonicalize: drop the fragment,
+  // lowercase scheme+host, strip :443, drop utm_* params, sort the rest.
+  // Every step is a stateless string kernel (RE2-safe regexes, split/
+  // sort/join on codegen'd builtins) — embarrassingly parallel, and the
+  // downstream dedup is an ordinary hash groupBy on canon_url.
+  private def urlCanon(s: SparkSession, dir: String): DataFrame = {
+    val seeded = t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("https://WWW.Site"), (col("doc_id") % 50).cast("string"),
+        lit(".Example.COM"),
+        when(col("doc_id") % 2 === 0, ":443").otherwise(""),
+        lit("/Path/"), col("doc_id").cast("string"),
+        lit("?b=2&a="), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, "&utm_source=feed").otherwise(""),
+        lit("#sec"), (col("doc_id") % 5).cast("string")).as("url"))
+    seeded
+      .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("head", regexp_replace(lower(
+        concat_ws("/", slice(split(col("nofrag"), "/"), 1, 3))), ":443$", ""))
+      .withColumn("rest",
+        array_join(slice(split(col("nofrag"), "/"), 4, Int.MaxValue), "/"))
+      .withColumn("path", element_at(split(col("rest"), "\\?"), 1))
+      .withColumn("qp", when(size(split(col("rest"), "\\?")) > 1,
+        element_at(split(col("rest"), "\\?"), 2)).otherwise(""))
+      .withColumn("params", array_join(array_sort(filter(split(col("qp"), "&"),
+        x => x =!= lit("") && !x.startsWith("utm_"))), "&"))
+      .select(col("doc_id"), col("url"),
+        concat(col("head"), lit("/"), col("path"),
+          when(col("params") =!= "", concat(lit("?"), col("params")))
+            .otherwise("")).as("canon_url"))
+      .orderBy("doc_id")
+  }
+
+  private val urlCanonSql =
+    """WITH se AS (
+      |  SELECT doc_id,
+      |    'https://WWW.Site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '.Example.COM' ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+      |    '/Path/' || CAST(doc_id AS VARCHAR) ||
+      |    '?b=2&a=' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END ||
+      |    '#sec' || CAST(doc_id % 5 AS VARCHAR) AS url
+      |  FROM documents),
+      |nf AS (
+      |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+      |  FROM se),
+      |sp AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(lower(array_to_string(
+      |      string_split(nofrag, '/')[1:3], '/')), ':443$', '') AS head,
+      |    array_to_string(string_split(nofrag, '/')[4:], '/') AS rest
+      |  FROM nf),
+      |pq AS (
+      |  SELECT doc_id, url, head,
+      |    string_split(rest, '?')[1] AS path,
+      |    CASE WHEN len(string_split(rest, '?')) > 1
+      |         THEN string_split(rest, '?')[2] ELSE '' END AS qp
+      |  FROM sp),
+      |pr AS (
+      |  SELECT doc_id, url, head, path,
+      |    array_to_string(list_sort(list_filter(string_split(qp, '&'),
+      |      t -> t <> '' AND NOT starts_with(t, 'utm_'))), '&') AS params
+      |  FROM pq)
+      |SELECT doc_id, url,
+      |  head || '/' || path ||
+      |    CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canon_url
+      |FROM pr ORDER BY doc_id""".stripMargin
+
+  // ---- corpus datasheet (per-source × lang report) ----
+  // The "data card" table a dataset release ships: per (source, lang) —
+  // document and exact-duplicate counts, token mass, vocabulary size,
+  // and the GROUP-level token entropy (corpus diversity, the
+  // text_entropy signal lifted from document to slice granularity). All
+  // measures are integers or fixed-point (dup rate in ppm, entropy in
+  // nats ×10⁶ via the once-discretized-ln rule), so the oracle is exact.
+  //
+  // Plan shape: one (source, lang) agg with an embedded distinct on the
+  // content hash; one (source, lang, token) agg — the big shuffle,
+  // map-side combined to per-partition vocab — then a group window over
+  // vocab-bounded rows and a re-agg. |groups| = |sources|·|langs|, so
+  // everything after the token agg is tiny at any corpus size.
+  private def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.groupBy("source", "lang").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_distinct"))
+    val cnt = docs.select(col("source"), col("lang"),
+        explode(filter(split(col("text"), " "), x => x =!= lit("")))
+          .as("tok"))
+      .groupBy("source", "lang", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source", "lang")
+    val ent = cnt
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("lp", round(log(col("c").cast("double") /
+        col("n").cast("double")) * LmScale).cast("bigint"))
+      .groupBy("source", "lang")
+      .agg(max(col("n")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        expr("(-sum(c * lp)) DIV max(n)").as("entropy_fp"))
+    base.join(ent, Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_distinct"),
+        expr("((n_docs - n_distinct) * 1000000) DIV n_docs").as("dup_ppm"),
+        col("n_tokens"), expr("n_tokens DIV n_docs").as("avg_tok"),
+        col("vocab"), col("entropy_fp"))
+      .orderBy("source", "lang")
+  }
+
+  private val corpusReportSql =
+    s"""WITH base AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |    count(DISTINCT md5(text)) AS n_distinct
+       |  FROM documents GROUP BY 1, 2),
+       |tk AS (
+       |  SELECT source, lang,
+       |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT source, lang, tok, count(*) AS c FROM tk GROUP BY 1, 2, 3),
+       |p AS (
+       |  SELECT source, lang, c,
+       |    sum(c) OVER (PARTITION BY source, lang) AS n
+       |  FROM cnt),
+       |ent AS (
+       |  SELECT source, lang, CAST(max(n) AS BIGINT) AS n_tokens,
+       |    count(*) AS vocab,
+       |    (-CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE) /
+       |        CAST(n AS DOUBLE)) * $LmScale) AS BIGINT)) AS BIGINT))
+       |      // CAST(max(n) AS BIGINT) AS entropy_fp
+       |  FROM p GROUP BY 1, 2)
+       |SELECT source, lang, n_docs, n_distinct,
+       |  ((n_docs - n_distinct) * 1000000) // n_docs AS dup_ppm,
+       |  n_tokens, n_tokens // n_docs AS avg_tok, vocab, entropy_fp
+       |FROM base JOIN ent USING (source, lang)
+       |ORDER BY source, lang""".stripMargin
+
   // ---- per-source document quota (domain cap) ----
   // The C4/Common-Crawl-style guard against any one domain dominating the
   // mixture: cap each source at [[QuotaCap]] documents, keeping a
@@ -1102,7 +1244,9 @@ object CorpusOps {
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
     "tokenize_pack" -> (tokenizePack _),
-    "source_quota" -> (sourceQuota _))
+    "source_quota" -> (sourceQuota _),
+    "url_canon" -> (urlCanon _),
+    "corpus_report" -> (corpusReport _))
 
   val oracle: Map[String, String] = Map(
     "quality_classifier" -> qualityClassifierSql,
@@ -1121,5 +1265,7 @@ object CorpusOps {
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
     "tokenize_pack" -> tokenizePackSql,
-    "source_quota" -> sourceQuotaSql)
+    "source_quota" -> sourceQuotaSql,
+    "url_canon" -> urlCanonSql,
+    "corpus_report" -> corpusReportSql)
 }

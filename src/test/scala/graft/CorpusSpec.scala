@@ -188,6 +188,57 @@ class CorpusSpec extends SparkSpec {
     assert(got.values.map(v => v._1 - v._2).sum > 0)
   }
 
+  test("corpus_report reconciles with a direct recomputation of each slice") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("source"), col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expect = docs.groupBy(d => (d._1, d._2)).map { case (k, ds) =>
+      val nTok = ds.map(_._3.split(' ').count(_.nonEmpty).toLong).sum
+      k -> ((ds.length.toLong, ds.map(_._3).distinct.length.toLong, nTok))
+    }
+    val got = SparkEntry.queries("corpus_report")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_ppm"),
+          r.getAs[Long]("vocab"), r.getAs[Long]("entropy_fp")))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, (nd, nu, nt)) =>
+      val g = got(k)
+      assert((g._1, g._2, g._3) == ((nd, nu, nt)), s"slice $k basic counts")
+      assert(g._4 == (nd - nu) * 1000000L / nd, s"slice $k dup_ppm")
+      // entropy bounded by ln(vocab) plus discretization slack
+      assert(g._6 >= 0 &&
+        g._6 <= math.round(math.log(g._5.toDouble) * 1e6) + g._5,
+        s"slice $k entropy ${g._6} outside [0, ln(${g._5})]")
+    }
+  }
+
+  test("url_canon lowercases hosts, strips :443/fragments/utm, sorts params") {
+    val rows = SparkEntry.queries("url_canon")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("url"),
+        r.getAs[String]("canon_url")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, url, canon) =>
+      assert(!canon.contains("#"), s"$id fragment kept")
+      assert(!canon.contains(":443"), s"$id default port kept")
+      assert(!canon.contains("utm_"), s"$id tracking param kept")
+      val host = canon.split('/')(2)
+      assert(host == host.toLowerCase, s"$id host not lowercased")
+      assert(canon.split('/')(3) == "Path", s"$id path case must survive")
+      // params sorted ascending
+      val q = canon.split('\\').head.split('?')
+      if (q.length > 1) {
+        val ps = q(1).split('&').toSeq
+        assert(ps == ps.sorted, s"$id params unsorted: ${q(1)}")
+      }
+      assert(url != canon, s"$id seed was already canonical")
+    }
+    // a spot-checked exact value: doc 6 is even (port) and %3==0 (utm)
+    val six = rows.find(_._1 == 6L).get
+    assert(six._3 == "https://www.site6.example.com/Path/6?a=6&b=2", six._3)
+  }
+
   test("text_entropy: zero for constant docs, ln(n) for uniform, bounded between") {
     import org.apache.spark.sql.functions.{col, length, lit}
     import spark.implicits._

@@ -422,7 +422,146 @@ object TextOps {
        |    AS entropy_fp
        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- winnowing fingerprints (Schleimer et al. 2003, MOSS) ----
+  // The local-similarity dedup primitive the shingle/MinHash family
+  // lacks: selecting the MINIMUM k-gram hash in every sliding window
+  // guarantees any shared run of ≥ w+k−1 tokens contributes at least one
+  // IDENTICAL selected print to both documents — so overlap detection
+  // needs only an equi-join on prints, with a density bound of ~2/(w+1)
+  // selected per gram. Position hashes reuse the mirrored fingerprint
+  // fold; window minima and dedup are codegen'd array lambdas — one
+  // stateless projection per document, no shuffle until the pair join.
+  private[ops] val WinnowK = 3 // k-gram (words)
+  private[ops] val WinnowW = 4 // window (grams)
+
+  /** Per-doc selected winnowing prints, RELATIONAL: one posexplode emits
+    * each k-gram hash exactly once (the fingerprint kernel runs once per
+    * gram — the first formulation nested the gram array inside a
+    * per-window lambda, re-evaluating the whole array per window in
+    * interpreted higher-order functions: 60+ s on 500 docs), then ONE
+    * doc-keyed sliding-frame window takes each window's minimum —
+    * codegen'd, O(m·w) per doc, and the exact shape a 100 TB corpus
+    * needs (the only exchange is the doc_id window key). The frame
+    * clamps at the partition end, which also yields the correct
+    * global-min selection for docs with fewer grams than the window. */
+  private def winnowPrints(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("text"), " "), x => x =!= lit(""))
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), posexplode(when(size(col("toks")) >= WinnowK,
+        expr(s"transform(slice(toks, 1, size(toks) - ${WinnowK - 1})," +
+          " (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)," +
+          " element_at(toks, i + 3)))"))
+        .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("pos"), gf.fingerprint(col("col")).as("h"))
+    val wmin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val wcnt = Window.partitionBy("doc_id")
+    grams
+      .withColumn("m", count(lit(1)).over(wcnt))
+      .withColumn("wm", min(col("h")).over(wmin))
+      // window start positions: 0..m-W (frame clamps); a short doc
+      // (m < W) keeps only pos 0, whose clamped frame is the global min
+      .filter(col("pos") <= greatest(lit(0), col("m") - WinnowW))
+      .select(col("doc_id"), col("m").as("n_grams"), col("wm").as("print"))
+      .distinct()
+  }
+
+  private def winnowCte: String = {
+    val sh = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+    s"""wt AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |wg AS (
+       |  SELECT doc_id, i - 1 AS pos, ${fingerprintFoldSql(sh)} AS h
+       |  FROM wt, unnest(range(1, len(toks) - ${WinnowK - 2})) u(i)
+       |  WHERE len(toks) >= $WinnowK),
+       |ww AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY doc_id) AS m,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm
+       |  FROM wg),
+       |ws AS (
+       |  SELECT DISTINCT doc_id, m AS n_grams, wm AS print
+       |  FROM ww WHERE pos <= greatest(0, m - $WinnowW))""".stripMargin
+  }
+
+  private def winnow(s: SparkSession, dir: String): DataFrame = {
+    val sel = winnowPrints(s, dir)
+      .groupBy("doc_id")
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_sel"),
+        md5(array_join(transform(array_sort(collect_list(col("print"))),
+          _.cast("string")), ",")).as("sel_fp"))
+    // docs too short for a single gram still get a row (0 prints)
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        coalesce(col("sel_fp"), lit(md5Empty)).as("sel_fp"))
+      .orderBy("doc_id")
+  }
+
+  // md5("") — the fingerprint of an empty selection, kept literal so the
+  // gram-less branch needs no md5 evaluation at all
+  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+
+  private val winnowSql =
+    s"""WITH ${winnowCte},
+       |agg AS (
+       |  SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
+       |    count(*) AS n_sel,
+       |    md5(array_to_string(list_transform(list_sort(list(print)),
+       |      x -> CAST(x AS VARCHAR)), ',')) AS sel_fp
+       |  FROM ws GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(agg.n_grams, 0) AS n_grams,
+       |  COALESCE(agg.n_sel, 0) AS n_sel,
+       |  COALESCE(agg.sel_fp, '$md5Empty') AS sel_fp
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // Candidate pairs sharing >= 2 selected prints — the winnowing overlap
+  // join. The per-print document-frequency cap bounds a boilerplate
+  // print's fan-out exactly as dedup_ngram_jaccard's DfCap does.
+  private[ops] val WinnowDfCap = 128
+
+  private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = winnowPrints(s, dir)
+      .select(col("doc_id"), col("print"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("print")))
+      .filter(col("df") <= WinnowDfCap)
+    val a = capped.select(col("doc_id").as("a_id"), col("print"))
+    val b = capped.select(col("doc_id").as("b_id"), col("print"))
+    a.join(b, Seq("print"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val winnowPairsSql =
+    s"""WITH ${winnowCte},
+       |capped AS (
+       |  SELECT doc_id, print FROM (
+       |    SELECT doc_id, print,
+       |      count(*) OVER (PARTITION BY print) AS df
+       |    FROM ws) WHERE df <= $WinnowDfCap)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+       |FROM capped a JOIN capped b
+       |  ON a.print = b.print AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow" -> (winnow _),
+    "winnow_pairs" -> (winnowPairs _),
     "text_entropy" -> (entropy _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
@@ -434,6 +573,8 @@ object TextOps {
     "quality_gate" -> (qualityGate _))
 
   val oracle: Map[String, String] = Map(
+    "text_winnow" -> winnowSql,
+    "winnow_pairs" -> winnowPairsSql,
     "text_entropy" -> entropySql,
     "text_quality" -> qualitySql,
     "text_langid" -> langidSql,

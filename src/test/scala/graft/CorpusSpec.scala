@@ -188,6 +188,39 @@ class CorpusSpec extends SparkSpec {
     assert(got.values.map(v => v._1 - v._2).sum > 0)
   }
 
+  test("winnowing guarantees shared prints for runs >= w+k-1 tokens") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    import spark.implicits._
+    // the winnowing theorem: any shared token run of >= w+k-1 = 6 tokens
+    // leaves at least one identical selected print in both docs. Plant a
+    // 14-token run (long enough for >= 2 shared prints, the pair gate)
+    // at DIFFERENT offsets in otherwise-disjoint docs.
+    val run = (0 until 14).map(i => s"run$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    Seq(
+      (0L, s"alpha beta gamma delta $run"),
+      (1L, s"$run epsilon zeta eta theta iota kappa"),
+      (2L, "totally different words with no overlap at all here now"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("winnow_pairs")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("n_shared")))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 >= 2),
+      s"shared run not detected: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"disjoint doc paired: ${pairs.toSeq}")
+    // density: selections are ~2/(w+1) of grams, never more than all
+    val w = SparkEntry.queries("text_winnow")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_sel")))
+    w.foreach { case (id, ng, ns) =>
+      assert(ns >= 1 && ns <= ng, s"doc $id: $ns prints from $ng grams")
+    }
+  }
+
   test("corpus_report reconciles with a direct recomputation of each slice") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf0001, "documents")

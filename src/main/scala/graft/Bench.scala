@@ -132,7 +132,12 @@ object Bench {
     var extra = 0
     while (retry.nonEmpty && extra < 3) {
       System.err.println(s"[bench] retry pass ${extra + 1} for: ${retry.mkString(", ")}")
-      Thread.sleep(30000) // escape the current noise window
+      // escape the current noise window; the explicit GC also lets the
+      // ContextCleaner release broadcast/checkpoint blocks pinned by the
+      // earlier passes' plans — observed as monotonically inflating retry
+      // samples (10-90 s on a 10 s query) that reset after a pause
+      System.gc()
+      Thread.sleep(30000)
       addPass(retry)
       retry = retry.filter(n => suspect(samples(n)))
       extra += 1

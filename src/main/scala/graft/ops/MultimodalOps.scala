@@ -608,7 +608,115 @@ object MultimodalOps {
       persistHashes(s, dir, "audio", audioOraclePath, hashes), PhashMaxHam)
   }
 
+  // ---- audio silence-split segmentation (VAD-style) ----
+
+  /** Integer per-window energies of a decodable PCM clip: mean
+    * |amplitude| per equal-width window as BIGINT (sum DIV count — fully
+    * integer, so the relational segmentation downstream mirrors
+    * exactly). Kept separate from [[audioEnergyHash]] (whose double
+    * means and hash semantics are pinned by the dedup oracle). */
+  def audioWindowEnergies(bytes: Array[Byte], nWin: Int): Option[Array[Long]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val raw = ais.readAllBytes()
+          val nSamp = raw.length / 2
+          if (nSamp < nWin) None
+          else {
+            val sums = new Array[Long](nWin)
+            val counts = new Array[Long](nWin)
+            var i = 0
+            while (i < nSamp) {
+              val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort
+              val w = i * nWin / nSamp
+              sums(w) += math.abs(s.toLong)
+              counts(w) += 1
+              i += 1
+            }
+            Some(Array.tabulate(nWin)(w => sums(w) / counts(w)))
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The audio-curation segmentation every speech pipeline runs before
+    * transcription: split each clip into active segments at silence. A
+    * window is ACTIVE when its integer energy exceeds half the clip's
+    * mean window energy; maximal runs of active windows become segments
+    * (the gaps-and-islands discipline of `dedup_substring`, here over a
+    * 64-window grid). The codec decode is the only kernel step — the
+    * per-window energy frame persists content-keyed, and thresholding,
+    * run grouping, and segment stats are plain relational ops the DuckDB
+    * mirror replays exactly. At 100 TB: one mapPartitions decode pass
+    * (embarrassingly parallel), then windows/aggregates keyed by doc_id.
+    */
+  private val SegWindows = 64
+
+  private val audioSegOraclePath = new java.util.concurrent.atomic.AtomicReference(
+    s"${System.getProperty("java.io.tmpdir")}/graft_media/unset/audio_energy")
+
+  private def audioSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val energies = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        audioWindowEnergies(renderDocWav(text), SegWindows)
+          .toSeq.flatMap(_.iterator.zipWithIndex.map { case (e, w) =>
+            (id, w.toLong, e)
+          })
+      })
+      .toDF("doc_id", "win", "e")
+    val persisted = ContentKey.persistForOracle(
+      s, dir, "audio_energy", audioSegOraclePath, energies)
+    val wd = Window.partitionBy("doc_id")
+    val active = persisted
+      .withColumn("thr", expr(s"(sum(e) OVER (PARTITION BY doc_id) DIV $SegWindows) DIV 2"))
+      .filter(col("e") > col("thr"))
+      .withColumn("rn", row_number().over(wd.orderBy("win")))
+      .withColumn("grp", col("win") - col("rn"))
+    val segs = active.groupBy("doc_id", "grp")
+      .agg(min(col("win")).as("start_win"), max(col("win")).as("end_win"),
+        count(lit(1)).as("n_win"), sum(col("e")).as("e_sum"))
+    segs
+      .withColumn("seg", row_number().over(
+        Window.partitionBy("doc_id").orderBy("start_win")))
+      .select(col("doc_id"), col("seg"), col("start_win"),
+        col("end_win"), col("n_win"), col("e_sum"))
+      .orderBy("doc_id", "seg")
+  }
+
+  private def audioSegmentsSql: String =
+    s"""WITH en AS (
+       |  SELECT doc_id, win, e
+       |  FROM read_parquet('${audioSegOraclePath.get}/*.parquet')),
+       |act AS (
+       |  SELECT doc_id, win, e,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY win) AS rn
+       |  FROM (
+       |    SELECT doc_id, win, e,
+       |      (CAST(sum(e) OVER (PARTITION BY doc_id) AS BIGINT)
+       |        // $SegWindows) // 2 AS thr
+       |    FROM en)
+       |  WHERE e > thr),
+       |segs AS (
+       |  SELECT doc_id, win - rn AS grp,
+       |    min(win) AS start_win, max(win) AS end_win,
+       |    count(*) AS n_win, CAST(sum(e) AS BIGINT) AS e_sum
+       |  FROM act GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_win)
+       |    AS INT) AS seg,
+       |  start_win, end_win, n_win, e_sum
+       |FROM segs ORDER BY doc_id, seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_audio_segments" -> (audioSegments _),
     "multimodal_features" -> (features _),
     "multimodal_frames" -> (framesQ _),
     // band-join oracled over the persisted hash frames (see
@@ -621,6 +729,7 @@ object MultimodalOps {
   // def, not val: the media mirrors embed the hash-frame paths recorded
   // when the queries last ran (Verify dumps oracle_sql.json afterwards)
   def oracle: Map[String, String] = Map(
+    "media_audio_segments" -> audioSegmentsSql,
     "multimodal_features" -> featuresSql,
     "multimodal_frames" -> framesSql,
     "media_phash_dedup" -> bandedHamPairsSql(phashOraclePath.get, PhashMaxHam),

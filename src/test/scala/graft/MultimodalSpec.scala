@@ -304,4 +304,51 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == expected,
       s"planted-copy recovery mismatch: got ${pairs.length}, want ${expected.size}")
   }
+
+  test("audio segmentation: planted loud/silent runs yield exact windows") {
+    // hand-built clip: windows 0-9 loud, 10-19 silent, 20-39 loud,
+    // 40-63 silent (64 samples per window). Integer mean energy
+    // = 30·10000/64 = 4687, thr = 2343 → exactly two active segments.
+    val nWin = 64
+    val perWin = 64
+    val pcm = new Array[Byte](nWin * perWin * 2)
+    for (w <- 0 until nWin; i <- 0 until perWin) {
+      val amp: Short = if (w < 10 || (w >= 20 && w < 40)) 10000 else 0
+      val idx = (w * perWin + i) * 2
+      pcm(idx) = (amp & 0xff).toByte
+      pcm(idx + 1) = ((amp >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, (nWin * perWin).toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val es = graft.ops.MultimodalOps
+      .audioWindowEnergies(out.toByteArray, nWin).get
+    assert(es.length == nWin)
+    (0 until nWin).foreach { w =>
+      val want = if (w < 10 || (w >= 20 && w < 40)) 10000L else 0L
+      assert(es(w) == want, s"window $w energy ${es(w)}")
+    }
+    // the relational tail over the corpus: segments are disjoint,
+    // in-range, ordered, and internally consistent
+    val segs = SparkEntry.queries("media_audio_segments")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("seg"),
+        r.getAs[Long]("start_win"), r.getAs[Long]("end_win"),
+        r.getAs[Long]("n_win")))
+    assert(segs.nonEmpty)
+    segs.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1 to sorted.length), s"doc $id seg ids")
+      sorted.foreach { case (_, _, a, b, n) =>
+        assert(a >= 0 && b < nWin && n == b - a + 1, s"doc $id segment bounds")
+      }
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(y._3 > x._4 + 1,
+          s"doc $id segments touch or overlap — runs were not maximal")
+        case _ =>
+      }
+    }
+  }
 }

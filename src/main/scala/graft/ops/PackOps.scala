@@ -249,7 +249,34 @@ object PackOps {
       |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
       |) u ORDER BY rule""".stripMargin
 
+  // ---- order-independent dataset digest (integrity / versioning) ----
+  // The Merkle-style check a data platform runs after every copy,
+  // compaction, or migration: a per-source content digest that is
+  // invariant to row order and partitioning — XOR of each row's
+  // canonical-string fingerprint (bit_xor is commutative/associative, so
+  // 1000 executors can partial-aggregate freely and any reshuffle of the
+  // same rows digests identically; a lost, duplicated, or altered row
+  // flips it). One scan, one |sources|-row aggregate — the cheapest
+  // possible full-table integrity pass at 100 TB.
+  private def datasetDigest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        gf.fingerprint(concat_ws("|",
+          col("doc_id").cast("string"), col("text"), col("lang"),
+          col("n_chars").cast("string"))).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+      .orderBy("source")
+
+  private val datasetDigestSql =
+    s"""SELECT source, count(*) AS n_rows,
+       |  bit_xor(${graft.ops.TextOps.fingerprintFoldSql(
+             "(CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|' " +
+             "|| CAST(n_chars AS VARCHAR))")}) AS digest
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_digest" -> (datasetDigest _),
     "dq_check" -> (dqCheck _),
     "seq_pack" -> (seqPack _),
     "mixture_weights" -> (mixtureWeights _),
@@ -260,6 +287,7 @@ object PackOps {
     "table_profile_approx" -> (tableProfileApprox _))
 
   val oracle: Map[String, String] = Map(
+    "dataset_digest" -> datasetDigestSql,
     "dq_check" -> dqCheckSql,
     "seq_pack" -> seqPackSql,
     "mixture_weights" -> mixtureWeightsSql,

@@ -369,7 +369,54 @@ object Relational {
        |FROM est JOIN ex USING (l_returnflag)
        |ORDER BY l_returnflag""".stripMargin
 
+  // ---- TPC-H q3-shaped top revenue query (shipping priority) ----
+  // The classic "top open orders by potential revenue" shape: segment
+  // filter on the customer dim, date window split across orders (placed
+  // before the cut) and lineitems (shipped after it), revenue =
+  // Σ price·(1−discount) in EXACT decimal arithmetic (the Num rule —
+  // decimal products and sums are engine-identical; only the final
+  // surfaced value is a double), top-10 via orderBy+limit, which plans
+  // as TakeOrdered (per-partition top-K, no global sort). Date filters
+  // reach the parquet scans as pushed predicates; the (orderkey) group
+  // keys are high-cardinality/low-skew, the q3 scale shape.
+  private val Q3Cut = "1998-07-01"
+
+  private def topUnshipped(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit(Q3Cut).cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(Q3Cut).cast("timestamp"))
+    val d = Num.D
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(li("l_orderkey"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        o("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(d) *
+        (lit(1).cast(d) - col("l_discount").cast(d)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val topUnshippedSql =
+    s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       |  o_orderpriority,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       |    AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '$Q3Cut'
+       |  AND l_shipdate > TIMESTAMP '$Q3Cut'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top_unshipped" -> (topUnshipped _),
     "date_range" -> (dateRange _),
     "approx_distinct" -> (approxDistinct _),
     "distinct_bottomk" -> (distinctBottomK _),
@@ -387,6 +434,7 @@ object Relational {
     "events_window" -> (eventsWindow _))
 
   val oracle: Map[String, String] = Map(
+    "top_unshipped" -> topUnshippedSql,
     "date_range" -> dateRangeSql,
     "distinct_bottomk" -> distinctBottomKSql,
     "agg_stats" -> aggStatsSql,

@@ -166,4 +166,37 @@ class QueriesSpec extends SparkSpec {
     assert(r.filter(length(col("geohash")) =!= 7).count() == 0)
     assert(r.filter(length(col("wkb_hex")) =!= 42).count() == 0)
   }
+
+  test("top_unshipped is a descending top-10 with the date window enforced") {
+    val rows = SparkEntry.queries("top_unshipped")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[String]("order_day"),
+        r.getAs[Double]("revenue")))
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_._3)
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "not descending")
+    assert(rows.forall(_._2 < "1998-07-01"), "an order past the cut leaked in")
+  }
+
+  test("dataset_digest is partition-invariant and content-sensitive") {
+    import spark.implicits._
+    val base = Tables(spark, sf0001, "documents")
+    val d1 = java.nio.file.Files.createTempDirectory("graft-dig1").toString
+    val d8 = java.nio.file.Files.createTempDirectory("graft-dig8").toString
+    val dx = java.nio.file.Files.createTempDirectory("graft-digx").toString
+    base.coalesce(1).write.parquet(s"$d1/documents.parquet")
+    // same rows, different partitioning AND row order
+    base.repartition(8).write.parquet(s"$d8/documents.parquet")
+    // one character flipped in one row
+    base.withColumn("text", when(col("doc_id") === 0L,
+        concat(col("text"), lit("!"))).otherwise(col("text")))
+      .coalesce(1).write.parquet(s"$dx/documents.parquet")
+    def dig(dir: String) = SparkEntry.queries("dataset_digest")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("digest")))).toMap
+    val (a, b, c) = (dig(d1), dig(d8), dig(dx))
+    assert(a == b, "digest changed under repartitioning")
+    assert(a != c, "a flipped row did not change the digest")
+    // and the difference is localized to the altered row's source
+    assert((a.toSet diff c.toSet).size == 1)
+  }
 }

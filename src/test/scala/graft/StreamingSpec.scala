@@ -532,6 +532,41 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming digest equals batch dataset_digest under SHUFFLED arrival") {
+    import graft.streaming.DigestMonitor
+    // XOR commutativity means the contract holds under ANY arrival
+    // order — so stream the corpus deliberately INTERLEAVED (odd ids
+    // first, then even), the case the ordered-replay monitors exclude
+    val dir = Files.createTempDirectory("graft-sdigest").toString
+    val docs = Tables(spark, sf0001, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = spark.readStream
+        .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+      val q = DigestMonitor.digest(feed)
+        .writeStream.format("memory").queryName("sdigest").outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/b2")
+        q.processAllAvailable()
+        // latest state per source = max n_rows (monotone)
+        val streamed = spark.table("sdigest").collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+          .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+        val batch = SparkEntry.queries("dataset_digest")(spark, sf0001)
+          .collect()
+          .map(r => r.getAs[String]("source") ->
+            ((r.getAs[Long]("n_rows"), r.getAs[Long]("digest")))).toMap
+        assert(streamed == batch,
+          s"streaming digest diverged (${streamed.size} vs ${batch.size} sources)")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming paragraph dedup decisions equal the batch dedup_paragraph") {
     import graft.streaming.ParagraphMonitor
     val W = graft.ops.DedupOps.ParaW.toInt

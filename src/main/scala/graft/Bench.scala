@@ -142,19 +142,25 @@ object Bench {
       retry = retry.filter(n => suspect(samples(n)))
       extra += 1
     }
+    // Locale.ROOT formatting everywhere a number reaches JSON: the f
+    // interpolator honors the default locale, and a decimal-comma locale
+    // (de_DE, fr_FR) would render "1,234" — invalid JSON that kills the
+    // driver's parse and scale_table.py alike.
+    def num(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     val results = catalog.map { case (name, _) =>
       val ss = samples(name)
       val ok = ss.filter(_ >= 0)
       val sec = if (ok.isEmpty) -1.0 else ok.min
       System.err.println(
-        f"[bench] $name $sec%.2fs (passes ${ss.map(s => f"$s%.2f").mkString(" / ")})")
+        s"[bench] $name ${num(sec, 2)}s (passes ${ss.map(s => num(s, 2)).mkString(" / ")})")
       name -> sec
     }
     // 3-decimal rounding: millisecond resolution is already below the
     // noise floor, and the compact map is what survives the driver's
     // 2000-char stdout tail
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+      "\"" + k + "\":" + (if (v < 0) "-1" else num(v, 3))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -181,10 +187,13 @@ object Bench {
     // truncation happens eats the head of the map, never the summary.
     // The complete line is ALSO written to bench_full.json in the repo
     // root, which the driver commits with the round — the durable,
-    // never-truncated record.
-    val line = s"""{"queries":$qs,"metric":"total","value":${f"$total%.3f"},"unit":"sec","estimator":"min_of_2_passes_plus_suspect_retries","stream":$stream,"plans_md5":$plansMd5,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")),
+    // never-truncated record. A TARGETED run (SPARK_GRAFT_BENCH_ONLY)
+    // must not clobber that record with a 3-query line: it writes to
+    // bench_targeted.json unless the caller named a path explicitly.
+    val line = s"""{"queries":$qs,"metric":"total","value":${num(total, 3)},"unit":"sec","estimator":"min_of_2_passes_plus_suspect_retries","stream":$stream,"plans_md5":$plansMd5,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (only.isDefined) "bench_targeted.json" else "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-json write failed: ${e.getMessage}")

@@ -1021,7 +1021,10 @@ object CorpusOps {
       size(encoded).cast("long").as("n_bpe"))
     val w = Window.partitionBy("shard").orderBy("fp", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.withColumn("shard", col("fp") % PackShards)
+    // pmod, not %: fingerprints are signed, and a signed remainder would
+    // scatter docs over 2·PackShards−1 half-filled shards (the
+    // shuffle_export discipline)
+    d.withColumn("shard", pmod(col("fp"), lit(PackShards)))
       .withColumn("start_off", sum(col("n_bpe")).over(w) - col("n_bpe"))
       .groupBy(col("shard"),
         expr(s"start_off DIV $PackBudget").as("bin"))
@@ -1036,8 +1039,10 @@ object CorpusOps {
        |    CAST(len(te.toks) AS BIGINT) AS n_bpe
        |  FROM documents d JOIN t$BpeMerges te USING (doc_id)),
        |p AS (
-       |  SELECT doc_id, fp % $PackShards AS shard, n_bpe,
-       |    sum(n_bpe) OVER (PARTITION BY fp % $PackShards
+       |  SELECT doc_id,
+       |    ((fp % $PackShards) + $PackShards) % $PackShards AS shard, n_bpe,
+       |    sum(n_bpe) OVER (
+       |      PARTITION BY ((fp % $PackShards) + $PackShards) % $PackShards
        |      ORDER BY fp, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe
        |      AS start_off
@@ -1071,8 +1076,14 @@ object CorpusOps {
       .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
       .withColumn("head", regexp_replace(lower(
         concat_ws("/", slice(split(col("nofrag"), "/"), 1, 3))), ":443$", ""))
+      // size-derived length, NOT Int.MaxValue: Slice's INTERPRETED eval
+      // computes start + length as a raw int (verified in the installed
+      // spark-catalyst jar), so 4 + MaxValue wraps negative and returns
+      // an empty array whenever codegen falls back — a silent,
+      // execution-mode-dependent divergence from the mirror
       .withColumn("rest",
-        array_join(slice(split(col("nofrag"), "/"), 4, Int.MaxValue), "/"))
+        array_join(slice(split(col("nofrag"), "/"), lit(4),
+          greatest(size(split(col("nofrag"), "/")) - 3, lit(0))), "/"))
       .withColumn("path", element_at(split(col("rest"), "\\?"), 1))
       .withColumn("qp", when(size(split(col("rest"), "\\?")) > 1,
         element_at(split(col("rest"), "\\?"), 2)).otherwise(""))

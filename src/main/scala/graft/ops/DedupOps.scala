@@ -1056,13 +1056,16 @@ object DedupOps {
   // the empty string — the caller's drop filter, not silent loss.
   private[graft] val ParaW = 32L
 
-  private def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+  /** The block derivation, ONE definition shared with the streaming
+    * [[graft.streaming.ParagraphMonitor]] twin so the batch/stream
+    * equality contract cannot drift by copy-edit: tokens → fixed
+    * non-overlapping [[ParaW]]-token blocks with 0-based block ids. */
+  private[graft] def paragraphBlocks(docs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        filter(split(col(textCol), " "), x => x =!= lit("")).as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
-    val blocks = d
       .withColumn("n_blk",
         greatest(lit(1L), expr(s"(n_tok + ${ParaW - 1}) DIV $ParaW")))
       .select(col("doc_id"), col("toks"),
@@ -1070,6 +1073,11 @@ object DedupOps {
       .withColumn("blk", array_join(
         slice(col("toks"), (col("blk_id") * ParaW + 1).cast("int"),
           lit(ParaW.toInt)), " "))
+      .select(col("doc_id"), col("blk_id"), col("blk"))
+
+  private def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = paragraphBlocks(t(s, dir, "documents"), "doc_id", "text")
     val w = Window.partitionBy(md5(col("blk")))
       .orderBy(col("doc_id"), col("blk_id"))
     blocks

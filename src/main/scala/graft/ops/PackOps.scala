@@ -258,22 +258,46 @@ object PackOps {
   // same rows digests identically; a lost, duplicated, or altered row
   // flips it). One scan, one |sources|-row aggregate — the cheapest
   // possible full-table integrity pass at 100 TB.
+  /** Canonical per-row fingerprint of a documents-shaped row — ONE
+    * definition, shared with the streaming [[graft.streaming
+    * .DigestMonitor]] twin so the batch/stream equality contract cannot
+    * drift by copy-edit. */
+  private[graft] def rowFingerprint: Column =
+    gf.fingerprint(concat_ws("|",
+      col("doc_id").cast("string"), col("text"), col("lang"),
+      col("n_chars").cast("string")))
+
+  /** XOR alone is parity-blind (any EVEN-multiplicity corruption —
+    * swapping both copies of a duplicated row for two copies of another
+    * — cancels out), so the digest carries a second, additive component:
+    * Σ fingerprints mod 2⁶¹−1. A two-copy swap changes the sum by
+    * 2·(b−a) ≠ 0 mod the prime, so the pair (xor, sum) catches what
+    * either alone misses — the standard multiset-hash construction.
+    * Both components are commutative/associative, keeping the digest
+    * partition- and order-free. The Mersenne modulus keeps streaming
+    * accumulation exact in 64-bit (x < P, h < P ⇒ x + h < 2P < 2⁶³). */
+  private[graft] val DigestP = 2305843009213693951L // 2^61 - 1
+
   private def datasetDigest(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("source"),
-        gf.fingerprint(concat_ws("|",
-          col("doc_id").cast("string"), col("text"), col("lang"),
-          col("n_chars").cast("string"))).as("h"))
+      .select(col("source"), rowFingerprint.as("h"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"),
+        // exact decimal sum (no 64-bit overflow at any corpus size),
+        // reduced mod P — engine-identical integers end to end
+        expr(s"CAST(sum(CAST(h AS DECIMAL(38,0))) % $DigestP AS BIGINT)")
+          .as("digest_sum"))
       .orderBy("source")
 
-  private val datasetDigestSql =
-    s"""SELECT source, count(*) AS n_rows,
-       |  bit_xor(${graft.ops.TextOps.fingerprintFoldSql(
-             "(CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|' " +
-             "|| CAST(n_chars AS VARCHAR))")}) AS digest
-       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  private val datasetDigestSql = {
+    val h = graft.ops.TextOps.fingerprintFoldSql(
+      "(CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|' " +
+      "|| CAST(n_chars AS VARCHAR))")
+    s"""WITH f AS (SELECT source, $h AS h FROM documents)
+       |SELECT source, count(*) AS n_rows, bit_xor(h) AS digest,
+       |  CAST(sum(h) % $DigestP AS BIGINT) AS digest_sum
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dataset_digest" -> (datasetDigest _),

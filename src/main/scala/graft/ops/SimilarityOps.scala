@@ -1131,7 +1131,15 @@ object SimilarityOps {
   // join + ordered-fold cosine + (desc cos, asc id) rank.
   private[graft] val HnK = 4
 
-  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+  /** The shared mined-candidate top-K builder behind `hard_negatives`
+    * and `knn_graph` — ONE body (the review rule: the two queries share
+    * the persisted hn_idx/hn_probe frames write-once, so their index
+    * construction must be definitionally identical, not copy-identical).
+    * The exclusion predicate is the only variation point: cross-label
+    * for negative mining (same id ⇒ same label ⇒ excluded), cross-id
+    * for the neighbor graph. Output: (a_id, c_id, cos_sim, rank ≤ k). */
+  private def minedTopK(s: SparkSession, dir: String,
+      exclude: Column, k: Int): DataFrame = {
     val model = fitMiningModel(s, dir)
     val emb = t(s, dir, "embeddings")
     val idx = persistO(s, dir, "hn_idx",
@@ -1162,27 +1170,27 @@ object SimilarityOps {
     pr.repartition(s.sessionState.conf.numShufflePartitions,
         col("cell"), col("a_id"))
       .join(idx, "cell")
-      .filter(col("a_label") =!= col("c_label")) // same id ⇒ same label ⇒ excluded
-      .select("a_id", "c_id").distinct()         // union over probed cells
+      .filter(exclude)
+      .select("a_id", "c_id").distinct() // union over probed cells
       .join(a, "a_id")
       .join(c, "c_id")
       .select(col("a_id"), col("c_id"),
         (vdot(col("a_emb"), col("c_emb")) / (col("a_norm") * col("c_norm")))
           .as("cos_sim"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= HnK)
-      .select(col("a_id"), col("c_id").as("neg_id"), col("cos_sim"), col("rank"))
-      .orderBy("a_id", "rank")
+      .filter(col("rank") <= k)
   }
 
-  private def hardNegativesSql: String =
-    s"""WITH n AS ($normedSql),
+  /** SQL twin of [[minedTopK]] up through the rank CTE; the exclusion
+    * predicate mirrors the Spark variation point. */
+  private def minedCtes(excludePred: String): String =
+    s"""n AS ($normedSql),
        |idx AS (SELECT * FROM read_parquet('${pth("hn_idx")}/*.parquet')),
        |pr AS (SELECT * FROM read_parquet('${pth("hn_probe")}/*.parquet')),
        |cand AS (
        |  SELECT DISTINCT pr.a_id, idx.c_id
        |  FROM pr JOIN idx USING (cell)
-       |  WHERE pr.a_label <> idx.c_label),
+       |  WHERE $excludePred),
        |sims AS (
        |  SELECT cand.a_id, cand.c_id,
        |    ${vdotSql("ae.embedding", "ce.embedding")} / (ae.norm * ce.norm)
@@ -1193,7 +1201,15 @@ object SimilarityOps {
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY a_id
        |    ORDER BY cos_sim DESC, c_id) AS rank
-       |  FROM sims)
+       |  FROM sims)""".stripMargin
+
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    minedTopK(s, dir, col("a_label") =!= col("c_label"), HnK)
+      .select(col("a_id"), col("c_id").as("neg_id"), col("cos_sim"), col("rank"))
+      .orderBy("a_id", "rank")
+
+  private def hardNegativesSql: String =
+    s"""WITH ${minedCtes("pr.a_label <> idx.c_label")}
        |SELECT a_id, c_id AS neg_id, cos_sim, CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= $HnK ORDER BY a_id, rank""".stripMargin
 
@@ -1211,65 +1227,17 @@ object SimilarityOps {
   // through two id-keyed joins at the exact-cosine rank.
   private[graft] val KnnK = 4
 
-  private def knnCore(s: SparkSession, dir: String): DataFrame = {
-    val model = fitMiningModel(s, dir)
-    val emb = t(s, dir, "embeddings")
-    val idx = persistO(s, dir, "hn_idx",
-      emb.select(col("vec_id").as("c_id"), col("label").as("c_label"),
-        explode(miningCells(model, col("embedding"), MineAssign))
-          .as("cell")))
-    val pr = persistO(s, dir, "hn_probe",
-      emb.select(col("vec_id").as("a_id"), col("label").as("a_label"),
-        explode(miningCells(model, col("embedding"), MineProbe))
-          .as("cell")))
-    val e = normed(s, dir)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-      col("norm").as("a_norm"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      col("norm").as("c_norm"))
-    val w = Window.partitionBy("a_id")
-      .orderBy(col("cos_sim").desc, col("c_id"))
-    // same pre-join spread as hard_negatives (see the comment there)
-    pr.repartition(s.sessionState.conf.numShufflePartitions,
-        col("cell"), col("a_id"))
-      .join(idx, "cell")
-      .filter(col("a_id") =!= col("c_id"))
-      .select("a_id", "c_id").distinct()
-      .join(a, "a_id")
-      .join(c, "c_id")
-      .select(col("a_id"), col("c_id"),
-        (vdot(col("a_emb"), col("c_emb")) / (col("a_norm") * col("c_norm")))
-          .as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= KnnK)
+  private def knnCore(s: SparkSession, dir: String): DataFrame =
+    minedTopK(s, dir, col("a_id") =!= col("c_id"), KnnK)
       .select(col("a_id").as("vec_id"), col("c_id").as("nbr_id"),
         col("cos_sim"), col("rank"))
-  }
 
   private def knnGraph(s: SparkSession, dir: String): DataFrame =
     knnCore(s, dir).orderBy("vec_id", "rank")
 
   /** Shared CTE chain of the k-NN graph mirror, extended by the
     * label-propagation mirror below. */
-  private def knnCtes: String =
-    s"""n AS ($normedSql),
-       |idx AS (SELECT * FROM read_parquet('${pth("hn_idx")}/*.parquet')),
-       |pr AS (SELECT * FROM read_parquet('${pth("hn_probe")}/*.parquet')),
-       |cand AS (
-       |  SELECT DISTINCT pr.a_id, idx.c_id
-       |  FROM pr JOIN idx USING (cell)
-       |  WHERE pr.a_id <> idx.c_id),
-       |sims AS (
-       |  SELECT cand.a_id, cand.c_id,
-       |    ${vdotSql("ae.embedding", "ce.embedding")} / (ae.norm * ce.norm)
-       |      AS cos_sim
-       |  FROM cand
-       |  JOIN n ae ON ae.vec_id = cand.a_id
-       |  JOIN n ce ON ce.vec_id = cand.c_id),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY a_id
-       |    ORDER BY cos_sim DESC, c_id) AS rank
-       |  FROM sims)""".stripMargin
+  private def knnCtes: String = minedCtes("pr.a_id <> idx.c_id")
 
   private def knnGraphSql: String =
     s"""WITH $knnCtes

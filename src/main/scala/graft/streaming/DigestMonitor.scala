@@ -1,13 +1,14 @@
 package graft.streaming
 
-import graft.expr.{functions => gf}
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   TimeMode, TimerValues, ValueState}
 
-/** Per-source running digest carry: row count and XOR accumulator. */
-case class DigestState(nRows: Long, digest: Long)
+/** Per-source running digest carry: row count, XOR accumulator, and the
+  * additive component Σh mod 2⁶¹−1 (see PackOps.DigestP — XOR alone is
+  * parity-blind; the pair is the sound multiset hash). */
+case class DigestState(nRows: Long, digest: Long, digestSum: Long)
 
 /** The streaming twin of the batch `dataset_digest` catalog query: a
   * continuously-maintained per-source content digest for an ingesting
@@ -24,7 +25,7 @@ case class DigestState(nRows: Long, digest: Long)
   * the right accumulator for a distributed integrity check.
   */
 class DigestProcessor
-    extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+    extends StatefulProcessor[String, (String, Long), (String, Long, Long, Long)] {
 
   @transient private var state: ValueState[DigestState] = _
 
@@ -33,16 +34,21 @@ class DigestProcessor
       Encoders.product[DigestState], TTLConfig.NONE)
 
   override def handleInputRows(key: String, rows: Iterator[(String, Long)],
-      timers: TimerValues): Iterator[(String, Long, Long)] = {
+      timers: TimerValues): Iterator[(String, Long, Long, Long)] = {
+    val P = graft.ops.PackOps.DigestP
     var n = 0L
     var x = 0L
-    rows.foreach { r => n += 1; x ^= r._2 }
+    var sm = 0L
+    // modular add per element: both operands < P < 2^62, no overflow —
+    // exactly the batch query's decimal-sum-then-mod at any stream length
+    rows.foreach { r => n += 1; x ^= r._2; sm = (sm + (r._2 % P)) % P }
     if (n == 0) Iterator.empty
     else {
-      val pre = if (state.exists()) state.get() else DigestState(0L, 0L)
-      val next = DigestState(pre.nRows + n, pre.digest ^ x)
+      val pre = if (state.exists()) state.get() else DigestState(0L, 0L, 0L)
+      val next = DigestState(pre.nRows + n, pre.digest ^ x,
+        (pre.digestSum + sm) % P)
       state.update(next)
-      Iterator.single((key, next.nRows, next.digest))
+      Iterator.single((key, next.nRows, next.digest, next.digestSum))
     }
   }
 }
@@ -50,19 +56,17 @@ class DigestProcessor
 object DigestMonitor {
   /** Wire the processor over any documents-shaped stream; output columns
     * match the batch `dataset_digest` result so the two are directly
-    * comparable. The canonical string is expression-for-expression the
-    * batch query's. */
+    * comparable. The canonical fingerprint IS the batch query's
+    * expression (PackOps.rowFingerprint) — shared, not copied, so the
+    * equality contract cannot drift. */
   def digest(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    df.select(col("source"),
-        gf.fingerprint(concat_ws("|",
-          col("doc_id").cast("string"), col("text"), col("lang"),
-          col("n_chars").cast("string"))).as("h"))
+    df.select(col("source"), graft.ops.PackOps.rowFingerprint.as("h"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .transformWithState(new DigestProcessor,
         TimeMode.None(), OutputMode.Update())
-      .toDF("source", "n_rows", "digest")
+      .toDF("source", "n_rows", "digest", "digest_sum")
   }
 }

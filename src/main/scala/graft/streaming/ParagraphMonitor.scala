@@ -58,23 +58,13 @@ class ParagraphProcessor
 object ParagraphMonitor {
   /** Wire the processor over any (id, text) stream: emits one
     * (block_hash, doc_id, blk_id, kept) decision per input block. The
-    * block derivation is expression-for-expression the batch
-    * `dedup_paragraph` explode, so the two agree on block boundaries by
-    * construction. */
+    * block derivation IS the batch `dedup_paragraph` expression
+    * (DedupOps.paragraphBlocks) — shared, not copied, so the two agree
+    * on block boundaries by construction. */
   def dedupBlocks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val W = DedupOps.ParaW
-    df.select(col(idCol).cast("long").as("doc_id"),
-        filter(split(col(textCol), " "), x => x =!= lit("")).as("toks"))
-      .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("n_blk",
-        greatest(lit(1L), expr(s"(n_tok + ${W - 1}) DIV $W")))
-      .select(col("doc_id"), col("toks"),
-        explode(expr("sequence(0L, n_blk - 1)")).as("blk_id"))
-      .withColumn("blk", array_join(
-        slice(col("toks"), (col("blk_id") * W + 1).cast("int"),
-          lit(W.toInt)), " "))
+    DedupOps.paragraphBlocks(df, idCol, textCol)
       .select(md5(col("blk")).as("h"), col("doc_id"), col("blk_id"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)

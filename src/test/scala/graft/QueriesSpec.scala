@@ -192,11 +192,28 @@ class QueriesSpec extends SparkSpec {
       .coalesce(1).write.parquet(s"$dx/documents.parquet")
     def dig(dir: String) = SparkEntry.queries("dataset_digest")(spark, dir)
       .collect().map(r => r.getAs[String]("source") ->
-        ((r.getAs[Long]("n_rows"), r.getAs[Long]("digest")))).toMap
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("digest"),
+          r.getAs[Long]("digest_sum")))).toMap
     val (a, b, c) = (dig(d1), dig(d8), dig(dx))
     assert(a == b, "digest changed under repartitioning")
     assert(a != c, "a flipped row did not change the digest")
     // and the difference is localized to the altered row's source
     assert((a.toSet diff c.toSet).size == 1)
+    // the parity-blind case the additive component exists for: replace
+    // TWO copies of row A with TWO copies of row B — the XOR components
+    // cancel (A^A = B^B = 0) and n_rows is unchanged, so only
+    // digest_sum can see the corruption
+    val dp = java.nio.file.Files.createTempDirectory("graft-digp").toString
+    val dq = java.nio.file.Files.createTempDirectory("graft-digq").toString
+    def two(txt: String) = Seq(
+      (900001L, txt, "en", "srcP", txt.length.toLong),
+      (900001L, txt, "en", "srcP", txt.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    two("alpha").coalesce(1).write.parquet(s"$dp/documents.parquet")
+    two("omega").coalesce(1).write.parquet(s"$dq/documents.parquet")
+    val (p, q) = (dig(dp)("srcP"), dig(dq)("srcP"))
+    assert(p._1 == q._1 && p._2 == q._2,
+      "fixture broken: the pair swap should be XOR-invisible")
+    assert(p._3 != q._3, "digest_sum missed an even-multiplicity swap")
   }
 }

@@ -555,12 +555,13 @@ class StreamingSpec extends SparkSpec {
         q.processAllAvailable()
         // latest state per source = max n_rows (monotone)
         val streamed = spark.table("sdigest").collect()
-          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
           .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
         val batch = SparkEntry.queries("dataset_digest")(spark, sf0001)
           .collect()
           .map(r => r.getAs[String]("source") ->
-            ((r.getAs[Long]("n_rows"), r.getAs[Long]("digest")))).toMap
+            ((r.getAs[Long]("n_rows"), r.getAs[Long]("digest"),
+              r.getAs[Long]("digest_sum")))).toMap
         assert(streamed == batch,
           s"streaming digest diverged (${streamed.size} vs ${batch.size} sources)")
       } finally q.stop()

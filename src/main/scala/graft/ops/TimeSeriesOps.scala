@@ -426,7 +426,79 @@ object TimeSeriesOps {
        |    (acc, v) -> acc * $EmaBeta + v * $EmaAlpha) AS ema
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- Holt double-exponential smoothing (level + trend) ----
+  // The one-step-ahead forecaster a metrics pipeline runs where EMA's
+  // flat level lags every trend: l' = α·v + (1−α)(l+b),
+  // b' = β(l'−l) + (1−β)b, seeded l₁ = v₁, b₁ = v₂−v₁ with updates
+  // from t = 2 (the classic Holt initialization — it makes a pure
+  // linear ramp an exact fixed point, pinned in the spec), folded in
+  // (ts, event_id) order — the events_ema discipline: a per-key
+  // ORDERED fold whose float ops run in the identical sequence in both
+  // engines, so the doubles match BIT-exactly with no fixed-point
+  // needed. α and β are dyadic rationals (exactly representable), and
+  // the single-event edge degrades to (level = v, trend = 0). Scale
+  // shape: one per-key aggregate, state O(1) per key, no windows.
+  private val HoltA = 0.5   // level gain (1−α = 0.5)
+  private val HoltB = 0.25  // trend gain (1−β = 0.75)
+
+  private def holt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("value")))).as("ps"))
+      .withColumn("vs", expr("transform(ps, p -> p.value)"))
+      .select(col("user_id"), col("n_events"),
+        expr(s"""CASE WHEN size(vs) = 1 THEN
+             named_struct('l', element_at(vs, 1), 'b', CAST(0.0 AS DOUBLE))
+           ELSE aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)),
+             named_struct('l', element_at(vs, 1),
+               'b', element_at(vs, 2) - element_at(vs, 1)),
+             (acc, v) -> named_struct(
+               'l', $HoltA * v + ${1 - HoltA} * (acc.l + acc.b),
+               'b', $HoltB * (($HoltA * v + ${1 - HoltA} * (acc.l + acc.b)) - acc.l)
+                 + ${1 - HoltB} * acc.b))
+           END""").as("st"))
+      .select(col("user_id"), col("n_events"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        (col("st.l") + col("st.b")).as("forecast"))
+      .orderBy("user_id")
+
+  // DuckDB's list_reduce has no seed parameter: the seed pair is
+  // PREPENDED and every value wrapped as a same-typed pair whose second
+  // slot the lambda ignores (the bpe_train list-wrapping trick). The
+  // accumulator is a LIST [l, b], NOT a struct: DuckDB updates a
+  // struct_pack accumulator IN PLACE field by field, so a `b :=`
+  // expression referencing acc.l would see the already-updated level —
+  // measured as a wrong trend from the second fold step on. List
+  // construction materializes both elements from the old accumulator
+  // before the rebind, matching Spark's named_struct semantics.
+  private val holtSql =
+    s"""WITH o AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |    list(value ORDER BY ts, event_id) AS vs
+       |  FROM events GROUP BY user_id),
+       |st AS (
+       |  SELECT user_id, n_events,
+       |    CASE WHEN len(vs) = 1
+       |      THEN [vs[1], CAST(0.0 AS DOUBLE)]
+       |    ELSE list_reduce(
+       |      list_prepend([vs[1], vs[2] - vs[1]],
+       |        list_transform(vs[2:], v -> [v, CAST(0.0 AS DOUBLE)])),
+       |      (acc, x) -> [
+       |        $HoltA * x[1] + ${1 - HoltA} * (acc[1] + acc[2]),
+       |        $HoltB * (($HoltA * x[1] + ${1 - HoltA} * (acc[1] + acc[2])) - acc[1])
+       |          + ${1 - HoltB} * acc[2]])
+       |    END AS s
+       |  FROM o)
+       |SELECT user_id, n_events, s[1] AS level, s[2] AS trend,
+       |  s[1] + s[2] AS forecast
+       |FROM st ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_holt" -> (holt _),
     "window_range" -> (windowRange _),
     "value_histogram" -> (valueHistogram _),
     "funnel" -> (funnel _),
@@ -438,6 +510,7 @@ object TimeSeriesOps {
     "events_ema" -> (ema _))
 
   val oracle: Map[String, String] = Map(
+    "events_holt" -> holtSql,
     "window_range" -> windowRangeSql,
     "value_histogram" -> valueHistogramSql,
     "funnel" -> funnelSql,

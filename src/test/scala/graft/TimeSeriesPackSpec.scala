@@ -211,4 +211,29 @@ class TimeSeriesPackSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1,
       s"profile scans the table more than once:\n$p")
   }
+
+  test("events_holt: a linear ramp is a fixed point (exact level/trend/forecast)") {
+    import spark.implicits._
+    // v_t = 10 + 2.5·t is a FIXED POINT of Holt smoothing: the seed
+    // (l = v1, b = v2 − v1) lies on the line and every update returns
+    // to it, so level = last value, trend = slope, forecast = next
+    // point — EXACTLY, in doubles (the per-step arithmetic is exact for
+    // these dyadic values). A non-linear user in the same fixture must
+    // NOT sit on its line.
+    val dir = java.nio.file.Files.createTempDirectory("graft-holt").toString
+    val lin = (0 until 20).map(i => (i.toLong, 7L, 10.0 + 2.5 * i))
+    val bent = (0 until 20).map(i =>
+      (100L + i, 8L, if (i == 10) 500.0 else 10.0 + 2.5 * i))
+    (lin ++ bent)
+      .toDF("event_id", "user_id", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("event_type", lit("x")).withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("events_holt")(spark, dir).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Double]("level"), x.getAs[Double]("trend"),
+          x.getAs[Double]("forecast")))).toMap
+    assert(r(7L) == ((10.0 + 2.5 * 19, 2.5, 10.0 + 2.5 * 20)))
+    assert(r(8L)._2 != 2.5, "the level spike must perturb the trend")
+  }
 }

@@ -438,8 +438,8 @@ object TimeSeriesOps {
   // needed. α and β are dyadic rationals (exactly representable), and
   // the single-event edge degrades to (level = v, trend = 0). Scale
   // shape: one per-key aggregate, state O(1) per key, no windows.
-  private val HoltA = 0.5   // level gain (1−α = 0.5)
-  private val HoltB = 0.25  // trend gain (1−β = 0.75)
+  private[graft] val HoltA = 0.5   // level gain (1−α = 0.5)
+  private[graft] val HoltB = 0.25  // trend gain (1−β = 0.75)
 
   private def holt(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")

@@ -438,6 +438,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt state is bit-identical to the batch events_holt fold") {
+    import graft.streaming.HoltMonitor
+    val dir = Files.createTempDirectory("graft-holt-s").toString
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+    val split = ev.agg(expr("percentile_approx(us, 0.5)")).collect()(0).getLong(0)
+    ev.filter(col("us") <= split).write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = spark.readStream
+        .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+      val q = HoltMonitor.holts(feed, "user_id", "us", "event_id", "value")
+        .writeStream.format("memory").queryName("sholt").outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        ev.filter(col("us") > split).write.parquet(s"$dir/b2")
+        q.processAllAvailable()
+        val streamed = spark.table("sholt").collect()
+          .map(r => (r.getString(0),
+            (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+          .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+        val batch = SparkEntry.queries("events_holt")(spark, sf0001).collect()
+          .map(r => r.getLong(0).toString ->
+            ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+        assert(streamed.keySet == batch.keySet)
+        streamed.foreach { case (k, (n, l, b, f)) =>
+          val (bn, bl, bb, bf) = batch(k)
+          assert(n == bn, s"key $k: count $n vs $bn")
+          def bits(x: Double) = java.lang.Double.doubleToRawLongBits(x)
+          assert(bits(l) == bits(bl) && bits(b) == bits(bb) && bits(f) == bits(bf),
+            s"key $k: streaming ($l,$b,$f) != batch ($bl,$bb,$bf)")
+        }
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming EMA state is bit-identical to the batch events_ema fold") {
     import graft.streaming.EmaMonitor
     val dir = Files.createTempDirectory("graft-ema").toString

@@ -263,4 +263,36 @@ object PropertySpec extends Properties("graft.kernels") {
         arrD(y.map(_.toDouble)))
       f == fd
     }
+
+  // ---- audio energy kernel ----
+
+  private def wavOf(amps: Seq[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](amps.length * 2)
+    amps.zipWithIndex.foreach { case (a, i) =>
+      pcm(2 * i) = (a & 0xff).toByte
+      pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, amps.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  property("constant-amplitude clips yield that amplitude in every window") =
+    forAll(Gen.chooseNum(0, 32767), Gen.chooseNum(1, 8)) { (amp, mult) =>
+      val n = 64 * mult
+      val es = graft.ops.MultimodalOps
+        .audioWindowEnergies(wavOf(Seq.fill(n)(amp.toShort)), 64).get
+      es.length == 64 && es.forall(_ == amp.toLong)
+    }
+
+  property("audioWindowEnergies never throws on arbitrary bytes") =
+    forAll(Gen.listOfN(64, Gen.chooseNum(-128, 127))) { bs =>
+      val r = graft.ops.MultimodalOps
+        .audioWindowEnergies(bs.map(_.toByte).toArray, 64)
+      r == None || r.get.length == 64
+    }
 }

@@ -1244,6 +1244,44 @@ object SimilarityOps {
        |SELECT a_id AS vec_id, c_id AS nbr_id, cos_sim, CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
 
+  // ---- semantic components over the k-NN graph ----
+  // Cluster ids from the neighbor graph: keep edges with cosine ≥
+  // [[KnnTau]], take connected components — the grouping SemDeDup-style
+  // curation, near-dup audit sampling, and per-cluster quota enforcement
+  // all consume. Reuses [[DedupOps.propagateMin]] (pointer-jumping,
+  // O(log diameter) rounds) over the shared knn core; the threshold
+  // compare is on cosines both engines compute as the identical ordered
+  // fold, so edge sets — and therefore components — agree exactly.
+  // Isolated vectors become their own singleton cluster.
+  private[graft] val KnnTau = 0.35
+
+  private def knnComponents(s: SparkSession, dir: String): DataFrame = {
+    val g = knnCore(s, dir).filter(col("cos_sim") >= KnnTau)
+      .select(col("vec_id").as("u"), col("nbr_id").as("v"))
+    val edges = g.union(g.select(col("v").as("u"), col("u").as("v")))
+    val (labels, _) = DedupOps.propagateMin(edges)
+    t(s, dir, "embeddings").select(col("vec_id"))
+      .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  private def knnComponentsSql: String =
+    s"""WITH RECURSIVE ${minedCtes("pr.a_id <> idx.c_id")},
+       |g AS (
+       |  SELECT a_id, c_id FROM ranked
+       |  WHERE rank <= $KnnK AND cos_sim >= $KnnTau),
+       |edges AS (
+       |  SELECT a_id AS u, c_id AS v FROM g
+       |  UNION SELECT c_id, a_id FROM g),
+       |walk(id, label) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id)
+       |SELECT id AS vec_id, min(label) AS cluster FROM walk
+       |GROUP BY id ORDER BY vec_id""".stripMargin
+
   // ---- k-NN label propagation ----
   // The pseudo-labeling step over the neighbor graph: each vector's
   // predicted label is the majority vote of its KnnK nearest neighbors
@@ -1414,6 +1452,7 @@ object SimilarityOps {
     "hard_negatives" -> (hardNegatives _),
     "knn_graph" -> (knnGraph _),
     "knn_label_prop" -> (knnLabelProp _),
+    "knn_components" -> (knnComponents _),
     "embed_pca" -> (embedPca _),
     "embed_centroids" -> (embedCentroids _))
 
@@ -1430,6 +1469,7 @@ object SimilarityOps {
     "hard_negatives" -> hardNegativesSql,
     "knn_graph" -> knnGraphSql,
     "knn_label_prop" -> knnLabelPropSql,
+    "knn_components" -> knnComponentsSql,
     "embed_pca" -> embedPcaSql,
     "embed_centroids" -> embedCentroidsSql)
 }

@@ -450,6 +450,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("knn_components: tau-edges never cross clusters; ids are member minima") {
+    val clusters = SparkEntry.queries("knn_components")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    val tau = graft.ops.SimilarityOps.KnnTau
+    val edges = SparkEntry.queries("knn_graph")(spark, sf0001).collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("nbr_id"),
+        x.getAs[Double]("cos_sim")))
+      .filter(_._3 >= tau)
+    assert(edges.nonEmpty, "fixture has no tau-edges — test would be vacuous")
+    // every thresholded edge's endpoints share a component
+    edges.foreach { case (a, b, s) =>
+      assert(clusters(a) == clusters(b), f"edge $a-$b (cos $s%.3f) crosses clusters")
+    }
+    // each cluster id is the minimum member id, and some cluster is non-trivial
+    clusters.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.keys.min == c, s"cluster $c is not its member minimum")
+    }
+    assert(clusters.groupBy(_._2).exists(_._2.size > 1), "no multi-member cluster")
+  }
+
   test("PCA whitening yields centered, unit-variance, uncorrelated components") {
     val P = graft.ops.SimilarityOps.PcaP
     val rows = SparkEntry.queries("embed_pca")(spark, sf0001)

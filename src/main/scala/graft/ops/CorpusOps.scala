@@ -1021,9 +1021,10 @@ object CorpusOps {
       size(encoded).cast("long").as("n_bpe"))
     val w = Window.partitionBy("shard").orderBy("fp", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // pmod, not %: fingerprints are signed, and a signed remainder would
-    // scatter docs over 2·PackShards−1 half-filled shards (the
-    // shuffle_export discipline)
+    // fingerprint is the fold (acc·31 + cp) mod 1e9+7 from a nonnegative
+    // seed, so fp ∈ [0, 1e9+7) ALWAYS — a plain % here equals pmod.
+    // pmod is kept as belt-and-braces for any future signed shard key,
+    // but the mirror can (and does) use the plain remainder.
     d.withColumn("shard", pmod(col("fp"), lit(PackShards)))
       .withColumn("start_off", sum(col("n_bpe")).over(w) - col("n_bpe"))
       .groupBy(col("shard"),
@@ -1039,10 +1040,8 @@ object CorpusOps {
        |    CAST(len(te.toks) AS BIGINT) AS n_bpe
        |  FROM documents d JOIN t$BpeMerges te USING (doc_id)),
        |p AS (
-       |  SELECT doc_id,
-       |    ((fp % $PackShards) + $PackShards) % $PackShards AS shard, n_bpe,
-       |    sum(n_bpe) OVER (
-       |      PARTITION BY ((fp % $PackShards) + $PackShards) % $PackShards
+       |  SELECT doc_id, fp % $PackShards AS shard, n_bpe,
+       |    sum(n_bpe) OVER (PARTITION BY fp % $PackShards
        |      ORDER BY fp, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe
        |      AS start_off

@@ -1268,7 +1268,7 @@ object SimilarityOps {
   }
 
   private def knnComponentsSql: String =
-    s"""WITH RECURSIVE ${minedCtes("pr.a_id <> idx.c_id")},
+    s"""WITH RECURSIVE $knnCtes,
        |g AS (
        |  SELECT a_id, c_id FROM ranked
        |  WHERE rank <= $KnnK AND cos_sim >= $KnnTau),

@@ -456,7 +456,7 @@ class StreamingSpec extends SparkSpec {
         .start()
       try {
         q.processAllAvailable()
-        ev.filter(col("us") > split).write.parquet(s"$dir/b2")
+        ev.filter(col("us") > split).coalesce(1).write.parquet(s"$dir/b2")
         q.processAllAvailable()
         val streamed = spark.table("sholt").collect()
           .map(r => (r.getString(0),
@@ -497,7 +497,7 @@ class StreamingSpec extends SparkSpec {
         .start()
       try {
         q.processAllAvailable()
-        ev.filter(col("us") > split).write.parquet(s"$dir/b2")
+        ev.filter(col("us") > split).coalesce(1).write.parquet(s"$dir/b2")
         q.processAllAvailable()
         // per key, the latest state row is the one with the max n_events
         // (n grows monotonically across batches)
@@ -551,7 +551,7 @@ class StreamingSpec extends SparkSpec {
         .start()
       try {
         q.processAllAvailable()
-        docs.filter(col("doc_id") > split).write.parquet(s"$dir/b2")
+        docs.filter(col("doc_id") > split).coalesce(1).write.parquet(s"$dir/b2")
         q.processAllAvailable()
         // latest state per key = the row with max n_copies (monotone)
         val streamed = spark.table("sdedup").collect()
@@ -641,7 +641,7 @@ class StreamingSpec extends SparkSpec {
         .start()
       try {
         q.processAllAvailable()
-        docs.filter(col("doc_id") >= 100000L).write.parquet(s"$dir/b2")
+        docs.filter(col("doc_id") >= 100000L).coalesce(1).write.parquet(s"$dir/b2")
         q.processAllAvailable()
         // each block decided exactly once; per-doc aggregates must equal
         // the batch operator on the union corpus
@@ -707,7 +707,7 @@ class StreamingSpec extends SparkSpec {
     val q = MinhashMonitor.attach(feed, "doc_id", "text", idx, out).start()
     try {
       q.processAllAvailable()
-      delta.filter(col("doc_id") > split).write.parquet(s"$dir/b2")
+      delta.filter(col("doc_id") > split).coalesce(1).write.parquet(s"$dir/b2")
       q.processAllAvailable()
     } finally q.stop()
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -559,9 +559,49 @@ object TextOps {
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY a_id, b_id""".stripMargin
 
+  // Winnowing-family resolve: connected components over the overlap
+  // pairs (the shingle family's dedup_resolve, with winnowing prints as
+  // the candidate generator — catches LOCAL overlaps that whole-doc
+  // MinHash misses). Same pointer-jumping closure; keeper = min id;
+  // docs without overlaps stay their own keepers.
+  private def winnowResolve(s: SparkSession, dir: String): DataFrame = {
+    val p = winnowPairs(s, dir).select(col("a_id"), col("b_id"))
+    val edges = p.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(p.select(col("b_id").as("u"), col("a_id").as("v")))
+    val (labels, _) = DedupOps.propagateMin(edges)
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("keep_id"))
+      .orderBy("doc_id")
+  }
+
+  private val winnowResolveSql =
+    s"""WITH RECURSIVE ${winnowCte},
+       |capped AS (
+       |  SELECT doc_id, print FROM (
+       |    SELECT doc_id, print,
+       |      count(*) OVER (PARTITION BY print) AS df
+       |    FROM ws) WHERE df <= $WinnowDfCap),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM capped a JOIN capped b
+       |    ON a.print = b.print AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |walk(id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id)
+       |SELECT id AS doc_id, min(label) AS keep_id FROM walk
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_winnow" -> (winnow _),
     "winnow_pairs" -> (winnowPairs _),
+    "winnow_resolve" -> (winnowResolve _),
     "text_entropy" -> (entropy _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
@@ -575,6 +615,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "text_winnow" -> winnowSql,
     "winnow_pairs" -> winnowPairsSql,
+    "winnow_resolve" -> winnowResolveSql,
     "text_entropy" -> entropySql,
     "text_quality" -> qualitySql,
     "text_langid" -> langidSql,

@@ -219,6 +219,11 @@ class CorpusSpec extends SparkSpec {
     w.foreach { case (id, ng, ns) =>
       assert(ns >= 1 && ns <= ng, s"doc $id: $ns prints from $ng grams")
     }
+    // resolve over the same fixture: the overlapping pair shares one
+    // keeper (the min id), the disjoint doc keeps itself
+    val res = SparkEntry.queries("winnow_resolve")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_id")).toMap
+    assert(res == Map(0L -> 0L, 1L -> 0L, 2L -> 2L), res.toString)
   }
 
   test("corpus_report reconciles with a direct recomputation of each slice") {

@@ -997,6 +997,37 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- BPE vocabulary (post-merge symbol frequencies) ----
+  // The artifact shipped with a trained tokenizer: the symbol vocabulary
+  // of the ENCODED corpus with frequencies and document coverage. Merged
+  // symbols surface alongside surviving atoms, ranked by total count —
+  // the sanity table every tokenizer-training run prints. Same scale
+  // shape as vocab_topk (explode → two-level agg → TakeOrdered top-K),
+  // with the encode fold fused into the scan projection.
+  private val BpeVocabK = 50
+
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFit(s, dir)
+    val toks0 = filter(split(col("text"), " "), x => x =!= lit(""))
+    val encoded = merges.foldLeft(toks0) { case (c, (_, l, r, _)) =>
+      gf.bpe_merge(c, lit(l), lit(r))
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(encoded).as("sym"))
+      .groupBy("sym")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cnt").desc, col("sym"))
+      .limit(BpeVocabK)
+  }
+
+  private val bpeVocabSql =
+    s"""WITH ${bpeCtes(finalRewrite = true)},
+       |ex AS (
+       |  SELECT doc_id, unnest(toks) AS sym FROM t$BpeMerges)
+       |SELECT sym, count(*) AS cnt, count(DISTINCT doc_id) AS df
+       |FROM ex GROUP BY sym
+       |ORDER BY cnt DESC, sym LIMIT $BpeVocabK""".stripMargin
+
   // ---- BPE tokenize-and-pack (the pretraining exporter end to end) ----
   // Composes the tokenizer loop with sequence packing: documents are
   // BPE-encoded with the trained merges (fit shared content-keyed with
@@ -1253,6 +1284,7 @@ object CorpusOps {
     "freq_sketch" -> (freqSketch _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
+    "bpe_vocab" -> (bpeVocab _),
     "tokenize_pack" -> (tokenizePack _),
     "source_quota" -> (sourceQuota _),
     "url_canon" -> (urlCanon _),
@@ -1274,6 +1306,7 @@ object CorpusOps {
     "embed_quantize" -> embedQuantizeSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_vocab" -> bpeVocabSql,
     "tokenize_pack" -> tokenizePackSql,
     "source_quota" -> sourceQuotaSql,
     "url_canon" -> urlCanonSql,

@@ -322,6 +322,27 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bpe_vocab surfaces merged symbols and conserves the token mass") {
+    val merges = graft.ops.CorpusOps.bpeFit(spark, sf0001)
+    val vocab = SparkEntry.queries("bpe_vocab")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("sym"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("df")))
+    val syms = vocab.map(_._1).toSet
+    // the rank-1 merge's joined symbol must be a (frequent) vocab entry
+    val (_, l, r, _) = merges.head
+    assert(syms.contains(l + r), s"top merge '$l$r' missing from vocab")
+    vocab.foreach { case (s, cnt, df) =>
+      assert(cnt >= df && df >= 1, s"symbol $s: cnt $cnt < df $df")
+    }
+    // untruncated vocab must conserve the encoded token mass exactly
+    if (vocab.length < 50) {
+      val totalBpe = SparkEntry.queries("bpe_encode")(spark, sf0001)
+        .collect().map(_.getAs[Long]("n_bpe")).sum
+      assert(vocab.map(_._2).sum == totalBpe,
+        s"vocab mass ${vocab.map(_._2).sum} != encoded mass $totalBpe")
+    }
+  }
+
   test("source_quota caps every source at QuotaCap with a dense deterministic rank") {
     import graft.ops.CorpusOps.QuotaCap
     val rows = SparkEntry.queries("source_quota")(spark, sf0001).collect()

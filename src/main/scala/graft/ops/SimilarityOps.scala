@@ -1255,7 +1255,7 @@ object SimilarityOps {
   // Isolated vectors become their own singleton cluster.
   private[graft] val KnnTau = 0.35
 
-  private def knnComponents(s: SparkSession, dir: String): DataFrame = {
+  private def knnComponentsCore(s: SparkSession, dir: String): DataFrame = {
     val g = knnCore(s, dir).filter(col("cos_sim") >= KnnTau)
       .select(col("vec_id").as("u"), col("nbr_id").as("v"))
     val edges = g.union(g.select(col("v").as("u"), col("u").as("v")))
@@ -1264,8 +1264,10 @@ object SimilarityOps {
       .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("cluster"))
-      .orderBy("vec_id")
   }
+
+  private def knnComponents(s: SparkSession, dir: String): DataFrame =
+    knnComponentsCore(s, dir).orderBy("vec_id")
 
   private def knnComponentsSql: String =
     s"""WITH RECURSIVE $knnCtes,
@@ -1281,6 +1283,87 @@ object SimilarityOps {
        |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id)
        |SELECT id AS vec_id, min(label) AS cluster FROM walk
        |GROUP BY id ORDER BY vec_id""".stripMargin
+
+  // ---- per-cluster keeper selection (SemDeDup keep rule) ----
+  // The embedding-space analog of dedup_keep_best: inside each semantic
+  // cluster keep the most REPRESENTATIVE member — argmax cosine to the
+  // cluster centroid (SemDeDup's keep-closest-to-centroid rule), ties
+  // to the smaller id. Centroids use the embed_centroids round-9 parity
+  // discipline; the argmax compares round(cos, 6) values, so the pick
+  // is engine-identical. The centroid frame is |clusters|·D rows —
+  // potentially O(N) with singletons — so it joins by cluster key,
+  // NEVER broadcast (unlike the |labels|-bounded embed_centroids).
+  private def knnKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .join(knnComponentsCore(s, dir), "vec_id")
+    val cent = m
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(round(avg(col("x").cast("double")), 9).as("c"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("centroid"))
+      .withColumn("cnorm",
+        sqrt(gf.vec_dot_d(col("centroid"), col("centroid"))))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m.withColumn("norm", sqrt(vdot(col("embedding"), col("embedding"))))
+      .join(cent, "cluster")
+      .select(col("vec_id"), col("cluster"),
+        round(gf.vec_dot_fd(col("embedding"), col("centroid")) /
+          (col("norm") * col("cnorm")), 6).as("cos_r"))
+      .withColumn("keep_id", first(col("vec_id")).over(w))
+      .select(col("vec_id"), col("cluster"), col("cos_r"), col("keep_id"),
+        (col("vec_id") === col("keep_id")).as("is_keeper"))
+      .orderBy("vec_id")
+  }
+
+  private def knnKeepBestSql: String =
+    s"""WITH RECURSIVE $knnCtes,
+       |g AS (
+       |  SELECT a_id, c_id FROM ranked
+       |  WHERE rank <= $KnnK AND cos_sim >= $KnnTau),
+       |edges AS (
+       |  SELECT a_id AS u, c_id AS v FROM g
+       |  UNION SELECT c_id, a_id FROM g),
+       |walk(id, label) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id),
+       |comp AS (
+       |  SELECT id AS vec_id, min(label) AS cluster FROM walk GROUP BY id),
+       |mx AS (
+       |  SELECT e.vec_id, comp.cluster, e.embedding
+       |  FROM embeddings e JOIN comp USING (vec_id)),
+       |d AS (
+       |  SELECT cluster,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |    unnest(range(1, len(embedding) + 1)) AS i
+       |  FROM mx),
+       |cd AS (SELECT cluster, i, round(avg(x), 9) AS c FROM d GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cluster, list(c ORDER BY i) AS centroid FROM cd GROUP BY 1),
+       |cn AS (
+       |  SELECT cluster, centroid,
+       |    sqrt(${DedupOps.vdotSql("centroid", "centroid")}) AS cnorm
+       |  FROM cent),
+       |sc AS (
+       |  SELECT mx.vec_id, mx.cluster,
+       |    round(${DedupOps.vdotSql("mx.embedding", "cn.centroid")} /
+       |      (sqrt(${DedupOps.vdotSql("mx.embedding", "mx.embedding")})
+       |        * cn.cnorm), 6) AS cos_r
+       |  FROM mx JOIN cn USING (cluster))
+       |SELECT vec_id, cluster, cos_r,
+       |  first_value(vec_id) OVER (PARTITION BY cluster
+       |    ORDER BY cos_r DESC, vec_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |    AS keep_id,
+       |  first_value(vec_id) OVER (PARTITION BY cluster
+       |    ORDER BY cos_r DESC, vec_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |    = vec_id AS is_keeper
+       |FROM sc ORDER BY vec_id""".stripMargin
 
   // ---- k-NN label propagation ----
   // The pseudo-labeling step over the neighbor graph: each vector's
@@ -1453,6 +1536,7 @@ object SimilarityOps {
     "knn_graph" -> (knnGraph _),
     "knn_label_prop" -> (knnLabelProp _),
     "knn_components" -> (knnComponents _),
+    "knn_keep_best" -> (knnKeepBest _),
     "embed_pca" -> (embedPca _),
     "embed_centroids" -> (embedCentroids _))
 
@@ -1470,6 +1554,7 @@ object SimilarityOps {
     "knn_graph" -> knnGraphSql,
     "knn_label_prop" -> knnLabelPropSql,
     "knn_components" -> knnComponentsSql,
+    "knn_keep_best" -> knnKeepBestSql,
     "embed_pca" -> embedPcaSql,
     "embed_centroids" -> embedCentroidsSql)
 }

@@ -471,6 +471,29 @@ class SimilaritySpec extends SparkSpec {
     assert(clusters.groupBy(_._2).exists(_._2.size > 1), "no multi-member cluster")
   }
 
+  test("knn_keep_best keeps one most-central member per semantic cluster") {
+    val rows = SparkEntry.queries("knn_keep_best")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Double]("cos_r"), r.getAs[Long]("keep_id"),
+        r.getAs[Boolean]("is_keeper")))
+    val comp = SparkEntry.queries("knn_components")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(rows.map(_._1).toSet == comp.keySet, "coverage")
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      val keepers = ms.filter(_._5)
+      assert(keepers.length == 1, s"cluster $c has ${keepers.length} keepers")
+      val k = keepers.head
+      assert(ms.forall(_._4 == k._1), s"cluster $c: inconsistent keep_id")
+      // keeper is the argmax of (cos_r, then smaller id)
+      assert(ms.forall(m => m._3 < k._3 || (m._3 == k._3 && m._1 >= k._1)),
+        s"cluster $c: keeper ${k._1} not the argmax")
+      // singleton's centroid is itself: cosine 1 up to round-9 drift
+      if (ms.length == 1) assert(math.abs(k._3 - 1.0) < 1e-5, s"singleton $c")
+      // cluster assignment agrees with knn_components
+      ms.foreach(m => assert(comp(m._1) == c))
+    }
+  }
+
   test("PCA whitening yields centered, unit-variance, uncorrelated components") {
     val P = graft.ops.SimilarityOps.PcaP
     val rows = SparkEntry.queries("embed_pca")(spark, sf0001)

@@ -1004,7 +1004,7 @@ object CorpusOps {
   // the sanity table every tokenizer-training run prints. Same scale
   // shape as vocab_topk (explode → two-level agg → TakeOrdered top-K),
   // with the encode fold fused into the scan projection.
-  private val BpeVocabK = 50
+  private[graft] val BpeVocabK = 50
 
   private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
     val merges = bpeFit(s, dir)

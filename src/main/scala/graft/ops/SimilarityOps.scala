@@ -1064,17 +1064,39 @@ object SimilarityOps {
   // partition-order-dependent), then each member cosine is an ordered
   // deterministic fold against that rounded centroid; the published
   // aggregates round to 6.
-  private def embedCentroids(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
+  /** Round-9-parity centroid (and its L2 norm) per key over an
+    * (key, embedding) frame: posexplode → per-(key, pos) rounded avg →
+    * struct-sort reassembly. ONE body shared by embed_centroids and
+    * knn_keep_best — the parity discipline must not fork by copy. */
+  private def centroidOf(m: DataFrame, key: String): DataFrame =
+    m.select(col(key), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(key, "pos")
       .agg(round(avg(col("x").cast("double")), 9).as("c"))
-      .groupBy("label")
+      .groupBy(key)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         p => p.getField("c")).as("centroid"))
       .withColumn("cnorm",
         sqrt(gf.vec_dot_d(col("centroid"), col("centroid"))))
+
+  /** SQL twin of [[centroidOf]]: the d/cd/cent/cn CTE chain over `src`
+    * keyed by `key`. */
+  private def centroidCtes(src: String, key: String): String =
+    s"""d AS (
+       |  SELECT $key,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |    unnest(range(1, len(embedding) + 1)) AS i
+       |  FROM $src),
+       |cd AS (SELECT $key, i, round(avg(x), 9) AS c FROM d GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT $key, list(c ORDER BY i) AS centroid FROM cd GROUP BY 1),
+       |cn AS (
+       |  SELECT $key, centroid,
+       |    sqrt(${vdotSql("centroid", "centroid")}) AS cnorm
+       |  FROM cent)""".stripMargin
+
+  private def embedCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cent = centroidOf(e, "label")
     val members = e.select(col("label"), col("vec_id"), col("embedding"),
       sqrt(vdot(col("embedding"), col("embedding"))).as("norm"))
     members.join(broadcast(cent), "label")
@@ -1090,19 +1112,8 @@ object SimilarityOps {
       .orderBy("label")
   }
 
-  private val embedCentroidsSql =
-    s"""WITH d AS (
-       |  SELECT label,
-       |    unnest(CAST(embedding AS DOUBLE[])) AS x,
-       |    unnest(range(1, len(embedding) + 1)) AS i
-       |  FROM embeddings),
-       |cd AS (SELECT label, i, round(avg(x), 9) AS c FROM d GROUP BY 1, 2),
-       |cent AS (
-       |  SELECT label, list(c ORDER BY i) AS centroid FROM cd GROUP BY 1),
-       |cn AS (
-       |  SELECT label, centroid,
-       |    sqrt(${vdotSql("centroid", "centroid")}) AS cnorm
-       |  FROM cent),
+  private def embedCentroidsSql =
+    s"""WITH ${centroidCtes("embeddings", "label")},
        |m AS (
        |  SELECT e.label, e.vec_id, cn.cnorm,
        |    ${vdotSql("e.embedding", "cn.centroid")} /
@@ -1255,15 +1266,27 @@ object SimilarityOps {
   // Isolated vectors become their own singleton cluster.
   private[graft] val KnnTau = 0.35
 
+  // Components are consumed by TWO catalog queries (knn_components,
+  // knn_keep_best): the ~seconds-scale closure build (knn core +
+  // pointer-jump rounds) is cached per dataset content — the
+  // resolvedLabels discipline. ofScoped, not of: the cached frame holds
+  // localCheckpoint blocks bound to the live SparkContext.
+  private val compCache = new ContentKey.Lru[DataFrame](4)
+
   private def knnComponentsCore(s: SparkSession, dir: String): DataFrame = {
-    val g = knnCore(s, dir).filter(col("cos_sim") >= KnnTau)
-      .select(col("vec_id").as("u"), col("nbr_id").as("v"))
-    val edges = g.union(g.select(col("v").as("u"), col("u").as("v")))
-    val (labels, _) = DedupOps.propagateMin(edges)
-    t(s, dir, "embeddings").select(col("vec_id"))
-      .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("label"), col("vec_id")).as("cluster"))
+    val key = ContentKey.ofScoped(s, Seq(dir))
+    compCache.get(key) {
+      val g = knnCore(s, dir).filter(col("cos_sim") >= KnnTau)
+        .select(col("vec_id").as("u"), col("nbr_id").as("v"))
+      val edges = g.union(g.select(col("v").as("u"), col("u").as("v")))
+      val (labels, _) = DedupOps.propagateMin(edges)
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(labels.withColumnRenamed("doc_id", "vec_id"),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("cluster"))
+        .localCheckpoint()
+    }
   }
 
   private def knnComponents(s: SparkSession, dir: String): DataFrame =
@@ -1296,15 +1319,7 @@ object SimilarityOps {
   private def knnKeepBest(s: SparkSession, dir: String): DataFrame = {
     val m = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       .join(knnComponentsCore(s, dir), "vec_id")
-    val cent = m
-      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("cluster", "pos")
-      .agg(round(avg(col("x").cast("double")), 9).as("c"))
-      .groupBy("cluster")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        p => p.getField("c")).as("centroid"))
-      .withColumn("cnorm",
-        sqrt(gf.vec_dot_d(col("centroid"), col("centroid"))))
+    val cent = centroidOf(m, "cluster")
     val w = Window.partitionBy("cluster")
       .orderBy(col("cos_r").desc, col("vec_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1336,18 +1351,7 @@ object SimilarityOps {
        |mx AS (
        |  SELECT e.vec_id, comp.cluster, e.embedding
        |  FROM embeddings e JOIN comp USING (vec_id)),
-       |d AS (
-       |  SELECT cluster,
-       |    unnest(CAST(embedding AS DOUBLE[])) AS x,
-       |    unnest(range(1, len(embedding) + 1)) AS i
-       |  FROM mx),
-       |cd AS (SELECT cluster, i, round(avg(x), 9) AS c FROM d GROUP BY 1, 2),
-       |cent AS (
-       |  SELECT cluster, list(c ORDER BY i) AS centroid FROM cd GROUP BY 1),
-       |cn AS (
-       |  SELECT cluster, centroid,
-       |    sqrt(${DedupOps.vdotSql("centroid", "centroid")}) AS cnorm
-       |  FROM cent),
+       |${centroidCtes("mx", "cluster")},
        |sc AS (
        |  SELECT mx.vec_id, mx.cluster,
        |    round(${DedupOps.vdotSql("mx.embedding", "cn.centroid")} /

@@ -530,7 +530,11 @@ object TextOps {
   // print's fan-out exactly as dedup_ngram_jaccard's DfCap does.
   private[ops] val WinnowDfCap = 128
 
-  private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+  // core without the presentation sort: winnow_resolve feeds these pairs
+  // straight into the closure, where a global orderBy would be a
+  // materialized-then-discarded range exchange (the knnComponentsCore
+  // split discipline)
+  private def winnowPairsCore(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val capped = winnowPrints(s, dir)
       .select(col("doc_id"), col("print"))
@@ -543,8 +547,10 @@ object TextOps {
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
-      .orderBy("a_id", "b_id")
   }
+
+  private def winnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowPairsCore(s, dir).orderBy("a_id", "b_id")
 
   private val winnowPairsSql =
     s"""WITH ${winnowCte},
@@ -565,7 +571,7 @@ object TextOps {
   // MinHash misses). Same pointer-jumping closure; keeper = min id;
   // docs without overlaps stay their own keepers.
   private def winnowResolve(s: SparkSession, dir: String): DataFrame = {
-    val p = winnowPairs(s, dir).select(col("a_id"), col("b_id"))
+    val p = winnowPairsCore(s, dir).select(col("a_id"), col("b_id"))
     val edges = p.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(p.select(col("b_id").as("u"), col("a_id").as("v")))
     val (labels, _) = DedupOps.propagateMin(edges)

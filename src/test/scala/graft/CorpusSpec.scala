@@ -335,7 +335,7 @@ class CorpusSpec extends SparkSpec {
       assert(cnt >= df && df >= 1, s"symbol $s: cnt $cnt < df $df")
     }
     // untruncated vocab must conserve the encoded token mass exactly
-    if (vocab.length < 50) {
+    if (vocab.length < graft.ops.CorpusOps.BpeVocabK) {
       val totalBpe = SparkEntry.queries("bpe_encode")(spark, sf0001)
         .collect().map(_.getAs[Long]("n_bpe")).sum
       assert(vocab.map(_._2).sum == totalBpe,

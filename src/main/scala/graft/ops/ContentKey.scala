@@ -160,17 +160,56 @@ private[graft] object ContentKey {
   }
 
   /** Bounded LRU for in-memory derived models (quantizer samples,
-    * codebooks, bloom filters): content-keyed entries for regenerated
-    * datasets would otherwise accumulate for the JVM lifetime. */
-  final class Lru[V](max: Int) {
-    private val m = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, V]) =
-        size() > max
+    * codebooks, bloom filters) and session-scoped DataFrames:
+    * content-keyed entries for regenerated datasets would otherwise
+    * accumulate for the JVM lifetime.
+    *
+    * Two properties matter for the DataFrame-valued caches: (1) eviction
+    * runs `onEvict` on the dropped value — a localCheckpoint()ed frame's
+    * blocks stay pinned on executors for the context lifetime unless
+    * someone calls unpersist, so dropping the reference alone leaks the
+    * blocks; (2) `compute` runs OUTSIDE the map monitor (per-key latch),
+    * so a multi-second closure build for one key never serializes lookups
+    * of unrelated keys. Concurrent getters of the SAME key still compute
+    * once — later arrivals block on the first computer's latch. A failed
+    * compute removes the key and releases waiters, who then retry with
+    * their own compute. */
+  final class Lru[V](max: Int, onEvict: V => Unit = (_: V) => ()) {
+    private final class Cell {
+      @volatile var v: Option[V] = None
+      val done = new java.util.concurrent.CountDownLatch(1)
     }
-    def get(key: String)(compute: => V): V = m.synchronized {
-      val hit = m.get(key)
-      if (hit != null || m.containsKey(key)) hit
-      else { val v = compute; m.put(key, v); v }
+    private val m = new java.util.LinkedHashMap[String, Cell](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Cell]) = {
+        val evict = size() > max
+        // only completed cells carry a value; an in-flight cell being
+        // evicted (pathological max=0-ish pressure) just loses its slot
+        if (evict) e.getValue.v.foreach(onEvict)
+        evict
+      }
+    }
+    @annotation.tailrec
+    def get(key: String)(compute: => V): V = {
+      var mine = false
+      val cell = m.synchronized {
+        val hit = m.get(key)
+        if (hit != null) hit
+        else { val c = new Cell; m.put(key, c); mine = true; c }
+      }
+      if (mine) {
+        try { val v = compute; cell.v = Some(v); v }
+        catch {
+          case t: Throwable =>
+            m.synchronized { if (m.get(key) eq cell) m.remove(key) }
+            throw t
+        } finally cell.done.countDown()
+      } else {
+        cell.done.await()
+        cell.v match {
+          case Some(v) => v
+          case None    => get(key)(compute) // first computer failed; retry
+        }
+      }
     }
   }
 }

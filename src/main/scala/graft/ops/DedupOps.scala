@@ -403,7 +403,10 @@ object DedupOps {
     * ([[ContentKey.ofScoped]]) because the cached value is a
     * session-bound checkpointed frame — a restarted context must rebuild,
     * not replay dead block ids. */
-  private val labelsCache = new ContentKey.Lru[DataFrame](8)
+  // onEvict unpersists the checkpointed frame so its blocks don't stay
+  // pinned after the LRU drops the reference.
+  private val labelsCache =
+    new ContentKey.Lru[DataFrame](8, (df: DataFrame) => df.unpersist())
 
   private def resolvedLabels(s: SparkSession, dir: String): DataFrame = {
     val key = ContentKey.ofScoped(s, Seq(s"$dir/documents.parquet"))

@@ -1271,7 +1271,10 @@ object SimilarityOps {
   // pointer-jump rounds) is cached per dataset content — the
   // resolvedLabels discipline. ofScoped, not of: the cached frame holds
   // localCheckpoint blocks bound to the live SparkContext.
-  private val compCache = new ContentKey.Lru[DataFrame](4)
+  // onEvict unpersists: localCheckpoint blocks survive the reference drop
+  // otherwise, pinning executor storage for the context lifetime.
+  private val compCache =
+    new ContentKey.Lru[DataFrame](4, (df: DataFrame) => df.unpersist())
 
   private def knnComponentsCore(s: SparkSession, dir: String): DataFrame = {
     val key = ContentKey.ofScoped(s, Seq(dir))

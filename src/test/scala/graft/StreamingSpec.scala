@@ -441,22 +441,27 @@ class StreamingSpec extends SparkSpec {
   test("streaming Holt state is bit-identical to the batch events_holt fold") {
     import graft.streaming.HoltMonitor
     val dir = Files.createTempDirectory("graft-holt-s").toString
+    // Feed the RAW timestamp column (not pre-converted micros): holts must
+    // normalize TimestampType to unix_micros itself, or two same-second
+    // events would fold in seconds order and break bit-identity vs the
+    // batch fold's unix_micros order.
     val ev = Tables(spark, sf0001, "events")
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("value"))
     val split = ev.agg(expr("percentile_approx(us, 0.5)")).collect()(0).getLong(0)
-    ev.filter(col("us") <= split).write.parquet(s"$dir/b1")
+    ev.filter(col("us") <= split).drop("us").write.parquet(s"$dir/b1")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val feed = spark.readStream
         .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
-      val q = HoltMonitor.holts(feed, "user_id", "us", "event_id", "value")
+      val q = HoltMonitor.holts(feed, "user_id", "ts", "event_id", "value")
         .writeStream.format("memory").queryName("sholt").outputMode("update")
         .start()
       try {
         q.processAllAvailable()
-        ev.filter(col("us") > split).coalesce(1).write.parquet(s"$dir/b2")
+        ev.filter(col("us") > split).drop("us")
+          .coalesce(1).write.parquet(s"$dir/b2")
         q.processAllAvailable()
         val streamed = spark.table("sholt").collect()
           .map(r => (r.getString(0),

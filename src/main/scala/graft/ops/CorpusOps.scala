@@ -4,7 +4,7 @@ import graft.Tables
 import graft.expr.{functions => gf}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Corpus-preparation operators for the training-data pipeline extension:
   * text normalization, PII redaction, deterministic train/val/test splits,
@@ -567,13 +567,19 @@ object CorpusOps {
          |  GROUP BY u.l, u.r)""".stripMargin
       ctes += s"""m$r AS MATERIALIZED (
          |  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      // LEFT JOIN ON TRUE, not a cross join: a degenerate corpus with fewer
+      // than BpeMerges distinct adjacent pairs leaves m_r EMPTY, and a cross
+      // join would empty t_r and every downstream CTE. The left join keeps
+      // every t-row with m.l/m.r NULL, the CASE predicate evaluates NULL →
+      // ELSE, and the fold degrades to `acc || x` — a no-op rewrite, exactly
+      // matching the Spark fold's skipped empty round in bpeFit.
       if (r < BpeMerges || finalRewrite)
         ctes += s"""t$r AS MATERIALIZED (
            |  SELECT doc_id, CASE WHEN len(toks) <= 1 THEN toks ELSE
            |    list_reduce(list_transform(toks, t -> [t]),
            |      (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
            |        THEN acc[:-2] || [m.l || m.r] ELSE acc || x END) END AS toks
-           |  FROM t${r - 1}, m$r m)""".stripMargin
+           |  FROM t${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin
     }
     ctes.result().mkString(",\n")
   }
@@ -858,7 +864,10 @@ object CorpusOps {
     * tokenize/explode/groupBy plus a second set of pinned checkpoint
     * blocks per scoring call. Context-scoped key for the same reason as
     * `labelsCache`: the value is a session-bound checkpointed frame. */
-  private val qcFeatsCache = new ContentKey.Lru[DataFrame](8)
+  // onEvict unpersists the checkpointed frame so its blocks don't stay
+  // pinned after the LRU drops the reference.
+  private val qcFeatsCache =
+    new ContentKey.Lru[DataFrame](8, (df: DataFrame) => df.unpersist())
 
   /** Per-doc hashed-bucket counts: (doc_id, y, n_toks, b, cnt). */
   private def qcFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -1092,16 +1101,24 @@ object CorpusOps {
   // Every step is a stateless string kernel (RE2-safe regexes, split/
   // sort/join on codegen'd builtins) — embarrassingly parallel, and the
   // downstream dedup is an ordinary hash groupBy on canon_url.
-  private def urlCanon(s: SparkSession, dir: String): DataFrame = {
-    val seeded = t(s, dir, "documents").select(col("doc_id"),
-      concat(
-        lit("https://WWW.Site"), (col("doc_id") % 50).cast("string"),
-        lit(".Example.COM"),
-        when(col("doc_id") % 2 === 0, ":443").otherwise(""),
-        lit("/Path/"), col("doc_id").cast("string"),
-        lit("?b=2&a="), (col("doc_id") % 7).cast("string"),
-        when(col("doc_id") % 3 === 0, "&utm_source=feed").otherwise(""),
-        lit("#sec"), (col("doc_id") % 5).cast("string")).as("url"))
+  /** Deterministic messy-URL seeding (the pii_redact convention): page
+    * identity drives the canonical parts, doc identity drives only the
+    * spelling noise the canonicalizer must strip (port, utm param,
+    * fragment). `url_canon` seeds page = doc_id (unique canon per doc);
+    * `dedup_url` seeds colliding pages so the dedup has real work. */
+  private def urlSeed(page: Column): Column = concat(
+    lit("https://WWW.Site"), (page % 50).cast("string"),
+    lit(".Example.COM"),
+    when(col("doc_id") % 2 === 0, ":443").otherwise(""),
+    lit("/Path/"), page.cast("string"),
+    lit("?b=2&a="), (page % 7).cast("string"),
+    when(col("doc_id") % 3 === 0, "&utm_source=feed").otherwise(""),
+    lit("#sec"), (col("doc_id") % 5).cast("string"))
+
+  /** The canonicalization chain over a (doc_id, url) frame: drop the
+    * fragment, lowercase scheme+host, strip :443, drop utm_* params, sort
+    * the rest. Emits (doc_id, url, host, canon_url). */
+  private def canonicalized(seeded: DataFrame): DataFrame =
     seeded
       .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
       .withColumn("head", regexp_replace(lower(
@@ -1120,30 +1137,74 @@ object CorpusOps {
       .withColumn("params", array_join(array_sort(filter(split(col("qp"), "&"),
         x => x =!= lit("") && !x.startsWith("utm_"))), "&"))
       .select(col("doc_id"), col("url"),
+        element_at(split(col("head"), "/"), 3).as("host"),
         concat(col("head"), lit("/"), col("path"),
           when(col("params") =!= "", concat(lit("?"), col("params")))
             .otherwise("")).as("canon_url"))
+
+  private def urlCanon(s: SparkSession, dir: String): DataFrame =
+    canonicalized(t(s, dir, "documents")
+      .select(col("doc_id"), urlSeed(col("doc_id")).as("url")))
+      .select(col("doc_id"), col("url"), col("canon_url"))
       .orderBy("doc_id")
+
+  // ---- URL-level dedup (the CCNet pre-step) ----
+  // Runs BEFORE any content dedup: two crawls of one page are byte-
+  // different (timestamps, ads) but URL-identical after canonicalization,
+  // so dropping them here is free compared to MinHash. Collisions are
+  // planted: ~3/4 of docs share a page slot (doc_id % 200) with 1-2
+  // other docs, the rest are singletons — spelling noise still varies
+  // per DOC, so the dedup must go through the canonicalizer to find
+  // them. Exact-dedup keeper discipline on the canonical key: keeper =
+  // min(doc_id) per canon_url, a single hash-window (or groupBy at the
+  // host rollup) — embarrassingly scalable, no candidate generation.
+  private def dedupUrlBase(s: SparkSession, dir: String): DataFrame = {
+    val page = when(col("doc_id") % 4 === 3, col("doc_id"))
+      .otherwise(col("doc_id") % 200)
+    canonicalized(t(s, dir, "documents")
+      .select(col("doc_id"), urlSeed(page).as("url")))
   }
 
-  private val urlCanonSql =
-    """WITH se AS (
+  private def dedupUrl(s: SparkSession, dir: String): DataFrame =
+    dedupUrlBase(s, dir)
+      .withColumn("keep_id", min(col("doc_id"))
+        .over(Window.partitionBy(col("canon_url"))))
+      .select(col("doc_id"), col("host"), col("canon_url"), col("keep_id"))
+      .orderBy("doc_id")
+
+  /** Per-host dup-rate rollup (ppm, integer-exact): the crawl-governance
+    * view that decides which hosts need recrawl throttling. */
+  private def dedupUrlHosts(s: SparkSession, dir: String): DataFrame =
+    dedupUrlBase(s, dir)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon_url")).as("n_canon"))
+      // both operands nonnegative, so Spark's truncating DIV and DuckDB's
+      // flooring // agree
+      .withColumn("dup_ppm", expr("((n_docs - n_canon) * 1000000) DIV n_docs"))
+      .orderBy("host")
+
+  /** Shared canonicalization CTE chain, parameterized by the page-identity
+    * SQL expression (the twin of [[urlSeed]]'s `page` column). Ends at
+    * `cn` = (doc_id, url, host, canon_url). */
+  private def urlCtes(pageExpr: String): String =
+    s"""se AS (
       |  SELECT doc_id,
-      |    'https://WWW.Site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    'https://WWW.Site' || CAST(($pageExpr) % 50 AS VARCHAR) ||
       |    '.Example.COM' ||
       |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
-      |    '/Path/' || CAST(doc_id AS VARCHAR) ||
-      |    '?b=2&a=' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '/Path/' || CAST(($pageExpr) AS VARCHAR) ||
+      |    '?b=2&a=' || CAST(($pageExpr) % 7 AS VARCHAR) ||
       |    CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END ||
       |    '#sec' || CAST(doc_id % 5 AS VARCHAR) AS url
       |  FROM documents),
       |nf AS (
-      |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+      |  SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag
       |  FROM se),
       |sp AS (
       |  SELECT doc_id, url,
       |    regexp_replace(lower(array_to_string(
-      |      string_split(nofrag, '/')[1:3], '/')), ':443$', '') AS head,
+      |      string_split(nofrag, '/')[1:3], '/')), ':443$$', '') AS head,
       |    array_to_string(string_split(nofrag, '/')[4:], '/') AS rest
       |  FROM nf),
       |pq AS (
@@ -1156,11 +1217,33 @@ object CorpusOps {
       |  SELECT doc_id, url, head, path,
       |    array_to_string(list_sort(list_filter(string_split(qp, '&'),
       |      t -> t <> '' AND NOT starts_with(t, 'utm_'))), '&') AS params
-      |  FROM pq)
-      |SELECT doc_id, url,
-      |  head || '/' || path ||
-      |    CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canon_url
-      |FROM pr ORDER BY doc_id""".stripMargin
+      |  FROM pq),
+      |cn AS (
+      |  SELECT doc_id, url, string_split(head, '/')[3] AS host,
+      |    head || '/' || path ||
+      |      CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canon_url
+      |  FROM pr)""".stripMargin
+
+  private val urlCanonSql =
+    s"""WITH ${urlCtes("doc_id")}
+      |SELECT doc_id, url, canon_url FROM cn ORDER BY doc_id""".stripMargin
+
+  private val DedupUrlPage =
+    "CASE WHEN doc_id % 4 = 3 THEN doc_id ELSE doc_id % 200 END"
+
+  private val dedupUrlSql =
+    s"""WITH ${urlCtes(DedupUrlPage)}
+      |SELECT doc_id, host, canon_url,
+      |  min(doc_id) OVER (PARTITION BY canon_url) AS keep_id
+      |FROM cn ORDER BY doc_id""".stripMargin
+
+  private val dedupUrlHostsSql =
+    s"""WITH ${urlCtes(DedupUrlPage)}
+      |SELECT host, count(*) AS n_docs,
+      |  count(DISTINCT canon_url) AS n_canon,
+      |  ((count(*) - count(DISTINCT canon_url)) * 1000000) // count(*)
+      |    AS dup_ppm
+      |FROM cn GROUP BY host ORDER BY host""".stripMargin
 
   // ---- corpus datasheet (per-source × lang report) ----
   // The "data card" table a dataset release ships: per (source, lang) —
@@ -1288,6 +1371,8 @@ object CorpusOps {
     "tokenize_pack" -> (tokenizePack _),
     "source_quota" -> (sourceQuota _),
     "url_canon" -> (urlCanon _),
+    "dedup_url" -> (dedupUrl _),
+    "dedup_url_hosts" -> (dedupUrlHosts _),
     "corpus_report" -> (corpusReport _))
 
   val oracle: Map[String, String] = Map(
@@ -1310,5 +1395,7 @@ object CorpusOps {
     "tokenize_pack" -> tokenizePackSql,
     "source_quota" -> sourceQuotaSql,
     "url_canon" -> urlCanonSql,
+    "dedup_url" -> dedupUrlSql,
+    "dedup_url_hosts" -> dedupUrlHostsSql,
     "corpus_report" -> corpusReportSql)
 }

@@ -226,6 +226,76 @@ class CorpusSpec extends SparkSpec {
     assert(res == Map(0L -> 0L, 1L -> 0L, 2L -> 2L), res.toString)
   }
 
+  test("dedup_url keeper structure matches the planted page collisions") {
+    val rows = SparkEntry.queries("dedup_url")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("host"),
+        r.getAs[String]("canon_url"), r.getAs[Long]("keep_id")))
+    assert(rows.nonEmpty)
+    // the planted page identity: doc_id%4==3 docs are singletons, the
+    // rest share page doc_id%200 — keeper must be the min doc_id of the
+    // page group, and canon groups must equal page groups exactly
+    def page(id: Long) = if (id % 4 == 3) id else id % 200
+    val byPage = rows.groupBy(r => page(r._1))
+    rows.foreach { case (id, _, _, keep) =>
+      assert(keep == byPage(page(id)).map(_._1).min,
+        s"doc $id: keeper $keep != group min")
+    }
+    val byCanon = rows.groupBy(_._3)
+    assert(byCanon.values.map(_.map(_._1).toSet).toSet ==
+      byPage.values.map(_.map(_._1).toSet).toSet,
+      "canon groups diverge from page groups")
+    // spelling noise must actually differ inside a dup group somewhere
+    // (else the canonicalizer is untested): find a >=2 group and check
+    // the canon key ignores doc-varying port/utm/fragment noise
+    assert(byCanon.values.exists(_.size >= 2), "no planted dup groups")
+    // host rollup reconciles with the per-doc frame
+    val hosts = SparkEntry.queries("dedup_url_hosts")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_canon"),
+          r.getAs[Long]("dup_ppm")))).toMap
+    val expect = rows.groupBy(_._2).map { case (h, rs) =>
+      val nd = rs.length.toLong
+      val nc = rs.map(_._3).distinct.length.toLong
+      h -> ((nd, nc, (nd - nc) * 1000000L / nd))
+    }
+    assert(hosts == expect, s"host rollup mismatch: $hosts vs $expect")
+  }
+
+  test("bpe degrades gracefully on corpora with fewer pairs than BpeMerges") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    import spark.implicits._
+    // Only TWO learnable merges exist (< BpeMerges): rounds 3..8 find no
+    // pair and must be no-ops on both engines. The expected values here
+    // are pinned against a DuckDB run of the generated mirror SQL on the
+    // identical corpus (train = 2 rows, enc_fp = md5("abc")), so this
+    // test guards the cross-join→LEFT JOIN mirror fix's parity contract.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpedgen").toString
+    (0L until 5L).map(i => (i, "a b c")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val train = SparkEntry.queries("bpe_train")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+    assert(train.toSeq == Seq((1, "a", "b", 5L), (2, "ab", "c", 5L)),
+      train.toSeq.toString)
+    val enc = SparkEntry.queries("bpe_encode")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("n_tok"), r.getAs[Long]("n_bpe"),
+        r.getAs[String]("enc_fp"))).distinct
+    assert(enc.toSeq ==
+      Seq((3L, 1L, "900150983cd24fb0d6963f7d28e17f72")), enc.toSeq.toString)
+    // zero learnable pairs at all: single-token docs pass through unchanged
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-bpedgen0").toString
+    (0L until 3L).map(i => (i, s"tok$i")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir2/documents.parquet")
+    val enc0 = SparkEntry.queries("bpe_encode")(spark, dir2).collect()
+    assert(enc0.length == 3 && enc0.forall(r =>
+      r.getAs[Long]("n_tok") == 1L && r.getAs[Long]("n_bpe") == 1L),
+      enc0.toSeq.toString)
+  }
+
   test("corpus_report reconciles with a direct recomputation of each slice") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf0001, "documents")

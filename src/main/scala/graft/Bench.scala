@@ -156,12 +156,6 @@ object Bench {
         s"[bench] $name ${num(sec, 2)}s (passes ${ss.map(s => num(s, 2)).mkString(" / ")})")
       name -> sec
     }
-    // 3-decimal rounding: millisecond resolution is already below the
-    // noise floor, and the compact map is what survives the driver's
-    // 2000-char stdout tail
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1" else num(v, 3))
-    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // Plan-generation fingerprint: md5 of the committed PLANS.md (the
@@ -181,24 +175,36 @@ object Bench {
     // round-over-round delta on an unchanged query is a real plan change,
     // not a shared-noise-window artifact.
     //
-    // Field order is deliberate: the driver archives only the LAST 2000
-    // chars of stdout, so the big per-query map goes FIRST and the
-    // summary scalars (total, stream, plans_md5, sf) go LAST — whatever
-    // truncation happens eats the head of the map, never the summary.
-    // The complete line is ALSO written to bench_full.json in the repo
-    // root, which the driver commits with the round — the durable,
-    // never-truncated record. A TARGETED run (SPARK_GRAFT_BENCH_ONLY)
-    // must not clobber that record with a 3-query line: it writes to
-    // bench_targeted.json unless the caller named a path explicitly.
-    val line = s"""{"queries":$qs,"metric":"total","value":${num(total, 3)},"unit":"sec","estimator":"min_of_2_passes_plus_suspect_retries","stream":$stream,"plans_md5":$plansMd5,"sf":"$sfDir"}"""
+    // Two records: the COMPLETE per-query map goes to bench_full.json in
+    // the repo root (the durable, never-truncated record the driver
+    // commits with the round), while STDOUT gets a compact line — the
+    // summary scalars plus only the slowest 20 queries — sized well under
+    // the driver's 2000-char stdout tail, so the per-round BENCH_r{N}.json
+    // archive is parseable end-to-end instead of a truncated 151-query
+    // map (the round-7 lossy-archive finding). A TARGETED run
+    // (SPARK_GRAFT_BENCH_ONLY) must not clobber the full record with a
+    // 3-query line: it writes to bench_targeted.json unless the caller
+    // named a path explicitly.
+    def queriesJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else num(v, 3))
+      }.mkString("{", ",", "}")
+    val summary = s""""metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"estimator":"min_of_2_passes_plus_suspect_retries","stream":$stream,"plans_md5":$plansMd5,"sf":"$sfDir""""
+    val fullLine = s"""{"queries":${queriesJson(results)},$summary}"""
+    // stdout keeps the contractual "queries" key, just restricted to the
+    // slowest 20 (the interesting ones); "queries_full" names the file
+    // with the complete map.
+    val slowest = results.sortBy(-_._2).take(20)
+    val tailLine =
+      s"""{"queries":${queriesJson(slowest)},"queries_full":"bench_full.json",$summary}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       if (only.isDefined) "bench_targeted.json" else "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-json write failed: ${e.getMessage}")
     }
-    println(line)
+    println(tailLine)
     spark.stop()
   }
 }

@@ -346,50 +346,81 @@ object DedupOps {
     * directed edge list (`u`,`v` — both directions present). Returns the
     * per-doc component-min labels and the number of rounds taken.
     *
-    * Each round combines two steps before taking the per-doc min:
-    *  - edge propagation: label(v) ← label(u) for every edge (u,v);
-    *  - pointer jumping:  label(d) ← label(label(d)) — composing the
-    *    label function with itself squares the distance information
-    *    travels, so a chain of diameter D converges in O(log D) rounds
-    *    instead of O(D) (DedupSpec pins a 1000-doc chain at ≤ 12).
+    * Semi-naive (frontier/delta) evaluation of the same fixpoint the
+    * full-frame version computed: each round combines two steps before
+    * taking the per-doc min —
+    *  - edge propagation: label(v) ← label(u), but ONLY for u whose label
+    *    improved last round (an unchanged u contributed the same value
+    *    last round; re-sending it cannot lower any min);
+    *  - pointer jumping:  label(d) ← label(label(d)), but ONLY for d whose
+    *    pointer label(d) improved last round — exactly the rounds where
+    *    composition carries new information, so the distance-squaring
+    *    behavior (O(log D) rounds; DedupSpec pins a 1000-doc chain ≤ 12)
+    *    is preserved round for round.
     * Both only ever assign ids of docs in the same component, so the min
-    * converges to the component minimum exactly — same fixpoint as pure
-    * propagation, identical to the oracle's recursive closure.
+    * converges to the component minimum exactly — same fixpoint as the
+    * full recomputation, identical to the oracle's recursive closure.
     *
-    * Each iteration shuffles |labels| + |edges| rows; lineage is
-    * truncated with localCheckpoint per round. Convergence is witnessed
-    * by a monotone Σlabel. No silent cap — a partial propagation would
-    * split clusters — and with pointer jumping log₂(any real diameter)
-    * is tiny, so the 64-round guard only trips on a cycle bug and fails
-    * loudly instead of returning wrong labels. */
+    * Scale shape: round 1's frontier is everything (the initial
+    * self-labels), so it costs the classic |edges|+|labels| shuffle — but
+    * real dup/overlap subgraphs are dominated by tiny-diameter clusters,
+    * so from round 2 the frontier collapses to the few docs still
+    * improving and the joins run against a frame small enough for AQE to
+    * broadcast: the late rounds that used to re-shuffle the full label
+    * frame become near-free. Each round still localCheckpoints the new
+    * label frame (truncating lineage so round k never replays rounds
+    * 1..k-1), but the superseded round's blocks are explicitly
+    * unpersisted — block accrual across many catalog queries was the
+    * executor-storage symptom the bench's GC pauses worked around.
+    * Convergence is witnessed by an empty frontier: no improvement
+    * anywhere, the exact fixpoint test. No silent cap — a partial
+    * propagation would split clusters — and the 64-round guard only
+    * trips on a cycle bug, failing loudly instead of returning wrong
+    * labels. */
   private[graft] def propagateMin(edges0: DataFrame): (DataFrame, Int) = {
     val edges = edges0.localCheckpoint()
-    var labels = edges.select(col("u").as("doc_id"))
+    val init = edges.select(col("u").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
-    // sum over an empty frame is null — check emptiness BEFORE reading it
-    var converged = labels.isEmpty
-    var prevSum = if (converged) 0L else labels.agg(sum("label")).head().getLong(0)
+    var labels = init
+    var frontier = init // every doc just received its self-label
+    var prevCk: DataFrame = null // superseded round, unpersisted lazily
     var it = 0
     val maxIters = 64
-    while (!converged) {
+    while (!frontier.isEmpty) {
       if (it >= maxIters)
         throw new IllegalStateException(
           s"dedup_resolve failed to converge in $maxIters rounds")
-      val prop = edges.join(labels, edges("u") === labels("doc_id"))
-        .select(col("v").as("doc_id"), col("label"))
-      val lab2 = labels.select(col("doc_id").as("l_doc"), col("label").as("l_lab"))
-      val jump = labels.join(lab2, labels("label") === lab2("l_doc"))
-        .select(labels("doc_id"), col("l_lab").as("label"))
-      labels = labels.select(col("doc_id"), col("label")).union(prop).union(jump)
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .localCheckpoint()
-      val sumNow = labels.agg(sum("label")).head().getLong(0)
-      converged = sumNow == prevSum
-      prevSum = sumNow
+      val f = frontier.select(col("doc_id").as("f_doc"), col("label").as("f_lab"))
+      val prop = edges.join(f, edges("u") === col("f_doc"))
+        .select(col("v").as("doc_id"), col("f_lab").as("cand"))
+      // jump case (a): d's pointer label(d) improved last round — compose
+      // through the pointer's NEW label
+      val jump = labels.join(f, labels("label") === col("f_doc"))
+        .select(labels("doc_id"), col("f_lab").as("cand"))
+      // jump case (b): d itself improved last round — re-compose through
+      // its NEW pointer (whose label may be long-settled). Without this
+      // half the composition only fires when pointers move again, and the
+      // chain degrades toward linear rounds.
+      val ptr = labels.select(col("doc_id").as("p_doc"), col("label").as("p_lab"))
+      val jumpNew = f.join(ptr, col("f_lab") === col("p_doc"))
+        .select(col("f_doc").as("doc_id"), col("p_lab").as("cand"))
+      val cand = prop.union(jump).union(jumpNew)
+        .groupBy("doc_id").agg(min("cand").as("cand"))
+      val next = labels.join(cand, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
+          (col("cand") < col("label")).as("improved"))
+        .localCheckpoint() // eager: materialized before its input is freed
+      if (prevCk != null) prevCk.unpersist()
+      if (it == 0) init.unpersist()
+      prevCk = next
+      labels = next.select("doc_id", "label")
+      frontier = next.filter(col("improved")).select("doc_id", "label")
       it += 1
     }
+    edges.unpersist()
     (labels, it)
   }
 

@@ -491,41 +491,78 @@ object LinkOps {
 
   private[graft] def kcoreEdges(s: SparkSession, dir: String, k: Int,
       maxRounds: Int = KcoreGuard): (DataFrame, Int) = {
-    // the edge list is static — checkpointed ONCE; each peel round only
-    // re-materializes the |V|-row alive set and filters the static edges
-    // through two semi-joins — broadcast below the size guard, shuffled
-    // semi-joins of the same shape beyond it (the alive count is the
-    // loop's convergence witness, so the guard is free)
+    // Incremental peel (the propagateMin frontier discipline): the edge
+    // list is static — checkpointed ONCE — and each round touches only
+    // the JUST-REMOVED nodes instead of re-filtering the full edge frame
+    // and recomputing all degrees. Per round: (1) survivors incident to a
+    // just-removed node lose that many degrees — two semi-joins of the
+    // static edges against the (small) removal delta, anti-joined against
+    // the cumulative removed set so nodes falling together don't update
+    // each other; (2) the |V|-row degree frame is decremented via a left
+    // join against the (small) per-survivor loss counts. Removal sets are
+    // size-guarded broadcasts. Synchronous-peel semantics are preserved
+    // exactly — round r removes every node whose degree in the round-r
+    // subgraph is < k (nodes isolated by a removal reach d = 0 and leave
+    // the NEXT round, which is also when the full recomputation dropped
+    // them from the degree agg) — so round counts, the final subgraph,
+    // and the 8-round SQL unroll contract are unchanged; only the
+    // per-round cost drops from O(|E|) joins + a 2|E| degree shuffle to
+    // O(|E|) semi-join scans with tiny broadcast sides and a |V| update.
     val und = coPurchaseEdges(s, dir).filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v")).localCheckpoint()
-    def restrict(alive: DataFrame, nAlive: Long): DataFrame = und
-      .join(maybeBroadcast(s, alive.select(col("id").as("u")), nAlive),
-        Seq("u"), "left_semi")
-      .join(maybeBroadcast(s, alive.select(col("id").as("v")), nAlive),
-        Seq("v"), "left_semi")
-      .select("u", "v") // USING-joins move the key first; restore (u, v)
     def degrees(edges: DataFrame): DataFrame = edges
       .select(col("u").as("id")).unionAll(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
-    var alive = degrees(und).select("id").localCheckpoint()
-    var nAlive = alive.count()
-    var sub = und
+    var deg = degrees(und).localCheckpoint() // survivors' in-subgraph degrees
+    var remNow = deg.filter(col("d") < k).select("id").localCheckpoint()
+    var nRemNow = remNow.count()
+    var removedAll: DataFrame = null // cumulative, null while empty
+    var nRemovedAll = 0L
+    var prevDeg = deg
+    var prevRemAll: DataFrame = null
     var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds) {
-      // zero-degree-in-subgraph nodes vanish from `degrees` and are
-      // thereby dropped too (their degree is < k by definition)
-      sub = restrict(alive, nAlive)
-      val next = degrees(sub).filter(col("d") >= k)
-        .select("id").localCheckpoint()
-      val n = next.count()
-      converged = n == nAlive
-      if (!converged) rounds += 1
-      nAlive = n
-      alive = next
+    while (nRemNow > 0 && rounds < maxRounds) {
+      rounds += 1
+      removedAll =
+        (if (removedAll == null) remNow else removedAll.unionAll(remNow))
+          .localCheckpoint()
+      if (prevRemAll != null) prevRemAll.unpersist()
+      prevRemAll = removedAll
+      nRemovedAll += nRemNow
+      // per-survivor degree loss from edges whose OTHER endpoint just left
+      val remU = maybeBroadcast(s, remNow.select(col("id").as("u")), nRemNow)
+      val remV = maybeBroadcast(s, remNow.select(col("id").as("v")), nRemNow)
+      val touched = und.join(remU, Seq("u"), "left_semi").select(col("v").as("id"))
+        .unionAll(und.join(remV, Seq("v"), "left_semi").select(col("u").as("id")))
+      val delta = touched
+        .join(maybeBroadcast(s, removedAll, nRemovedAll), Seq("id"), "left_anti")
+        .groupBy("id").agg(count(lit(1)).as("dl"))
+      val nextDeg = deg.join(remNow, Seq("id"), "left_anti")
+        .join(delta, Seq("id"), "left")
+        .select(col("id"), (col("d") - coalesce(col("dl"), lit(0L))).as("d"))
+        .localCheckpoint()
+      if (prevDeg != null) prevDeg.unpersist()
+      prevDeg = nextDeg
+      deg = nextDeg
+      remNow = deg.filter(col("d") < k).select("id")
+      nRemNow = remNow.count()
     }
-    // at convergence next == alive, so the last `sub` IS the final
-    // restriction — no extra pass
+    // the degree frame served only the peel; the result depends on
+    // und + removedAll alone
+    prevDeg.unpersist()
+    // one final restriction of the static edges by the cumulative removed
+    // set (the old version paid this filter EVERY round)
+    val sub =
+      if (removedAll == null) und
+      else {
+        val remAllU = maybeBroadcast(s,
+          removedAll.select(col("id").as("u")), nRemovedAll)
+        val remAllV = maybeBroadcast(s,
+          removedAll.select(col("id").as("v")), nRemovedAll)
+        und.join(remAllU, Seq("u"), "left_anti")
+          .join(remAllV, Seq("v"), "left_anti")
+          .select("u", "v") // USING-joins move the key first; restore (u, v)
+      }
     (sub, rounds)
   }
 

@@ -69,9 +69,29 @@ object Bench {
         System.err.println(
           f"[bench] stream e2e (isolated) v2 p50=$p50%.3fs p95=$p95%.3fs over $n; " +
             f"legacy p50=$l50%.3fs p95=$l95%.3fs over $ln")
+        // Load-scaled throughput: 1x/10x/100x events per trigger for both
+        // paths — the published proof that the V2 WAL's per-trigger
+        // durability cost does not grow superlinearly with batch size
+        // (the fixed-tiny-batch latency block above cannot show that).
+        def fmt(v: Double, dec: Int): String =
+          String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+        val throughput = Seq(200, 2000, 20000).flatMap { vehicles =>
+          Seq(("v2", true), ("legacy", false)).map { case (path, v2) =>
+            val (t50, t95, tn) = graft.streaming.StreamLatency
+              .measure(spark, triggers = 8, vehicles = vehicles,
+                deadlineSec = 180, useV2 = v2)
+            val rps = vehicles / t50
+            System.err.println(
+              f"[bench] stream throughput $path vehicles=$vehicles " +
+                f"p50=$t50%.3fs p95=$t95%.3fs rows/s=$rps%.0f over $tn")
+            s"""{"path":"$path","vehicles":$vehicles,"p50":${fmt(t50, 3)},""" +
+              s""""p95":${fmt(t95, 3)},"rows_per_sec":${fmt(rps, 0)},""" +
+              s""""triggers":$tn}"""
+          }
+        }.mkString("[", ",", "]")
         s"""{"e2e_p50":$p50,"e2e_p95":$p95,"triggers":$n,""" +
           s""""legacy_p50":$l50,"legacy_p95":$l95,"legacy_triggers":$ln,""" +
-          s""""isolated":true}"""
+          s""""throughput":$throughput,"isolated":true}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream e2e failed: ${e.getMessage}")
         "{}"

@@ -285,17 +285,35 @@ object SimilarityOps {
 
   private val miningCache = new ContentKey.Lru[MiningModel](8)
 
+  /** Session conf: max cells a DRIVER-SAMPLE fit may target. Above it the
+    * fit goes hierarchical-distributed ([[fitMiningDistributed]]); the
+    * default is the training-sample bound itself, so the conf exists to
+    * let tests force the distributed path at toy scale. */
+  private[graft] val SampleFitCapKey = "graft.mining.sampleFitCap"
+
   /** Fit-once mining quantizer — same deterministic sample and Lloyd
-    * loop as [[fitCentroids]], K from [[miningK]]. */
+    * loop as [[fitCentroids]], K from [[miningK]]. Past the
+    * sample-supported K (the round-7 documented frontier) the fit goes
+    * hierarchical-distributed instead of silently capping K (which would
+    * let cell occupancy — and therefore per-anchor candidate work — grow
+    * linearly again past N ≈ sample·MineCell ≈ 2M vectors). */
   private[graft] def fitMiningModel(s: SparkSession, dir: String): MiningModel = {
-    val key = ContentKey.of(s, Seq(s"$dir/embeddings.parquet"))
+    val fitCap = s.conf.getOption(SampleFitCapKey).map(_.toInt)
+      .getOrElse(Int.MaxValue)
+    // the conf participates in the key: a test flipping the cap on the
+    // same dataset must refit, not adopt the cached other-shape model
+    val key = s"${ContentKey.of(s, Seq(s"$dir/embeddings.parquet"))}/cap=$fitCap"
     miningCache.get(key) {
       val (n, sample) = trainingSample(s, dir)
-      val k = miningK(n, sample.length)
-      if (k <= MineFlatMax) {
-        val (dim, flat) = lloydFit(sample, k)
+      val kWant = math.max(16, (n / MineCell).toInt)
+      if (kWant > math.min(fitCap, sample.length))
+        fitMiningDistributed(s, dir, sample, kWant,
+          math.min(fitCap, sample.length))
+      else if (kWant <= MineFlatMax) {
+        val (dim, flat) = lloydFit(sample, kWant)
         MiningFlat(dim, flat)
       } else {
+        val k = kWant
         val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
         val k2 = k1
         val (dim, c1) = lloydFit(sample, k1)
@@ -337,6 +355,73 @@ object SimilarityOps {
         MiningTree(dim, c1, c2, k2)
       }
     }
+  }
+
+  /** Hierarchical-distributed quantizer fit for K past what a driver
+    * sample can support (each centroid needs training points, so a 16k
+    * sample cannot learn 100k+ distinct cells — the frontier round 7
+    * documented). Two levels:
+    *   1. the driver sample fits k1 ≈ √K coarse blocks (classic Lloyd);
+    *   2. every corpus vector is assigned its top-1 block IN EXECUTORS,
+    *      each block keeps a bounded deterministic per-block sample
+    *      (window row_number over the xxhash order — one shuffle keyed by
+    *      block), and the k2-cell sub-fit runs PER BLOCK inside
+    *      mapGroups — embarrassingly parallel, and only the k1·k2·dim
+    *      centroid matrix returns to the driver (the model itself), never
+    *      the samples.
+    * Output is a [[MiningTree]] in the same cell-id space the flat k1·k2
+    * matrix would use, so the assignment kernel, spill descent, and every
+    * consumer are unchanged. Deterministic end to end: the level-1 fit is
+    * the shared seeded Lloyd, block assignment is the same kernel the
+    * query path uses, per-block samples are ordered by (xxhash, vec_id)
+    * and re-sorted inside the group before the (deterministic) sub-fit.
+    * Driver memory stays O(K·dim) — the returned model — independent of
+    * N; at the K where even the model outgrows a broadcast literal
+    * (~100k cells) the assignment itself must become a cell-centroid
+    * JOIN, which is the documented next frontier, not built here. */
+  private def fitMiningDistributed(s: SparkSession, dir: String,
+      sample: Array[Array[Float]], kWant: Int, k1Cap: Int): MiningModel = {
+    val k1 = math.min(k1Cap, math.ceil(math.sqrt(kWant.toDouble)).toInt)
+    val k2 = math.ceil(kWant.toDouble / k1).toInt
+    val (dim, c1) = lloydFit(sample, k1)
+    val s2cap = math.max(64, 8 * k2) // points per sub-fit, bounded per block
+    import s.implicits._
+    val c1Lit = typedLit(c1.toSeq)
+    val w = Window.partitionBy("blk").orderBy("h", "vec_id")
+    val perBlock = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        element_at(gf.ivf_cells(col("embedding"), c1Lit, lit(dim), lit(1)), 1)
+          .as("blk"),
+        xxhash64(col("vec_id")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= s2cap)
+      .select(col("blk"), col("h"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (blk, it) =>
+        val pts = it.toArray.sortBy(r => (r._2, r._3)).map(_._4.toArray)
+        val kb = math.min(k2, pts.length)
+        (blk, lloydFit(pts, kb)._2)
+      }
+      .collect()
+    val c2 = new Array[Double](k1 * k2 * dim)
+    // pre-pad every slot with its block's own (normalized) level-1 row:
+    // empty blocks and short sub-fits degrade to the coarse centroid, and
+    // duplicate centroids tie to the lowest id, so padding never changes
+    // an assignment outcome (the sample-tree discipline)
+    var b = 0
+    while (b < k1) {
+      var sc = 0
+      while (sc < k2) {
+        System.arraycopy(c1, b * dim, c2, (b * k2 + sc) * dim, dim)
+        sc += 1
+      }
+      b += 1
+    }
+    for ((blk, sub) <- perBlock) {
+      System.arraycopy(sub, 0, c2, blk * k2 * dim, sub.length)
+    }
+    MiningTree(dim, c1, c2, k2)
   }
 
   /** The assignment column for a fitted mining model: flat single-kernel

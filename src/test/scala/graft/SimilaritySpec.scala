@@ -38,6 +38,90 @@ class SimilaritySpec extends SparkSpec {
     assert(SparkEntry.queries("simsearch_topk")(spark, sf0001).count() > 0)
   }
 
+  /** Deterministic synthetic embeddings table (dim 16) for the
+    * hierarchical-fit tests — self-contained dirs so the persisted oracle
+    * frames of the real catalog paths are never touched. */
+  private def genEmb(n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-hier$n").toString
+    spark.range(n).selectExpr("id AS vec_id", "CAST(id % 20 AS INT) AS label",
+      "transform(sequence(0, 15), i -> CAST(pmod(xxhash64(vec_id * 31 + i)," +
+        " 1000) / 1000.0 - 0.5 AS FLOAT)) AS embedding")
+      .coalesce(4).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("hierarchical-distributed fit holds occupancy constant past the sample cap") {
+    import graft.ops.SimilarityOps
+    // force the sample-fit cap far below kWant = N/MineCell so both sizes
+    // take the distributed path; without it the capped fit would let
+    // occupancy grow ~10x between these two corpora
+    spark.conf.set(SimilarityOps.SampleFitCapKey, "24")
+    try {
+      val occs = Seq(8192, 81920).map { n =>
+        val dir = genEmb(n)
+        val m = SimilarityOps.fitMiningModel(spark, dir)
+        assert(m.isInstanceOf[SimilarityOps.MiningTree],
+          s"n=$n did not take the hierarchical path")
+        val cells = Tables(spark, dir, "embeddings")
+          .select(explode(SimilarityOps.miningCells(m, col("embedding"), 1))
+            .as("cell"))
+          .groupBy("cell").count().count()
+        val occ = n.toDouble / cells
+        info(f"n=$n cells=$cells occupancy=$occ%.0f")
+        occ
+      }
+      assert(occs.forall(o => o >= 32 && o <= 512),
+        s"occupancy out of the MineCell band: $occs")
+      assert(occs(1) / occs(0) < 2.5,
+        s"occupancy grew with N under the hierarchical fit: $occs")
+    } finally spark.conf.unset(SimilarityOps.SampleFitCapKey)
+  }
+
+  test("mining recall@4 vs brute survives the forced hierarchical fit") {
+    import graft.ops.SimilarityOps
+    import SimilarityOps.{MineAssign, MineProbe}
+    spark.conf.set(SimilarityOps.SampleFitCapKey, "24")
+    try {
+      val n = 4096
+      val dir = genEmb(n)
+      val m = SimilarityOps.fitMiningModel(spark, dir)
+      assert(m.isInstanceOf[SimilarityOps.MiningTree])
+      val e = Tables(spark, dir, "embeddings")
+      val idx = e.select(col("vec_id").as("c_id"),
+        explode(SimilarityOps.miningCells(m, col("embedding"), MineAssign))
+          .as("cell"))
+      val pr = e.select(col("vec_id").as("a_id"),
+        explode(SimilarityOps.miningCells(m, col("embedding"), MineProbe))
+          .as("cell"))
+      val cand = pr.join(idx, "cell")
+        .filter(col("a_id") =!= col("c_id"))
+        .select("a_id", "c_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute top-4 for a deterministic anchor sample; the mined ranking
+      // is by exact cosine, so candidate containment IS final recall —
+      // a contained global-top-4 pair can never be outranked
+      val vecs = e.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        d / math.sqrt(na * nb)
+      }
+      val anchors = (0L until 200L).toArray
+      val brute = anchors.flatMap { a =>
+        vecs.keys.filter(_ != a).toArray
+          .map(c => (c, cos(vecs(a), vecs(c))))
+          .sortBy { case (c, s) => (-s, c) }.take(4)
+          .map { case (c, _) => (a, c) }
+      }.toSet
+      val recall = (brute & cand).size.toDouble / brute.size
+      info(f"hierarchical mining recall@4 = $recall%.2f")
+      assert(recall >= 0.8, f"recall@4 $recall%.2f below 0.8")
+    } finally spark.conf.unset(SimilarityOps.SampleFitCapKey)
+  }
+
   test("LSH top-k finds same-bucket neighbors with sane similarities") {
     val r = SparkEntry.queries("simsearch_lsh")(spark, sf0001)
       .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id")))

@@ -601,7 +601,9 @@ object CorpusOps {
        |SELECT t0.doc_id,
        |  CAST(len(t0.toks) AS BIGINT) AS n_tok,
        |  CAST(len(te.toks) AS BIGINT) AS n_bpe,
-       |  md5(array_to_string(te.toks, ' ')) AS enc_fp
+       |  -- COALESCE: DuckDB v1.0.0 stringifies an EMPTY token list to
+       |  -- NULL; Spark's array_join hashes '' (whitespace-only docs)
+       |  md5(COALESCE(array_to_string(te.toks, ' '), '')) AS enc_fp
        |FROM t0 JOIN t$BpeMerges te USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 

@@ -1139,8 +1139,10 @@ object DedupOps {
       |  FROM d),
       |h AS (
       |  SELECT doc_id, blk_id,
-      |    array_to_string(list_slice(toks,
-      |      blk_id * $ParaW + 1, blk_id * $ParaW + $ParaW), ' ') AS blk
+      |    -- COALESCE: an empty doc's single block slices an empty list,
+      |    -- which DuckDB v1.0.0 stringifies to NULL, Spark to ''
+      |    COALESCE(array_to_string(list_slice(toks,
+      |      blk_id * $ParaW + 1, blk_id * $ParaW + $ParaW), ' '), '') AS blk
       |  FROM b),
       |k AS (
       |  SELECT doc_id, blk_id, blk,
@@ -1149,11 +1151,13 @@ object DedupOps {
       |  FROM h)
       |SELECT doc_id, count(*) AS n_blocks,
       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  -- COALESCE: an all-dropped doc's FILTERed list() is NULL in
-      |  -- DuckDB but an empty array under Spark's collect_list — both
-      |  -- must hash the empty string
-      |  md5(array_to_string(COALESCE(list(blk ORDER BY blk_id)
-      |    FILTER (WHERE keep), []), ' ')) AS kept_fp
+      |  -- COALESCE the STRING, not the list: DuckDB v1.0.0's
+      |  -- array_to_string returns NULL for an EMPTY list too (not just a
+      |  -- NULL one), so an all-dropped doc — which first appears at sf1,
+      |  -- caught by the round-8 sf1 oracle sweep — hashed NULL while
+      |  -- Spark's array_join of the empty collect_list hashes ''
+      |  md5(COALESCE(array_to_string(list(blk ORDER BY blk_id)
+      |    FILTER (WHERE keep), ' '), '')) AS kept_fp
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -78,8 +78,10 @@ object RetrievalOps {
        |  chunk_id * $ChunkS AS start_tok,
        |  least($ChunkW, n_tok - chunk_id * $ChunkS) AS n_tok_chunk,
        |  ${TextOps.fingerprintFoldSql(
-             s"array_to_string(list_slice(toks, chunk_id * $ChunkS + 1, " +
-             s"chunk_id * $ChunkS + least($ChunkW, n_tok - chunk_id * $ChunkS)), ' ')")}
+             // COALESCE: an empty doc's single chunk slices an empty list,
+             // which DuckDB v1.0.0 stringifies to NULL, Spark to ''
+             s"COALESCE(array_to_string(list_slice(toks, chunk_id * $ChunkS + 1, " +
+             s"chunk_id * $ChunkS + least($ChunkW, n_tok - chunk_id * $ChunkS)), ' '), '')")}
        |    AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 

@@ -1361,13 +1361,24 @@ object SimilarityOps {
   private val compCache =
     new ContentKey.Lru[DataFrame](4, (df: DataFrame) => df.unpersist())
 
+  /** Mirror unroll depth for the knn-component closure: pointer jumping
+    * covers diameter 2^n, so 12 rounds reach any component the data can
+    * realistically hold; the Spark side fails LOUDLY (kcore's unroll
+    * discipline) if its measured round count ever exceeds this. */
+  private[graft] val KnnWalkUnroll = 12
+
   private def knnComponentsCore(s: SparkSession, dir: String): DataFrame = {
     val key = ContentKey.ofScoped(s, Seq(dir))
     compCache.get(key) {
       val g = knnCore(s, dir).filter(col("cos_sim") >= KnnTau)
         .select(col("vec_id").as("u"), col("nbr_id").as("v"))
       val edges = g.union(g.select(col("v").as("u"), col("u").as("v")))
-      val (labels, _) = DedupOps.propagateMin(edges)
+      val (labels, rounds) = DedupOps.propagateMin(edges)
+      // the oracle unrolls exactly KnnWalkUnroll rounds: a slower-
+      // converging graph must fail loudly here, not hash-mismatch there
+      require(rounds <= KnnWalkUnroll,
+        s"knn components needed $rounds > $KnnWalkUnroll propagation " +
+          "rounds; widen the SQL unroll")
       t(s, dir, "embeddings").select(col("vec_id"))
         .join(labels.withColumnRenamed("doc_id", "vec_id"),
           Seq("vec_id"), "left")
@@ -1380,20 +1391,50 @@ object SimilarityOps {
   private def knnComponents(s: SparkSession, dir: String): DataFrame =
     knnComponentsCore(s, dir).orderBy("vec_id")
 
-  private def knnComponentsSql: String =
-    s"""WITH RECURSIVE $knnCtes,
-       |g AS (
+  /** Unrolled min-label propagation rounds over the `edges` CTE (the
+    * kcore unroll discipline): each round materializes the per-id min
+    * over {self, edge-propagated, pointer-jumped} candidate labels — the
+    * exact update [[DedupOps.propagateMin]] folds, so the last round is
+    * the same fixpoint provided the engine converged within the unroll
+    * (guarded loudly above). O(rounds·|E|) replay: the recursive-walk
+    * formulation this replaces is O(Σ component²) — the round-8 sf1
+    * oracle sweep measured it at >900 s / >35 GB on sf1's giant knn
+    * component, while the unroll replays in seconds. Ends at `comp` =
+    * (vec_id, cluster). */
+  private def compCtes: String = {
+    val rounds = (1 to KnnWalkUnroll).map { r =>
+      s"""w$r AS MATERIALIZED (
+         |  SELECT id, min(cand) AS label FROM (
+         |    SELECT id, label AS cand FROM w${r - 1}
+         |    UNION ALL
+         |    SELECT e.v AS id, w.label AS cand
+         |    FROM w${r - 1} w JOIN edges e ON e.u = w.id
+         |    UNION ALL
+         |    SELECT a.id, b.label AS cand
+         |    FROM w${r - 1} a JOIN w${r - 1} b ON a.label = b.id)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""g AS MATERIALIZED (
        |  SELECT a_id, c_id FROM ranked
        |  WHERE rank <= $KnnK AND cos_sim >= $KnnTau),
-       |edges AS (
+       |edges AS MATERIALIZED (
+       |  -- MATERIALIZED is load-bearing: w1..w$KnnWalkUnroll each
+       |  -- reference edges, and DuckDB inlines plain CTEs per reference —
+       |  -- 12 re-evaluations of the candidate ranking spilled the disk at
+       |  -- sf1 before these two hints
        |  SELECT a_id AS u, c_id AS v FROM g
        |  UNION SELECT c_id, a_id FROM g),
-       |walk(id, label) AS (
-       |  SELECT vec_id, vec_id FROM embeddings
-       |  UNION
-       |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id)
-       |SELECT id AS vec_id, min(label) AS cluster FROM walk
-       |GROUP BY id ORDER BY vec_id""".stripMargin
+       |w0 AS MATERIALIZED (
+       |  SELECT vec_id AS id, vec_id AS label FROM embeddings),
+       |$rounds,
+       |comp AS (
+       |  SELECT id AS vec_id, label AS cluster FROM w$KnnWalkUnroll)""".stripMargin
+  }
+
+  private def knnComponentsSql: String =
+    s"""WITH $knnCtes,
+       |$compCtes
+       |SELECT vec_id, cluster FROM comp ORDER BY vec_id""".stripMargin
 
   // ---- per-cluster keeper selection (SemDeDup keep rule) ----
   // The embedding-space analog of dedup_keep_best: inside each semantic
@@ -1423,19 +1464,8 @@ object SimilarityOps {
   }
 
   private def knnKeepBestSql: String =
-    s"""WITH RECURSIVE $knnCtes,
-       |g AS (
-       |  SELECT a_id, c_id FROM ranked
-       |  WHERE rank <= $KnnK AND cos_sim >= $KnnTau),
-       |edges AS (
-       |  SELECT a_id AS u, c_id AS v FROM g
-       |  UNION SELECT c_id, a_id FROM g),
-       |walk(id, label) AS (
-       |  SELECT vec_id, vec_id FROM embeddings
-       |  UNION
-       |  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id),
-       |comp AS (
-       |  SELECT id AS vec_id, min(label) AS cluster FROM walk GROUP BY id),
+    s"""WITH $knnCtes,
+       |$compCtes,
        |mx AS (
        |  SELECT e.vec_id, comp.cluster, e.embedding
        |  FROM embeddings e JOIN comp USING (vec_id)),

@@ -2,16 +2,21 @@
 """Local replica of the driver's DuckDB-oracle compare: run Verify output
 against oracle_sql.json on the same testdata tables; exact value compare
 after sorting columns by name and rows by all columns."""
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 import pandas as pd
 
 verify_dir, sf_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 oracle = json.load(open(f"{verify_dir}/oracle_sql.json"))
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # ScaleGen layouts are multi-file directories; sf0.* are single files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -52,7 +57,7 @@ for name in sorted(oracle):
     if bad:
         fails.append((name, f"col {bad[0]}: {bad[2]} diffs, e.g. {bad[1]}"))
     else:
-        print(f"OK   {name} ({len(spark_df)} rows)")
+        print(f"OK   {name} ({len(spark_df)} rows)", flush=True)
 for name, why in fails:
     print(f"FAIL {name}: {why}")
 sys.exit(1 if fails else 0)

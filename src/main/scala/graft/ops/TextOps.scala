@@ -444,10 +444,11 @@ object TextOps {
     * needs (the only exchange is the doc_id window key). The frame
     * clamps at the partition end, which also yields the correct
     * global-min selection for docs with fewer grams than the window. */
-  private def winnowPrints(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Hashed k-grams with positions: (doc_id, pos, h) — the shared base
+    * of the print selection and the positional span report. */
+  private def winnowGrams(s: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(col("text"), " "), x => x =!= lit(""))
-    val grams = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), posexplode(when(size(col("toks")) >= WinnowK,
         expr(s"transform(slice(toks, 1, size(toks) - ${WinnowK - 1})," +
@@ -455,6 +456,13 @@ object TextOps {
           " element_at(toks, i + 3)))"))
         .otherwise(array().cast("array<string>"))))
       .select(col("doc_id"), col("pos"), gf.fingerprint(col("col")).as("h"))
+  }
+
+  /** Valid window starts with their window-minimum hash: (doc_id, spos,
+    * wm) for spos in 0..m-W (m < W keeps only spos 0, whose clamped
+    * frame yields the doc's global min). */
+  private def winnowStarts(grams: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wmin = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, WinnowW - 1)
     val wcnt = Window.partitionBy("doc_id")
@@ -464,9 +472,12 @@ object TextOps {
       // window start positions: 0..m-W (frame clamps); a short doc
       // (m < W) keeps only pos 0, whose clamped frame is the global min
       .filter(col("pos") <= greatest(lit(0), col("m") - WinnowW))
+  }
+
+  private def winnowPrints(s: SparkSession, dir: String): DataFrame =
+    winnowStarts(winnowGrams(s, dir))
       .select(col("doc_id"), col("m").as("n_grams"), col("wm").as("print"))
       .distinct()
-  }
 
   private def winnowCte: String = {
     val sh = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
@@ -604,10 +615,126 @@ object TextOps {
        |SELECT id AS doc_id, min(label) AS keep_id FROM walk
        |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ---- winnowing positional spans (MOSS-style localization) ----
+  // winnow_pairs says WHICH docs overlap; winnow_spans says WHERE: the
+  // selected-print OCCURRENCES (position retained, not distinct-ed away)
+  // of each pair's shared prints, merged per side into token islands.
+  // Two consecutive selected grams inside one shared run are at most W
+  // apart (every W-window holds a selection), so a gap tolerance of
+  // W + K - 1 grams bridges intra-run selection gaps plus the gram
+  // width while splitting genuinely separate shared runs.
+  private[ops] val WinnowGap = WinnowW + WinnowK - 1
+
+  /** Selected print occurrences with gram positions: a gram (doc_id,
+    * pos, h) is selected iff it realizes the minimum of at least one
+    * valid window containing it — an equi-join on (doc_id, h) between
+    * the gram frame and the window-start frame, range-filtered to the
+    * window span. Doc-local and bounded (each start matches ≤ W tied
+    * grams), so the only exchange is the (doc_id, h)-keyed hash join. */
+  private def winnowSelOcc(s: SparkSession, dir: String): DataFrame = {
+    val grams = winnowGrams(s, dir)
+    val starts = winnowStarts(winnowGrams(s, dir))
+      .select(col("doc_id").as("s_doc"), col("pos").as("spos"), col("wm"))
+    grams.join(starts,
+        grams("doc_id") === starts("s_doc") && grams("h") === starts("wm") &&
+          grams("pos").between(starts("spos"), starts("spos") + WinnowW - 1))
+      .select(grams("doc_id"), grams("pos"), grams("h").as("print"))
+      .distinct()
+  }
+
+  private def winnowSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = winnowPrints(s, dir)
+      .select(col("doc_id"), col("print"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("print")))
+      .filter(col("df") <= WinnowDfCap)
+    val a = capped.select(col("doc_id").as("a_id"), col("print"))
+    val b = capped.select(col("doc_id").as("b_id"), col("print"))
+    // shared prints per qualifying pair, pair gate (>= 2 shared) via a
+    // pair-keyed window on the SAME join — no second a×b pass
+    val shared = a.join(b, Seq("print"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("n_shared",
+        count(lit(1)).over(Window.partitionBy("a_id", "b_id")))
+      .filter(col("n_shared") >= 2)
+      .select(col("a_id"), col("b_id"), col("print"))
+    val occ = winnowSelOcc(s, dir)
+    // positions of the pair's shared prints on each side; (pair, side,
+    // pos) is already unique — one hash per gram position
+    val pts = shared
+      .join(occ.withColumnRenamed("doc_id", "a_id"), Seq("a_id", "print"))
+      .select(col("a_id"), col("b_id"), lit("a").as("side"), col("pos"))
+      .union(shared
+        .join(occ.withColumnRenamed("doc_id", "b_id"), Seq("b_id", "print"))
+        .select(col("a_id"), col("b_id"), lit("b").as("side"), col("pos")))
+    val wOrd = Window.partitionBy("a_id", "b_id", "side").orderBy("pos")
+    pts
+      .withColumn("prev", lag(col("pos"), 1).over(wOrd))
+      .withColumn("flag", when(col("prev").isNull ||
+        col("pos") - col("prev") > WinnowGap, 1).otherwise(0))
+      .withColumn("island", sum(col("flag")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("a_id"), col("b_id"), col("side"), col("island"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + WinnowK - 1).cast("long").as("end_tok"),
+        count(lit(1)).as("n_prints"))
+      .select(col("a_id"), col("b_id"), col("side"),
+        col("start_tok"), col("end_tok"), col("n_prints"))
+      .orderBy("a_id", "b_id", "side", "start_tok")
+  }
+
+  private val winnowSpansSql =
+    s"""WITH ${winnowCte},
+       |wsv AS (
+       |  SELECT doc_id, pos AS spos, wm FROM ww
+       |  WHERE pos <= greatest(0, m - $WinnowW)),
+       |wocc AS MATERIALIZED (
+       |  SELECT DISTINCT g.doc_id, g.pos, g.h AS print
+       |  FROM wg g JOIN wsv s2 ON s2.doc_id = g.doc_id AND g.h = s2.wm
+       |    AND g.pos BETWEEN s2.spos AND s2.spos + ${WinnowW - 1}),
+       |capped AS MATERIALIZED (
+       |  SELECT doc_id, print FROM (
+       |    SELECT doc_id, print,
+       |      count(*) OVER (PARTITION BY print) AS df
+       |    FROM ws) WHERE df <= $WinnowDfCap),
+       |shared AS MATERIALIZED (
+       |  SELECT a_id, b_id, print FROM (
+       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.print,
+       |      count(*) OVER (PARTITION BY a.doc_id, b.doc_id) AS n_shared
+       |    FROM capped a JOIN capped b
+       |      ON a.print = b.print AND a.doc_id < b.doc_id)
+       |  WHERE n_shared >= 2),
+       |pts AS (
+       |  SELECT s.a_id, s.b_id, 'a' AS side, o.pos
+       |  FROM shared s JOIN wocc o
+       |    ON o.doc_id = s.a_id AND o.print = s.print
+       |  UNION ALL
+       |  SELECT s.a_id, s.b_id, 'b' AS side, o.pos
+       |  FROM shared s JOIN wocc o
+       |    ON o.doc_id = s.b_id AND o.print = s.print),
+       |grp AS (
+       |  SELECT a_id, b_id, side, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL
+       |      OR pos - lag(pos) OVER w > $WinnowGap THEN 1 ELSE 0 END AS flag
+       |  FROM pts
+       |  WINDOW w AS (PARTITION BY a_id, b_id, side ORDER BY pos)),
+       |isl AS (
+       |  SELECT a_id, b_id, side, pos,
+       |    sum(flag) OVER (PARTITION BY a_id, b_id, side ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM grp)
+       |SELECT a_id, b_id, side,
+       |  CAST(min(pos) AS BIGINT) AS start_tok,
+       |  CAST(max(pos) + ${WinnowK - 1} AS BIGINT) AS end_tok,
+       |  count(*) AS n_prints
+       |FROM isl GROUP BY a_id, b_id, side, island
+       |ORDER BY a_id, b_id, side, start_tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_winnow" -> (winnow _),
     "winnow_pairs" -> (winnowPairs _),
     "winnow_resolve" -> (winnowResolve _),
+    "winnow_spans" -> (winnowSpans _),
     "text_entropy" -> (entropy _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
@@ -622,6 +749,7 @@ object TextOps {
     "text_winnow" -> winnowSql,
     "winnow_pairs" -> winnowPairsSql,
     "winnow_resolve" -> winnowResolveSql,
+    "winnow_spans" -> winnowSpansSql,
     "text_entropy" -> entropySql,
     "text_quality" -> qualitySql,
     "text_langid" -> langidSql,

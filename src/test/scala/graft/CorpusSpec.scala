@@ -224,6 +224,33 @@ class CorpusSpec extends SparkSpec {
     val res = SparkEntry.queries("winnow_resolve")(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_id")).toMap
     assert(res == Map(0L -> 0L, 1L -> 0L, 2L -> 2L), res.toString)
+
+    // positional spans over the same fixture: the run sits at token
+    // offset 4 in doc 0 and offset 0 in doc 1, and every token is
+    // unique within its doc — so each shared print occurs at exactly
+    // one position per side and the a-side islands must be the b-side
+    // islands shifted by exactly +4, confined to the run extents.
+    val spans = SparkEntry.queries("winnow_spans")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[String]("side"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("end_tok"), r.getAs[Long]("n_prints")))
+    assert(spans.forall(s => s._1 == 0L && s._2 == 1L),
+      s"span outside the overlapping pair: ${spans.toSeq}")
+    val aS = spans.filter(_._3 == "a").map(s => (s._4, s._5, s._6))
+      .sorted.toSeq
+    val bS = spans.filter(_._3 == "b").map(s => (s._4, s._5, s._6))
+      .sorted.toSeq
+    assert(aS.nonEmpty && aS.map(s => (s._1 - 4, s._2 - 4, s._3)) == bS,
+      s"a/b islands not offset-mirrored: a=${aS.toSeq} b=${bS.toSeq}")
+    // run = tokens 4..17 of doc 0, 0..13 of doc 1
+    assert(aS.forall(s => s._1 >= 4 && s._2 <= 17), aS.toSeq.toString)
+    // each shared print occurs once per side: island print counts sum
+    // to the pair's n_shared
+    val nShared = pairs.collectFirst {
+      case (0L, 1L, n) => n
+    }.getOrElse(0L)
+    assert(aS.map(_._3).sum == nShared && bS.map(_._3).sum == nShared,
+      s"island prints ${aS.map(_._3).sum}/${bS.map(_._3).sum} != $nShared")
   }
 
   test("dedup_url keeper structure matches the planted page collisions") {

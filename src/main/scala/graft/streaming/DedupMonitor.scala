@@ -34,14 +34,14 @@ case class DedupSeen(nCopies: Long, keepId: Long)
   * the batch means every arrival was a duplicate. Emits the post-batch
   * state per touched key (update-mode semantics).
   */
-class DedupProcessor
+class DedupProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
 
   @transient private var state: ValueState[DedupSeen] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     state = getHandle.getValueState[DedupSeen]("seen",
-      Encoders.product[DedupSeen], TTLConfig.NONE)
+      Encoders.product[DedupSeen], ttl)
 
   override def handleInputRows(key: String, rows: Iterator[(String, Long)],
       timers: TimerValues): Iterator[(String, Long, Long)] = {
@@ -61,16 +61,27 @@ class DedupProcessor
 
 object DedupMonitor {
   /** Wire the processor over any (id, text) stream; output columns match
-    * the batch `dedup_exact` result so the two are directly comparable. */
-  def dedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * the batch `dedup_exact` result so the two are directly comparable.
+    *
+    * `ttl` bounds the claim store for unbounded corpora: a hash not
+    * re-seen for the TTL is forgotten and its next arrival claims a
+    * FRESH keep slot (n_copies restarts). The equality contract becomes
+    * horizon-scoped — streaming-with-TTL equals the batch query over
+    * only the arrivals inside the retention window; the periodic batch
+    * run over the full lake is the re-anchor. TTL expiry is
+    * processing-time-based, so a TTL requires `TimeMode.ProcessingTime`.
+    */
+  def dedup(df: DataFrame, idCol: String, textCol: String,
+      ttl: TTLConfig = TTLConfig.NONE): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
+    val mode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     df.select(md5(col(textCol)).as("text_hash"),
         col(idCol).cast("long").as("doc_id"))
       .as[(String, Long)]
       .groupByKey(_._1)
-      .transformWithState(new DedupProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new DedupProcessor(ttl), mode, OutputMode.Update())
       .toDF("text_hash", "n_copies", "keep_id")
   }
 }

@@ -28,7 +28,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * arbitrary arrival order the keeper degrades to first-arrival, the
   * honest streaming semantics.
   */
-class ParagraphProcessor
+class ParagraphProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, (String, Long, Long),
       (String, Long, Long, Boolean)] {
 
@@ -36,7 +36,7 @@ class ParagraphProcessor
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     claimed = getHandle.getValueState[Boolean]("claimed",
-      Encoders.scalaBoolean, TTLConfig.NONE)
+      Encoders.scalaBoolean, ttl)
 
   override def handleInputRows(key: String,
       rows: Iterator[(String, Long, Long)],
@@ -61,15 +61,20 @@ object ParagraphMonitor {
     * block derivation IS the batch `dedup_paragraph` expression
     * (DedupOps.paragraphBlocks) — shared, not copied, so the two agree
     * on block boundaries by construction. */
-  def dedupBlocks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** `ttl` bounds the claim-bit store the class Scaladoc describes: an
+    * expired block hash is re-claimable, making the equality contract
+    * retention-horizon-scoped (see [[DedupMonitor.dedup]]). */
+  def dedupBlocks(df: DataFrame, idCol: String, textCol: String,
+      ttl: TTLConfig = TTLConfig.NONE): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
+    val mode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     DedupOps.paragraphBlocks(df, idCol, textCol)
       .select(md5(col("blk")).as("h"), col("doc_id"), col("blk_id"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .transformWithState(new ParagraphProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new ParagraphProcessor(ttl), mode, OutputMode.Update())
       .toDF("block_hash", "doc_id", "blk_id", "kept")
   }
 }

@@ -677,6 +677,80 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("dedup state TTL: expired claims re-open, equality becomes horizon-scoped") {
+    import java.time.Duration
+    import graft.streaming.{DedupMonitor, ParagraphMonitor}
+    import org.apache.spark.sql.streaming.{TTLConfig, Trigger}
+    // TTL bounds the claim store for unbounded streams: a content hash
+    // not re-seen within the TTL is forgotten, so its next arrival gets
+    // a FRESH keep slot and the streaming/batch equality contract narrows
+    // to the retention horizon - state after a batch equals the batch
+    // twin over ONLY the arrivals inside the window. TTL puts the
+    // operator in processing-time mode, where `shouldRunAnotherBatch` is
+    // unconditionally true: the engine keeps scheduling batches to
+    // advance expiry, so the query NEVER quiesces - neither
+    // `processAllAvailable` nor an AvailableNow run returns (both
+    // verified hanging here). The drive pattern for a TTL stream is a
+    // throttled trigger + polling the sink for the expected emission.
+    val W = graft.ops.DedupOps.ParaW.toInt
+    val blockTxt = (0 until W).map(i => s"ttl$i").mkString(" ")
+    val dir = Files.createTempDirectory("graft-sttl").toString
+    import spark.implicits._
+    // b1: two copies of X (same-batch dedup), one copy of the block doc
+    Seq((1L, "xcontent"), (2L, "xcontent"), (10L, blockTxt))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ttl = TTLConfig(Duration.ofMillis(500))
+      val schema = spark.read.parquet(s"$dir/b1").schema
+      def await(table: String)(p: Array[org.apache.spark.sql.Row] => Boolean)
+          : Boolean = {
+        val end = System.currentTimeMillis + 120000
+        while (System.currentTimeMillis < end) {
+          if (p(spark.table(table).collect())) return true
+          Thread.sleep(250)
+        }
+        false
+      }
+      val q = DedupMonitor.dedup(
+          spark.readStream.schema(schema).parquet(s"$dir/*"),
+          "doc_id", "text", ttl)
+        .writeStream.format("memory").queryName("sttl").outputMode("update")
+        .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+      val qp = ParagraphMonitor.dedupBlocks(
+          spark.readStream.schema(schema).parquet(s"$dir/*"),
+          "doc_id", "text", ttl)
+        .writeStream.format("memory").queryName("sttlp").outputMode("update")
+        .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+      try {
+        // within one batch the TTL never splits: both copies fold, min id
+        assert(await("sttl")(_.exists(r =>
+          r.getLong(1) == 2L && r.getLong(2) == 1L)),
+          s"same-batch dedup broken under TTL: " +
+            spark.table("sttl").collect().toSeq.toString)
+        assert(await("sttlp")(_.exists(r =>
+          r.getLong(1) == 10L && r.getBoolean(3))),
+          "batch-1 block not kept")
+        Thread.sleep(3000) // strictly past the 500 ms TTL
+        // b2 re-delivers BOTH contents (two copies of X again at 3,4)
+        Seq((3L, "xcontent"), (4L, "xcontent"), (11L, blockTxt))
+          .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b2")
+        // expired claim re-opens: batch-2 emission = batch twin over b2
+        // alone (fresh keep slot 3, count restarted at 2)
+        assert(await("sttl")(_.exists(r =>
+          r.getLong(1) == 2L && r.getLong(2) == 3L)),
+          s"expired dedup claim did not re-open (expected n=2 keep=3): " +
+            spark.table("sttl").collect().toSeq.toString)
+        // paragraph claim bit likewise: doc 11's block re-claims (kept)
+        assert(await("sttlp")(_.exists(r =>
+          r.getLong(1) == 11L && r.getBoolean(3))),
+          s"expired block claim did not re-open: " +
+            spark.table("sttlp").collect().toSeq.toString)
+      } finally { q.stop(); qp.stop() }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming MinHash dedup over micro-batches equals batch dedup_incremental") {
     import graft.streaming.MinhashMonitor
     // Corpus: the real table plus two planted copy sets chosen by residue

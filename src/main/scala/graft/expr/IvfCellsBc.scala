@@ -1,0 +1,61 @@
+package graft.expr
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression,
+  UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** Broadcast-backed IVF cell assignment — the >100k-cell frontier of the
+  * mining quantizer (SCALE.md "hierarchical mining fit"). The literal
+  * path (`functions.ivf_cells`/`ivf_cells2`) inlines the flattened
+  * centroid matrix into the expression tree, which serializes it into
+  * EVERY task binary; past ~2M doubles (~16 MB) that dominates task
+  * dispatch and at ~100k cells × 64 dims (~51 MB) breaks down entirely.
+  * This expression instead carries torrent-`Broadcast` handles — the
+  * matrices ship ONCE per executor, exactly how Spark ML ships fitted
+  * models — and feeds the UNCHANGED [[EmbedOps]] kernels, so cell ids,
+  * tie-breaks, and therefore every downstream oracle hash are
+  * bit-identical to the literal path.
+  *
+  * The broadcast value is wrapped as [[UnsafeArrayData]] once per
+  * deserialized expression instance (transient lazy — once per executor
+  * core at worst), not per row. Codegen stays inside whole-stage: the
+  * generated code calls [[kernel]] through a `references` slot on the
+  * already-extracted child value — no `InternalRow` materialization, no
+  * UDF boxing.
+  *
+  * `bc2 = None` → flat single-level scoring ([[EmbedOps.topCells]]);
+  * `Some(...)` → two-level spill descent ([[EmbedOps.topCells2]]).
+  */
+case class IvfCellsBc(child: Expression,
+    bc1: Broadcast[Array[Double]], bc2: Option[Broadcast[Array[Double]]],
+    dim: Int, spill: Int, top: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "ivf_cells_bc"
+
+  @transient private lazy val c1d: ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(bc1.value)
+  @transient private lazy val c2d: ArrayData =
+    bc2.map(b => UnsafeArrayData.fromPrimitiveArray(b.value)).orNull
+
+  def kernel(v: ArrayData): ArrayData =
+    if (c2d eq null) EmbedOps.topCells(v, c1d, dim, top)
+    else EmbedOps.topCells2(v, c1d, c2d, dim, spill, top)
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCellsBc", this,
+      classOf[IvfCellsBc].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.kernel($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCellsBc =
+    copy(child = newChild)
+}

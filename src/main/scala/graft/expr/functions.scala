@@ -161,6 +161,22 @@ object functions {
       "topCells2", vec, c1, c2, dim.cast("int"), spill.cast("int"),
       top.cast("int"))
 
+  /** Broadcast-backed [[ivf_cells]]: for centroid matrices too large to
+    * inline as plan literals (the >100k-cell frontier) — same kernel,
+    * same ids, shipped once per executor instead of per task. */
+  def ivf_cells_bc(vec: Column, bc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      dim: Int, top: Int): Column =
+    GraftSqlBridge.column(IvfCellsBc(GraftSqlBridge.expression(vec), bc, None,
+      dim, 1, top))
+
+  /** Broadcast-backed [[ivf_cells2]] (two-level spill descent). */
+  def ivf_cells2_bc(vec: Column,
+      bc1: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      bc2: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      dim: Int, spill: Int, top: Int): Column =
+    GraftSqlBridge.column(IvfCellsBc(GraftSqlBridge.expression(vec), bc1,
+      Some(bc2), dim, spill, top))
+
   /** Multi-table LSH bucket: hyperplanes [offset, offset+bits). */
   def lsh_bucket_offset(vec: Column, bits: Column, offset: Column): Column =
     inv(EmbedOps.getClass, IntegerType, "lshBucketOffset", vec,

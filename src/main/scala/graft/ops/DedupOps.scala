@@ -269,7 +269,7 @@ object DedupOps {
     val cells = ContentKey.persistForOracle(s, dir, "dedup_cells",
       dedupCellsPath,
       normed(s, dir).select(col("vec_id"),
-        explode(SimilarityOps.miningCells(model, col("embedding"),
+        explode(SimilarityOps.miningCells(s, model, col("embedding"),
           SimilarityOps.PairAssign)).as("cell")))
     // left side spread by (cell, id) before the fanout — same rule as
     // the mining join: when the right side broadcasts, the join would

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.expr.{functions => gf}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -283,7 +284,8 @@ object SimilarityOps {
   private[graft] val MineFlatMax = 256
   private[graft] val MineSpill = 2
 
-  private val miningCache = new ContentKey.Lru[MiningModel](8)
+  private val miningCache =
+    new ContentKey.Lru[MiningModel](8, m => dropModelBroadcasts(m))
 
   /** Session conf: max cells a DRIVER-SAMPLE fit may target. Above it the
     * fit goes hierarchical-distributed ([[fitMiningDistributed]]); the
@@ -424,16 +426,68 @@ object SimilarityOps {
     MiningTree(dim, c1, c2, k2)
   }
 
+  /** Session conf: max total centroid-matrix doubles a mining model may
+    * inline as plan LITERALS. A literal matrix serializes into every
+    * task's expression tree; past this bound (default 2M doubles ≈
+    * 16 MB) the assignment switches to [[graft.expr.IvfCellsBc]] —
+    * torrent-broadcast handles, shipped once per executor, feeding the
+    * unchanged kernels (bit-identical cell ids). This closes the
+    * documented >100k-cell frontier: at 100k cells × 64 dims the model
+    * is ~51 MB of doubles, far past any sane literal. Tests force the
+    * broadcast path at toy scale by setting the conf to 0. */
+  private[graft] val MaxLitDoublesKey = "graft.mining.maxLitDoubles"
+  private[graft] val MaxLitDoublesDefault = 2L * 1000 * 1000
+
+  /** One broadcast per cached model instance (identity-keyed: model
+    * instances are themselves cached/deduped by [[miningCache]]);
+    * unpersisted when the owning model falls out of the LRU. */
+  private val bcCache =
+    new java.util.IdentityHashMap[MiningModel, Array[Broadcast[Array[Double]]]]
+
+  private def modelBroadcasts(s: SparkSession, m: MiningModel)
+      : Array[Broadcast[Array[Double]]] = bcCache.synchronized {
+    val hit = bcCache.get(m)
+    if (hit != null) hit
+    else {
+      val bcs = (m match {
+        case MiningFlat(_, c)         => Array(c)
+        case MiningTree(_, c1, c2, _) => Array(c1, c2)
+      }).map(s.sparkContext.broadcast(_))
+      bcCache.put(m, bcs)
+      bcs
+    }
+  }
+
+  private def dropModelBroadcasts(m: MiningModel): Unit = bcCache.synchronized {
+    val bcs = bcCache.remove(m)
+    if (bcs != null) bcs.foreach(_.unpersist(false))
+  }
+
   /** The assignment column for a fitted mining model: flat single-kernel
-    * scoring or the two-level spill descent — callers are agnostic. */
-  private[graft] def miningCells(m: MiningModel, vec: Column, top: Int): Column =
+    * scoring or the two-level spill descent — callers are agnostic. The
+    * matrices ride as plan literals while small and as executor
+    * broadcasts past [[MaxLitDoublesKey]]; both paths run the same
+    * kernels and emit the same cell ids. */
+  private[graft] def miningCells(s: SparkSession, m: MiningModel, vec: Column,
+      top: Int): Column = {
+    val maxLit = s.conf.getOption(MaxLitDoublesKey).map(_.toLong)
+      .getOrElse(MaxLitDoublesDefault)
     m match {
       case MiningFlat(dim, cmat) =>
-        gf.ivf_cells(vec, typedLit(cmat.toSeq), lit(dim), lit(top))
+        if (cmat.length <= maxLit)
+          gf.ivf_cells(vec, typedLit(cmat.toSeq), lit(dim), lit(top))
+        else
+          gf.ivf_cells_bc(vec, modelBroadcasts(s, m)(0), dim, top)
       case MiningTree(dim, c1, c2, _) =>
-        gf.ivf_cells2(vec, typedLit(c1.toSeq), typedLit(c2.toSeq),
-          lit(dim), lit(MineSpill), lit(top))
+        if (c1.length.toLong + c2.length <= maxLit)
+          gf.ivf_cells2(vec, typedLit(c1.toSeq), typedLit(c2.toSeq),
+            lit(dim), lit(MineSpill), lit(top))
+        else {
+          val bcs = modelBroadcasts(s, m)
+          gf.ivf_cells2_bc(vec, bcs(0), bcs(1), dim, MineSpill, top)
+        }
     }
+  }
 
   /** Fit-once bounded caches: the quantizers are deterministic per
     * dataset, so repeated invocations (both ANN queries, repeated bench
@@ -1240,11 +1294,11 @@ object SimilarityOps {
     val emb = t(s, dir, "embeddings")
     val idx = persistO(s, dir, "hn_idx",
       emb.select(col("vec_id").as("c_id"), col("label").as("c_label"),
-        explode(miningCells(model, col("embedding"), MineAssign))
+        explode(miningCells(s, model, col("embedding"), MineAssign))
           .as("cell")))
     val pr = persistO(s, dir, "hn_probe",
       emb.select(col("vec_id").as("a_id"), col("label").as("a_label"),
-        explode(miningCells(model, col("embedding"), MineProbe))
+        explode(miningCells(s, model, col("embedding"), MineProbe))
           .as("cell")))
     val e = normed(s, dir)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),

@@ -63,7 +63,7 @@ class SimilaritySpec extends SparkSpec {
         assert(m.isInstanceOf[SimilarityOps.MiningTree],
           s"n=$n did not take the hierarchical path")
         val cells = Tables(spark, dir, "embeddings")
-          .select(explode(SimilarityOps.miningCells(m, col("embedding"), 1))
+          .select(explode(SimilarityOps.miningCells(spark, m, col("embedding"), 1))
             .as("cell"))
           .groupBy("cell").count().count()
         val occ = n.toDouble / cells
@@ -88,10 +88,10 @@ class SimilaritySpec extends SparkSpec {
       assert(m.isInstanceOf[SimilarityOps.MiningTree])
       val e = Tables(spark, dir, "embeddings")
       val idx = e.select(col("vec_id").as("c_id"),
-        explode(SimilarityOps.miningCells(m, col("embedding"), MineAssign))
+        explode(SimilarityOps.miningCells(spark, m, col("embedding"), MineAssign))
           .as("cell"))
       val pr = e.select(col("vec_id").as("a_id"),
-        explode(SimilarityOps.miningCells(m, col("embedding"), MineProbe))
+        explode(SimilarityOps.miningCells(spark, m, col("embedding"), MineProbe))
           .as("cell"))
       val cand = pr.join(idx, "cell")
         .filter(col("a_id") =!= col("c_id"))
@@ -120,6 +120,39 @@ class SimilaritySpec extends SparkSpec {
       info(f"hierarchical mining recall@4 = $recall%.2f")
       assert(recall >= 0.8, f"recall@4 $recall%.2f below 0.8")
     } finally spark.conf.unset(SimilarityOps.SampleFitCapKey)
+  }
+
+  test("broadcast-backed assignment is bit-identical to the literal path") {
+    import graft.ops.SimilarityOps
+    import SimilarityOps.MineAssign
+    // the >100k-cell frontier close: past MaxLitDoubles the centroid
+    // matrices ride as executor broadcasts instead of plan literals.
+    // Force the switch at toy scale (conf = 0) and require the SAME
+    // kernels to emit the SAME cell ids for every vector — the property
+    // that keeps every downstream oracle hash unchanged at any scale.
+    val dir = genEmb(2048)
+    val m = SimilarityOps.fitMiningModel(spark, dir)
+    val e = Tables(spark, dir, "embeddings")
+    def assignDf() = e.select(col("vec_id"),
+      SimilarityOps.miningCells(spark, m, col("embedding"), MineAssign)
+        .as("cells"))
+    def collectCells() = assignDf().collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val lit = collectCells()
+    assert(assignDf().queryExecution.analyzed.expressions
+      .flatMap(_.collect { case x: graft.expr.IvfCellsBc => x }).isEmpty,
+      "literal path unexpectedly used the broadcast expression")
+    spark.conf.set(SimilarityOps.MaxLitDoublesKey, "0")
+    try {
+      assert(assignDf().queryExecution.analyzed.expressions
+        .flatMap(_.collect { case x: graft.expr.IvfCellsBc => x }).nonEmpty,
+        "conf=0 did not engage the broadcast expression")
+      val bc = collectCells()
+      assert(bc == lit, {
+        val diff = lit.keys.filter(k => lit(k) != bc(k)).take(5)
+        s"broadcast assignment diverged from literal at ids $diff"
+      })
+    } finally spark.conf.unset(SimilarityOps.MaxLitDoublesKey)
   }
 
   test("LSH top-k finds same-bucket neighbors with sane similarities") {

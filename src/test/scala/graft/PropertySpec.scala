@@ -295,4 +295,41 @@ object PropertySpec extends Properties("graft.kernels") {
         .audioWindowEnergies(bs.map(_.toByte).toArray, 64)
       r == None || r.get.length == 64
     }
+
+  // ---- winnowing scheme guarantee (Schleimer et al. 2003 theorem) ----
+  // Reference selection mirroring TextOps' relational formulation
+  // (k = WinnowK = 3 word-grams, w = WinnowW = 4 windows; the constants
+  // are private[ops], so they are restated here — CorpusSpec pins the
+  // Spark implementation against the same scheme on a planted fixture).
+  private def winnowSelect(tokens: Seq[String]): Set[Long] = {
+    val grams = tokens.sliding(3).filter(_.sizeIs == 3)
+      .map(g => TextHashOps.fingerprint(UTF8String.fromString(g.mkString(" "))))
+      .toVector
+    if (grams.isEmpty) Set.empty
+    else if (grams.length < 4) Set(grams.min) // clamped single window
+    else grams.sliding(4).map(_.min).toSet
+  }
+
+  private val winTok = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+  private val winRun = Gen.chooseNum(6, 24).flatMap(Gen.listOfN(_, winTok))
+  private val winCtx = Gen.chooseNum(0, 8).flatMap(Gen.listOfN(_, winTok))
+
+  property("any shared token run of >= w+k-1 yields a shared winnow print") =
+    forAll(winRun, winCtx, winCtx, winCtx, winCtx) { (run, pa, sa, pb, sb) =>
+      // run length >= 6 = w+k-1 tokens ⇒ >= w = 4 consecutive shared
+      // grams ⇒ one full shared window whose minimum is selected by BOTH
+      // docs, regardless of surrounding context
+      val selA = winnowSelect(pa ++ run ++ sa)
+      val selB = winnowSelect(pb ++ run ++ sb)
+      (selA & selB).nonEmpty
+    }
+
+  property("winnow selection is a nonempty subset of the doc's gram hashes") =
+    forAll(Gen.chooseNum(3, 40).flatMap(Gen.listOfN(_, winTok))) { toks =>
+      val grams = toks.sliding(3).filter(_.sizeIs == 3)
+        .map(g => TextHashOps.fingerprint(UTF8String.fromString(g.mkString(" "))))
+        .toSet
+      val sel = winnowSelect(toks)
+      sel.nonEmpty && sel.subsetOf(grams)
+    }
 }

@@ -21,11 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * bit-identical to the literal path.
   *
   * The broadcast value is wrapped as [[UnsafeArrayData]] once per
-  * deserialized expression instance (transient lazy — once per executor
-  * core at worst), not per row. Codegen stays inside whole-stage: the
-  * generated code calls [[kernel]] through a `references` slot on the
-  * already-extracted child value — no `InternalRow` materialization, no
-  * UDF boxing.
+  * EXECUTOR per broadcast (a bounded JVM-wide memo keyed by broadcast
+  * id — a transient-lazy field would re-copy the matrix for every
+  * deserialized task closure, reintroducing exactly the per-task cost
+  * this expression exists to eliminate). Codegen stays inside
+  * whole-stage: the generated code calls [[kernel]] through a
+  * `references` slot on the already-extracted child value — no
+  * `InternalRow` materialization, no UDF boxing.
   *
   * `bc2 = None` → flat single-level scoring ([[EmbedOps.topCells]]);
   * `Some(...)` → two-level spill descent ([[EmbedOps.topCells2]]).
@@ -38,10 +40,9 @@ case class IvfCellsBc(child: Expression,
 
   override def prettyName: String = "ivf_cells_bc"
 
-  @transient private lazy val c1d: ArrayData =
-    UnsafeArrayData.fromPrimitiveArray(bc1.value)
+  @transient private lazy val c1d: ArrayData = IvfCellsBc.wrapped(bc1)
   @transient private lazy val c2d: ArrayData =
-    bc2.map(b => UnsafeArrayData.fromPrimitiveArray(b.value)).orNull
+    bc2.map(IvfCellsBc.wrapped).orNull
 
   def kernel(v: ArrayData): ArrayData =
     if (c2d eq null) EmbedOps.topCells(v, c1d, dim, top)
@@ -58,4 +59,29 @@ case class IvfCellsBc(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression): IvfCellsBc =
     copy(child = newChild)
+}
+
+object IvfCellsBc {
+  /** Per-JVM memo of the [[UnsafeArrayData]] wrap, keyed by broadcast
+    * id: the matrix copy happens once per executor, not once per task
+    * closure. LRU-bounded (models are themselves LRU-bounded to 8 on
+    * the driver; 16 matrix wraps ≈ a couple of models' worth of slack)
+    * so unpersisted broadcasts' wraps age out instead of pinning the
+    * executor heap for the JVM lifetime. */
+  private val wrapCache =
+    new java.util.LinkedHashMap[Long, ArrayData](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, ArrayData]) =
+        size() > 16
+    }
+
+  private def wrapped(bc: Broadcast[Array[Double]]): ArrayData =
+    wrapCache.synchronized {
+      val hit = wrapCache.get(bc.id)
+      if (hit != null) hit
+      else {
+        val w = UnsafeArrayData.fromPrimitiveArray(bc.value)
+        wrapCache.put(bc.id, w)
+        w
+      }
+    }
 }

@@ -683,20 +683,36 @@ object TextOps {
       .orderBy("a_id", "b_id", "side", "start_tok")
   }
 
+  // The spans mirror re-derives the window chain from MATERIALIZED
+  // local copies instead of referencing winnowCte's ww/ws: DuckDB
+  // inlines plain CTEs once PER REFERENCE (the mirror-gotcha that
+  // filled the disk at sf1), and this query needs the gram frame and
+  // the window frame twice each — wgm/wwm pin both to one evaluation
+  // (winnowCte's wt/wg/ww/ws become unreferenced and are never run).
+  // wwm's window text restates winnowCte.ww verbatim over wgm.
   private val winnowSpansSql =
     s"""WITH ${winnowCte},
+       |wgm AS MATERIALIZED (SELECT * FROM wg),
+       |wwm AS MATERIALIZED (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY doc_id) AS m,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm
+       |  FROM wgm),
        |wsv AS (
-       |  SELECT doc_id, pos AS spos, wm FROM ww
+       |  SELECT doc_id, pos AS spos, wm FROM wwm
        |  WHERE pos <= greatest(0, m - $WinnowW)),
        |wocc AS MATERIALIZED (
        |  SELECT DISTINCT g.doc_id, g.pos, g.h AS print
-       |  FROM wg g JOIN wsv s2 ON s2.doc_id = g.doc_id AND g.h = s2.wm
+       |  FROM wgm g JOIN wsv s2 ON s2.doc_id = g.doc_id AND g.h = s2.wm
        |    AND g.pos BETWEEN s2.spos AND s2.spos + ${WinnowW - 1}),
        |capped AS MATERIALIZED (
        |  SELECT doc_id, print FROM (
        |    SELECT doc_id, print,
        |      count(*) OVER (PARTITION BY print) AS df
-       |    FROM ws) WHERE df <= $WinnowDfCap),
+       |    FROM (SELECT DISTINCT doc_id, wm AS print FROM wwm
+       |          WHERE pos <= greatest(0, m - $WinnowW)))
+       |  WHERE df <= $WinnowDfCap),
        |shared AS MATERIALIZED (
        |  SELECT a_id, b_id, print FROM (
        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.print,

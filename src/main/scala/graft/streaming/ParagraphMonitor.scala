@@ -60,8 +60,9 @@ object ParagraphMonitor {
     * (block_hash, doc_id, blk_id, kept) decision per input block. The
     * block derivation IS the batch `dedup_paragraph` expression
     * (DedupOps.paragraphBlocks) — shared, not copied, so the two agree
-    * on block boundaries by construction. */
-  /** `ttl` bounds the claim-bit store the class Scaladoc describes: an
+    * on block boundaries by construction.
+    *
+    * `ttl` bounds the claim-bit store the class Scaladoc describes: an
     * expired block hash is re-claimable, making the equality contract
     * retention-horizon-scoped (see [[DedupMonitor.dedup]]). */
   def dedupBlocks(df: DataFrame, idCol: String, textCol: String,

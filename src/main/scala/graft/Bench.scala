@@ -48,6 +48,13 @@ object Bench {
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(c => only.forall(_.contains(c._1)))
 
+    // Locale.ROOT formatting everywhere a number reaches JSON: the f
+    // interpolator honors the default locale, and a decimal-comma locale
+    // (de_DE, fr_FR) would render "1,234" — invalid JSON that kills the
+    // driver's parse and scale_table.py alike.
+    def num(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+
     // Streaming end-to-end latency FIRST, in a quiet JVM: round 5
     // measured it after a 107-query catalog had filled the same session
     // (codegen cache, GC, listener backlog) and p95 doubled for reasons
@@ -73,25 +80,33 @@ object Bench {
         // paths — the published proof that the V2 WAL's per-trigger
         // durability cost does not grow superlinearly with batch size
         // (the fixed-tiny-batch latency block above cannot show that).
-        def fmt(v: Double, dec: Int): String =
-          String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-        val throughput = Seq(200, 2000, 20000).flatMap { vehicles =>
-          Seq(("v2", true), ("legacy", false)).map { case (path, v2) =>
-            val (t50, t95, tn) = graft.streaming.StreamLatency
-              .measure(spark, triggers = 8, vehicles = vehicles,
-                deadlineSec = 180, useV2 = v2)
-            val rps = vehicles / t50
-            System.err.println(
-              f"[bench] stream throughput $path vehicles=$vehicles " +
-                f"p50=$t50%.3fs p95=$t95%.3fs rows/s=$rps%.0f over $tn")
-            s"""{"path":"$path","vehicles":$vehicles,"p50":${fmt(t50, 3)},""" +
-              s""""p95":${fmt(t95, 3)},"rows_per_sec":${fmt(rps, 0)},""" +
-              s""""triggers":$tn}"""
+        // Its OWN try: a throughput failure (e.g. a noisy box blowing the
+        // 180 s deadline) must degrade to a missing "throughput" field,
+        // not discard the latency numbers already measured above.
+        val throughput =
+          try {
+            val pts = Seq(200, 2000, 20000).flatMap { vehicles =>
+              Seq(("v2", true), ("legacy", false)).map { case (path, v2) =>
+                val (t50, t95, tn) = graft.streaming.StreamLatency
+                  .measure(spark, triggers = 8, vehicles = vehicles,
+                    deadlineSec = 180, useV2 = v2)
+                val rps = vehicles / t50
+                System.err.println(
+                  f"[bench] stream throughput $path vehicles=$vehicles " +
+                    f"p50=$t50%.3fs p95=$t95%.3fs rows/s=$rps%.0f over $tn")
+                s"""{"path":"$path","vehicles":$vehicles,"p50":${num(t50, 3)},""" +
+                  s""""p95":${num(t95, 3)},"rows_per_sec":${num(rps, 0)},""" +
+                  s""""triggers":$tn}"""
+              }
+            }.mkString("[", ",", "]")
+            s""""throughput":$pts,"""
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
+            ""
           }
-        }.mkString("[", ",", "]")
         s"""{"e2e_p50":$p50,"e2e_p95":$p95,"triggers":$n,""" +
           s""""legacy_p50":$l50,"legacy_p95":$l95,"legacy_triggers":$ln,""" +
-          s""""throughput":$throughput,"isolated":true}"""
+          throughput + s""""isolated":true}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream e2e failed: ${e.getMessage}")
         "{}"
@@ -162,12 +177,6 @@ object Bench {
       retry = retry.filter(n => suspect(samples(n)))
       extra += 1
     }
-    // Locale.ROOT formatting everywhere a number reaches JSON: the f
-    // interpolator honors the default locale, and a decimal-comma locale
-    // (de_DE, fr_FR) would render "1,234" — invalid JSON that kills the
-    // driver's parse and scale_table.py alike.
-    def num(v: Double, dec: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     val results = catalog.map { case (name, _) =>
       val ss = samples(name)
       val ok = ss.filter(_ >= 0)
@@ -215,10 +224,10 @@ object Bench {
     // slowest 20 (the interesting ones); "queries_full" names the file
     // with the complete map.
     val slowest = results.sortBy(-_._2).take(20)
-    val tailLine =
-      s"""{"queries":${queriesJson(slowest)},"queries_full":"bench_full.json",$summary}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       if (only.isDefined) "bench_targeted.json" else "bench_full.json")
+    val tailLine =
+      s"""{"queries":${queriesJson(slowest)},"queries_full":"$fullPath",$summary}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

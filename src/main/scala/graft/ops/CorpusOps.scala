@@ -4,6 +4,7 @@ import graft.Tables
 import graft.expr.{functions => gf}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Corpus-preparation operators for the training-data pipeline extension:
@@ -866,10 +867,11 @@ object CorpusOps {
     * tokenize/explode/groupBy plus a second set of pinned checkpoint
     * blocks per scoring call. Context-scoped key for the same reason as
     * `labelsCache`: the value is a session-bound checkpointed frame. */
-  // onEvict unpersists the checkpointed frame so its blocks don't stay
-  // pinned after the LRU drops the reference.
+  // onEvict frees the checkpoint's RDD-layer blocks (see labelsCache's
+  // note in DedupOps — Dataset.unpersist is a no-op for checkpoints).
   private val qcFeatsCache =
-    new ContentKey.Lru[DataFrame](8, (df: DataFrame) => df.unpersist())
+    new ContentKey.Lru[DataFrame](8,
+      (df: DataFrame) => GraftSqlBridge.freeLocalCheckpoint(df))
 
   /** Per-doc hashed-bucket counts: (doc_id, y, n_toks, b, cnt). */
   private def qcFeatures(s: SparkSession, dir: String): DataFrame = {

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.expr.{functions => gf}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSqlBridge
 
 /** Deduplication operators for the training-data pipeline: exact (hash
   * groupBy), MinHash+LSH (shingle → signature → band → bucket equi-join),
@@ -413,14 +414,14 @@ object DedupOps {
           least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
           (col("cand") < col("label")).as("improved"))
         .localCheckpoint() // eager: materialized before its input is freed
-      if (prevCk != null) prevCk.unpersist()
-      if (it == 0) init.unpersist()
+      if (prevCk != null) GraftSqlBridge.freeLocalCheckpoint(prevCk)
+      if (it == 0) GraftSqlBridge.freeLocalCheckpoint(init)
       prevCk = next
       labels = next.select("doc_id", "label")
       frontier = next.filter(col("improved")).select("doc_id", "label")
       it += 1
     }
-    edges.unpersist()
+    GraftSqlBridge.freeLocalCheckpoint(edges)
     (labels, it)
   }
 
@@ -434,10 +435,13 @@ object DedupOps {
     * ([[ContentKey.ofScoped]]) because the cached value is a
     * session-bound checkpointed frame — a restarted context must rebuild,
     * not replay dead block ids. */
-  // onEvict unpersists the checkpointed frame so its blocks don't stay
-  // pinned after the LRU drops the reference.
+  // onEvict frees the checkpoint's RDD-layer blocks (Dataset.unpersist
+  // cannot — it only drops CacheManager entries). Safe because catalog
+  // queries execute sequentially: an entry is never evicted while a job
+  // still reads it (GraftSqlBridge.freeLocalCheckpoint ownership note).
   private val labelsCache =
-    new ContentKey.Lru[DataFrame](8, (df: DataFrame) => df.unpersist())
+    new ContentKey.Lru[DataFrame](8,
+      (df: DataFrame) => GraftSqlBridge.freeLocalCheckpoint(df))
 
   private def resolvedLabels(s: SparkSession, dir: String): DataFrame = {
     val key = ContentKey.ofScoped(s, Seq(s"$dir/documents.parquet"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Record-linkage and link-analysis operators — the graph layer of the
@@ -526,7 +527,7 @@ object LinkOps {
       removedAll =
         (if (removedAll == null) remNow else removedAll.unionAll(remNow))
           .localCheckpoint()
-      if (prevRemAll != null) prevRemAll.unpersist()
+      if (prevRemAll != null) GraftSqlBridge.freeLocalCheckpoint(prevRemAll)
       prevRemAll = removedAll
       nRemovedAll += nRemNow
       // per-survivor degree loss from edges whose OTHER endpoint just left
@@ -541,7 +542,7 @@ object LinkOps {
         .join(delta, Seq("id"), "left")
         .select(col("id"), (col("d") - coalesce(col("dl"), lit(0L))).as("d"))
         .localCheckpoint()
-      if (prevDeg != null) prevDeg.unpersist()
+      if (prevDeg != null) GraftSqlBridge.freeLocalCheckpoint(prevDeg)
       prevDeg = nextDeg
       deg = nextDeg
       remNow = deg.filter(col("d") < k).select("id")
@@ -549,7 +550,7 @@ object LinkOps {
     }
     // the degree frame served only the peel; the result depends on
     // und + removedAll alone
-    prevDeg.unpersist()
+    GraftSqlBridge.freeLocalCheckpoint(prevDeg)
     // one final restriction of the static edges by the cumulative removed
     // set (the old version paid this filter EVERY round)
     val sub =

@@ -5,6 +5,7 @@ import graft.expr.{functions => gf}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Similarity search over the embedding column: brute-force cosine top-k
@@ -262,8 +263,13 @@ object SimilarityOps {
   private[graft] val MineProbe = 4
   private[graft] val MineAssign = 2
 
-  private[graft] def miningK(n: Long, sampleN: Int): Int =
-    math.max(16, math.min(sampleN, (n / MineCell).toInt))
+  /** Constant-occupancy mining K: linear in N, floored so tiny corpora
+    * still partition. No sample cap — since the round-8 distributed fit,
+    * K past the sample-supported bound switches the FIT STRATEGY
+    * (hierarchical, per-block sub-fits in executors), not the cell
+    * count; capping K here would let occupancy grow linearly again. */
+  private[graft] def miningK(n: Long): Int =
+    math.max(16, (n / MineCell).toInt)
 
   /** Mining quantizer model. Constant-occupancy cells (K ∝ N) make the
     * FLAT assignment kernel itself quadratic — N·K·dim total work, which
@@ -307,7 +313,7 @@ object SimilarityOps {
     val key = s"${ContentKey.of(s, Seq(s"$dir/embeddings.parquet"))}/cap=$fitCap"
     miningCache.get(key) {
       val (n, sample) = trainingSample(s, dir)
-      val kWant = math.max(16, (n / MineCell).toInt)
+      val kWant = miningK(n)
       if (kWant > math.min(fitCap, sample.length))
         fitMiningDistributed(s, dir, sample, kWant,
           math.min(fitCap, sample.length))
@@ -1413,7 +1419,8 @@ object SimilarityOps {
   // onEvict unpersists: localCheckpoint blocks survive the reference drop
   // otherwise, pinning executor storage for the context lifetime.
   private val compCache =
-    new ContentKey.Lru[DataFrame](4, (df: DataFrame) => df.unpersist())
+    new ContentKey.Lru[DataFrame](4,
+      (df: DataFrame) => GraftSqlBridge.freeLocalCheckpoint(df))
 
   /** Mirror unroll depth for the knn-component closure: pointer jumping
     * covers diameter 2^n, so 12 rounds reach any component the data can

@@ -343,6 +343,27 @@ class DedupSpec extends SparkSpec {
     assert(r(1L) == ((0L, md5Hex("")))) // survives as a row, fp of ""
   }
 
+  test("freeLocalCheckpoint releases RDD-layer blocks Dataset.unpersist cannot") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.functions.col
+    // the propagateMin/kcore loops and the DataFrame-valued Lru hooks
+    // rely on this: Dataset.unpersist only drops CacheManager entries,
+    // while a localCheckpoint pins its partitions at the RDD layer
+    val pre = spark.sparkContext.getPersistentRDDs.keySet
+    val df = spark.range(1000).toDF("x").localCheckpoint()
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- pre
+    assert(mine.nonEmpty, "localCheckpoint pinned no RDD")
+    df.unpersist()
+    assert((spark.sparkContext.getPersistentRDDs.keySet & mine) == mine,
+      "Dataset.unpersist unexpectedly freed checkpoint blocks — " +
+        "the bridge helper may be obsolete")
+    // free through a PROJECTION over the checkpoint — the shape the Lru
+    // caches actually hold (collect-based leaf walk, not a root match)
+    GraftSqlBridge.freeLocalCheckpoint(df.select((col("x") * 2).as("y")))
+    assert((spark.sparkContext.getPersistentRDDs.keySet & mine).isEmpty,
+      "freeLocalCheckpoint left checkpoint blocks pinned")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString

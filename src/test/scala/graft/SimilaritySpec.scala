@@ -222,10 +222,13 @@ class SimilaritySpec extends SparkSpec {
     val ks = Seq(16, 22, 32, 48, 64, 4096)
     assert(ks.map(assignFor) == ks.map(assignFor).sorted)
     // mining K holds cell occupancy constant (linear in N), floored so
-    // tiny corpora still partition, capped by the training sample
-    assert(miningK(500, 16384) == 16, "mining floor moved")
-    assert(miningK(50000, 16384) == 50000 / MineCell)
-    assert(miningK(100000000L, 16384) == 16384, "sample cap not applied")
+    // tiny corpora still partition — and deliberately UNCAPPED: past the
+    // sample-supported K the fit goes hierarchical-distributed rather
+    // than letting occupancy grow (SampleFitCapKey picks the strategy)
+    assert(miningK(500) == 16, "mining floor moved")
+    assert(miningK(50000) == 50000 / MineCell)
+    assert(miningK(100000000L) == 100000000L / MineCell,
+      "mining K must stay occupancy-constant past the sample bound")
   }
 
   test("IVF parameters scale as sqrt(N) with bounded sample and probe fraction") {

@@ -436,9 +436,14 @@ object DedupOps {
     * session-bound checkpointed frame — a restarted context must rebuild,
     * not replay dead block ids. */
   // onEvict frees the checkpoint's RDD-layer blocks (Dataset.unpersist
-  // cannot — it only drops CacheManager entries). Safe because catalog
-  // queries execute sequentially: an entry is never evicted while a job
-  // still reads it (GraftSqlBridge.freeLocalCheckpoint ownership note).
+  // cannot — it only drops CacheManager entries). The freed frame is
+  // UNRECOVERABLE (truncated lineage), so the real safety invariant is:
+  // no eviction can fire while another query is mid-job on the evictee.
+  // That holds because evictions require >capacity DISTINCT dataset
+  // contents, and the only concurrent executor of this catalog —
+  // Bench's warmup pool — runs a single dataset dir (Verify and the
+  // driver run queries sequentially). A future concurrent multi-dataset
+  // harness must either widen the capacity or defer eviction.
   private val labelsCache =
     new ContentKey.Lru[DataFrame](8,
       (df: DataFrame) => GraftSqlBridge.freeLocalCheckpoint(df))

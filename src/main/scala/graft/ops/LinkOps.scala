@@ -516,6 +516,7 @@ object LinkOps {
       .groupBy("id").agg(count(lit(1)).as("d"))
     var deg = degrees(und).localCheckpoint() // survivors' in-subgraph degrees
     var remNow = deg.filter(col("d") < k).select("id").localCheckpoint()
+    val remNow0 = remNow // round-0 checkpoint, superseded after round 1
     var nRemNow = remNow.count()
     var removedAll: DataFrame = null // cumulative, null while empty
     var nRemovedAll = 0L
@@ -547,7 +548,11 @@ object LinkOps {
       deg = nextDeg
       remNow = deg.filter(col("d") < k).select("id")
       nRemNow = remNow.count()
+      // after round 1 the initial remNow checkpoint is fully consumed
+      // (into removedAll's checkpoint and round-1's nextDeg) — free it
+      if (rounds == 1) GraftSqlBridge.freeLocalCheckpoint(remNow0)
     }
+    if (rounds == 0) GraftSqlBridge.freeLocalCheckpoint(remNow0)
     // the degree frame served only the peel; the result depends on
     // und + removedAll alone
     GraftSqlBridge.freeLocalCheckpoint(prevDeg)

@@ -255,10 +255,11 @@ object SimilarityOps {
     * 100× single-stage blowup at 10× data. Mining instead holds cell
     * OCCUPANCY constant (K ≈ N/MineCell) and probes a constant cell
     * COUNT: per-anchor candidates ≈ MineProbe·MineCell·MineAssign stay
-    * flat and total mining work is O(N). K is capped by the training
-    * sample (driver Lloyd needs points per centroid); past the cap
-    * occupancy grows again — the documented frontier where a production
-    * fit goes hierarchical (two-level k-means), not a silent cliff. */
+    * flat and total mining work is O(N). K is deliberately UNCAPPED
+    * (see [[miningK]]): past the sample-supported bound the FIT
+    * strategy switches to [[fitMiningDistributed]] (per-block sub-fits
+    * in executors), so occupancy stays constant at any N instead of
+    * degrading once a driver sample can no longer learn K cells. */
   private[graft] val MineCell = 128
   private[graft] val MineProbe = 4
   private[graft] val MineAssign = 2
@@ -1440,12 +1441,17 @@ object SimilarityOps {
       require(rounds <= KnnWalkUnroll,
         s"knn components needed $rounds > $KnnWalkUnroll propagation " +
           "rounds; widen the SQL unroll")
-      t(s, dir, "embeddings").select(col("vec_id"))
+      val out = t(s, dir, "embeddings").select(col("vec_id"))
         .join(labels.withColumnRenamed("doc_id", "vec_id"),
           Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("label"), col("vec_id")).as("cluster"))
         .localCheckpoint()
+      // the eager checkpoint above supersedes propagateMin's final
+      // frame; labels is loop-local here (unlike resolvedLabels, which
+      // caches it), so free its blocks instead of leaving them to GC
+      GraftSqlBridge.freeLocalCheckpoint(labels)
+      out
     }
   }
 

@@ -51,6 +51,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // storage-accrual observable: after a full catalog pass this must be
+    // bounded by the fit-once Lru capacities (cached checkpointed frames
+    // + the streaming-free loop discipline), not grow with query count —
+    // the round-8 freeLocalCheckpoint contract made it so
+    System.err.println("[verify] persistent RDDs at exit: " +
+      spark.sparkContext.getPersistentRDDs.size)
     spark.stop()
   }
 }

@@ -218,13 +218,28 @@ class StreamingSpec extends SparkSpec {
         // observed to eat most of a 60 s budget; in isolation it finishes
         // in seconds, so the slack never slows a green run
         val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-        // concurrent reads race in-flight sink files (list-then-read can
-        // hit a part file mid-write) — Try treats any torn read as
-        // "not there yet" and polls on
-        def rows(): Long =
-          scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
-        while (rows() == 0 && System.nanoTime() < deadline) Thread.sleep(200)
-        assert(rows() >= 1, "V2 poll produced no parquet within 180s")
+        // poll for a fully-landed batch (the HTTP-poller test's stamped()
+        // pattern), not a whole-directory Spark read: every trigger
+        // re-stamps (rewrites) the landed part files, so under full-suite
+        // load a list-then-read spans multiple triggers and tears over
+        // and over — a full-suite run burned the whole 180 s that way
+        // while files demonstrably existed. A committed part file (not
+        // _temporary staging) carrying the geo footer means write +
+        // stamp both finished, so stop() cannot kill an in-flight batch
+        // before any data is durable. Row-level assertions happen
+        // post-stop on the settled directory.
+        def walkP(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory && !f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))
+            Option(f.listFiles()).toSeq.flatten.flatMap(walkP)
+          else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f) else Nil
+        def landed(): Boolean =
+          walkP(new java.io.File(out)).exists(f =>
+            scala.util.Try(
+              graft.ops.GeoParquetMeta.keyValueMeta(spark, f.toString))
+              .getOrElse(Map.empty).contains("geo"))
+        while (!landed() && System.nanoTime() < deadline) Thread.sleep(200)
+        assert(landed(), "V2 poll landed no stamped parquet within 180s")
       } finally q.stop()
       // post-stop the directory is settled; one retry covers a commit
       // that landed exactly at stop time

@@ -269,8 +269,18 @@ object SimilarityOps {
     * K past the sample-supported bound switches the FIT STRATEGY
     * (hierarchical, per-block sub-fits in executors), not the cell
     * count; capping K here would let occupancy grow linearly again. */
-  private[graft] def miningK(n: Long): Int =
-    math.max(16, (n / MineCell).toInt)
+  private[graft] def miningK(n: Long): Int = {
+    val k = n / MineCell
+    // cell ids are Ints throughout the ivf_cells kernels; a silent toInt
+    // wrap here would hand back K=16 and re-create the exact occupancy
+    // cliff uncapping removed. Refuse loudly at the hard representational
+    // frontier (N > ~2.7e11 vectors) — past it the cell-id space itself
+    // must widen, not just the fit strategy.
+    require(k <= Int.MaxValue,
+      s"mining K = N/$MineCell = $k exceeds Int cell-id space (N = $n); " +
+        "widening the cell-id type is the next frontier, not built here")
+    math.max(16, k.toInt)
+  }
 
   /** Mining quantizer model. Constant-occupancy cells (K ∝ N) make the
     * FLAT assignment kernel itself quadratic — N·K·dim total work, which
@@ -281,7 +291,9 @@ object SimilarityOps {
     * into [[MineSpill]] blocks, and scores only their k2 cells each —
     * (k1 + spill·k2)·dim per vector, ~Θ(N^1.5) total with a tiny
     * constant. More levels generalize the same trade beyond the measured
-    * range; two suffice through the sample-capped K. */
+    * range; two suffice through the single-array model frontier
+    * (k1·k2·dim ≤ Int.MaxValue doubles — guarded loudly in the fits;
+    * K itself is deliberately UNCAPPED, see [[miningK]]). */
   private[graft] sealed trait MiningModel { def dim: Int }
   private[graft] final case class MiningFlat(dim: Int, cmat: Array[Double])
     extends MiningModel
@@ -393,6 +405,16 @@ object SimilarityOps {
     val k1 = math.min(k1Cap, math.ceil(math.sqrt(kWant.toDouble)).toInt)
     val k2 = math.ceil(kWant.toDouble / k1).toInt
     val (dim, c1) = lloydFit(sample, k1)
+    // the level-2 matrix is one JVM array: k1·k2·dim doubles caps at
+    // Int.MaxValue (a hard allocation limit, ~N > 2e9 at dim 128 —
+    // and multi-GB driver heap well before it). Refuse loudly rather
+    // than throw NegativeArraySizeException or silently balloon; past
+    // this the model must shard (cell-centroid JOIN assignment), the
+    // documented next frontier.
+    require(k1.toLong * k2 * dim <= Int.MaxValue,
+      s"mining model k1=$k1 × k2=$k2 × dim=$dim doubles exceeds the " +
+        "single-array frontier; shard the model (cell-centroid join " +
+        "assignment) before fitting at this scale")
     val s2cap = math.max(64, 8 * k2) // points per sub-fit, bounded per block
     import s.implicits._
     val c1Lit = typedLit(c1.toSeq)

@@ -229,6 +229,12 @@ class SimilaritySpec extends SparkSpec {
     assert(miningK(50000) == 50000 / MineCell)
     assert(miningK(100000000L) == 100000000L / MineCell,
       "mining K must stay occupancy-constant past the sample bound")
+    // past Int cell-id space the guard refuses loudly instead of the
+    // toInt wrap silently handing back the K=16 floor (the occupancy
+    // cliff uncapping was meant to remove)
+    val wrapN = (Int.MaxValue.toLong + 1) * MineCell
+    val e = intercept[IllegalArgumentException](miningK(wrapN))
+    assert(e.getMessage.contains("cell-id space"))
   }
 
   test("IVF parameters scale as sqrt(N) with bounded sample and probe fraction") {

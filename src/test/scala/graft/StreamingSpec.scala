@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   * synchronous drain for deterministic tests. */
 class StreamingSpec extends SparkSpec {
 
+  /** Committed .parquet part files under `f`, recursively — null-safe
+    * against concurrently-deleted dirs and skipping hidden/staging dirs
+    * (`_temporary`, `_spark_metadata`, dot-prefixed), so it is safe to
+    * poll while a stream is actively writing. The single walker for
+    * every output-directory assertion in this spec. */
+  private def parquetFiles(f: java.io.File): Seq[java.io.File] =
+    if (f.isDirectory && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      Option(f.listFiles()).toSeq.flatten.flatMap(parquetFiles)
+    else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f) else Nil
+
   private lazy val feedDir: String = {
     val dir = Files.createTempDirectory("graft-feed").toString
     // ts already micro-converted by Tables; stream source needs a plain schema
@@ -78,17 +89,11 @@ class StreamingSpec extends SparkSpec {
         // wait for a fully-landed poll: hive partitions present AND the
         // geo stamp attached (stopping earlier can interrupt a batch
         // mid-attach; a later batch re-stamps, so stamped == batch done)
-        def walk0(f: java.io.File): Seq[java.io.File] =
-          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk0)
-          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-        def stamped(): Boolean = {
-          val root = new java.io.File(out)
-          root.exists() && root.listFiles() != null &&
-            walk0(root).exists(f =>
-              scala.util.Try(
-                graft.ops.GeoParquetMeta.keyValueMeta(spark, f.toString))
-                .getOrElse(Map.empty).contains("geo")) // file may be mid-rewrite
-        }
+        def stamped(): Boolean =
+          parquetFiles(new java.io.File(out)).exists(f =>
+            scala.util.Try(
+              graft.ops.GeoParquetMeta.keyValueMeta(spark, f.toString))
+              .getOrElse(Map.empty).contains("geo")) // file may be mid-rewrite
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
         while (!stamped() && System.nanoTime() < deadline) Thread.sleep(200)
         assert(stamped(), "poller produced no geo-stamped parquet within 60s")
@@ -102,10 +107,7 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[String]("geohash").length == 7)
       assert(r.getAs[Int]("year") == 2024 && r.getAs[Int]("month") == 3)
       // GeoParquet footer is stamped on the polled output too
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      assert(walk(new java.io.File(out)).exists(f =>
+      assert(parquetFiles(new java.io.File(out)).exists(f =>
         graft.ops.GeoParquetMeta.keyValueMeta(spark, f.toString).contains("geo")))
     } finally server.stop(0)
 
@@ -228,13 +230,8 @@ class StreamingSpec extends SparkSpec {
         // stamp both finished, so stop() cannot kill an in-flight batch
         // before any data is durable. Row-level assertions happen
         // post-stop on the settled directory.
-        def walkP(f: java.io.File): Seq[java.io.File] =
-          if (f.isDirectory && !f.getName.startsWith("_") &&
-              !f.getName.startsWith("."))
-            Option(f.listFiles()).toSeq.flatten.flatMap(walkP)
-          else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f) else Nil
         def landed(): Boolean =
-          walkP(new java.io.File(out)).exists(f =>
+          parquetFiles(new java.io.File(out)).exists(f =>
             scala.util.Try(
               graft.ops.GeoParquetMeta.keyValueMeta(spark, f.toString))
               .getOrElse(Map.empty).contains("geo"))
@@ -1025,10 +1022,7 @@ class StreamingSpec extends SparkSpec {
     import graft.ops.GeoParquetMeta
     val stamped = GeoParquetMeta.stampSinkLog(spark, out)
     assert(stamped > 0, "expected committed files in the sink log")
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.filterNot(_.getName.startsWith("_")).flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    val files = walk(new java.io.File(out))
+    val files = parquetFiles(new java.io.File(out))
     assert(files.nonEmpty)
     files.foreach { f =>
       assert(GeoParquetMeta.keyValueMeta(spark, f.toString)

@@ -620,14 +620,21 @@ object SimilarityOps {
             .as("cell")))
   }
 
-  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+  /** Index-side cell assignment (c_id, cell) — the shared IVF index frame;
+    * persisted under one sub-table so every consumer's mirror (plain IVF,
+    * MMR) reads the same frame. */
+  private def ivfIndex(s: SparkSession, dir: String): DataFrame = {
     val (dim, cmat, _) = fitCentroids(s, dir)
     val assign = assignFor(cmat.length / dim)
     val cLit = typedLit(cmat.toSeq)
-    val idx = persistO(s, dir, "ivf_idx",
+    persistO(s, dir, "ivf_idx",
       normed(s, dir).select(col("vec_id").as("c_id"),
         explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
           .as("cell")))
+  }
+
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(s, dir)
     val pr = probedCells(s, dir)
     rankPairs(normed(s, dir),
       pr.join(idx, "cell")
@@ -642,6 +649,172 @@ object SimilarityOps {
        |  SELECT DISTINCT pr.q_id, idx.c_id
        |  FROM pr JOIN idx USING (cell)
        |  WHERE pr.q_id <> idx.c_id)""".stripMargin)
+
+  // ---- MMR: diversity-aware re-rank of the IVF shortlist ----
+  // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): select
+  // k results greedily, each step maximizing λ·rel(q,c) − (1−λ)·max sim
+  // to the already-selected set — the standard RAG retrieval re-rank that
+  // trades a little relevance for coverage when the top of the ranking is
+  // one tight near-duplicate cluster. Pure top-k (`simsearch_topk`/`_ivf`)
+  // cannot express it: the rank of a candidate depends on WHICH candidates
+  // were already picked.
+  //
+  // Shape for scale: candidate generation is the shared IVF equi-join;
+  // the exact-cosine shortlist cut (top-[[MmrC]] per query) bounds
+  // everything downstream to C rows and C² pairwise sims PER QUERY — both
+  // constants — so the greedy unroll's [[TopK]] static rounds run over
+  // persisted frames of |Q|·C and |Q|·C² rows and never rescan the
+  // embeddings. All selection math is deterministic double arithmetic
+  // with (score DESC, c_id) ties, so the DuckDB mirror — which recomputes
+  // relevance, the cut, AND the pairwise sims from the raw vectors rather
+  // than trusting the persisted frames — must agree bit-for-bit.
+  //
+  // λ = 0.7 / (1−λ) = 0.3 are spelled as SEPARATE literals in both
+  // engines: computing 1.0 − 0.7 in doubles yields 0.30000000000000004,
+  // which would diverge from a parsed 0.3 on the SQL side.
+  private val MmrC = 16
+  private val MmrL = "0.7"
+  private val MmrD = "0.3"
+
+  private def mmrTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val idx = ivfIndex(s, dir)
+    val cand = probedCells(s, dir).join(idx, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct()
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"))
+    val wRel = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
+    // exact-cosine shortlist; persisted so the greedy rounds replay a tiny
+    // frame instead of the candidate join (one embeddings pass, like every
+    // IVF variant's rankPairs tail)
+    val rel = persistO(s, dir, "mmr_rel",
+      cand.join(broadcast(q), "q_id").join(c, "c_id")
+        .select(col("q_id"), col("c_id"),
+          (vdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+            .as("rel"))
+        .withColumn("rr", row_number().over(wRel))
+        .filter(col("rr") <= MmrC)
+        .select("q_id", "c_id", "rel"))
+    // pairwise sims among the shortlist: ≤ C² rows per query, two id→vector
+    // hash joins (the compressed-index discipline — ids shuffle, not vectors)
+    val ca = c.select(col("c_id").as("a"), col("c_emb").as("a_emb"),
+      col("c_norm").as("a_norm"))
+    val cb = c.select(col("c_id").as("b"), col("c_emb").as("b_emb"),
+      col("c_norm").as("b_norm"))
+    val psim = persistO(s, dir, "mmr_psim",
+      rel.select(col("q_id"), col("c_id").as("a"))
+        .join(rel.select(col("q_id"), col("c_id").as("b")), "q_id")
+        .filter(col("a") =!= col("b"))
+        .join(ca, "a").join(cb, "b")
+        .select(col("q_id"), col("a"), col("b"),
+          (vdot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+            .as("sim")))
+    // Greedy unroll: step 1 is pure relevance; each later step maximizes
+    // λ·rel − (1−λ)·(max sim to the selected set) over the remainder.
+    //
+    // Each round's selected set is EAGERLY checkpointed. Joining round r
+    // directly against the union-lineage `sel` (whose branches share the
+    // persisted relation's attribute ids) trips a DeduplicateRelations
+    // mis-rewrite in Spark 4.1.2: the selected-set join + max aggregate
+    // came back as one row PER UNION BRANCH per candidate (two `mx`
+    // values per (q_id, c_id)), so every rank-1 filter passed one row
+    // per branch — output rows doubled each round. The checkpoint gives
+    // every round a fresh LogicalRDD lineage (no shared ids to rewrite)
+    // and keeps the plan tree linear in rounds instead of 3^r. Frames
+    // are |Q|·step rows; superseded checkpoints are freed via the bridge
+    // (the iterative-closure discipline).
+    var sel = rel.withColumn("sr", row_number().over(wRel))
+      .filter(col("sr") === 1)
+      .select(col("q_id"), col("c_id"), col("rel"), lit(1).as("step"))
+      .localCheckpoint()
+    var r = 2
+    while (r <= TopK) {
+      val mxF = psim
+        .join(sel.select(col("q_id"), col("c_id").as("b")), Seq("q_id", "b"))
+        .groupBy("q_id", "a").agg(max("sim").as("mx"))
+        .withColumnRenamed("a", "c_id")
+      val wSc = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("c_id"))
+      val pick = rel
+        .join(sel.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_anti")
+        .join(mxF, Seq("q_id", "c_id"))
+        .withColumn("score",
+          lit(MmrL.toDouble) * col("rel") - lit(MmrD.toDouble) * col("mx"))
+        .withColumn("sr", row_number().over(wSc))
+        .filter(col("sr") === 1)
+        .select(col("q_id"), col("c_id"), col("rel"), lit(r).as("step"))
+      val next = sel.unionByName(pick).localCheckpoint()
+      GraftSqlBridge.freeLocalCheckpoint(sel)
+      sel = next
+      r += 1
+    }
+    sel.orderBy("q_id", "step")
+  }
+
+  /** DuckDB mirror: rebuilds relevance, the top-C cut, and the pairwise
+    * sims from the raw vectors (trusting only the shared IVF index frames,
+    * like [[ivfSql]]) and unrolls the same [[TopK]] greedy rounds. Every
+    * multiply-referenced CTE is MATERIALIZED (DuckDB inlines plain CTEs
+    * once per reference). */
+  private def mmrSql: String = {
+    def round(r: Int): String =
+      s"""s$r AS MATERIALIZED (
+         |  SELECT q_id, c_id, rel, $r AS step FROM (
+         |    SELECT rl.q_id, rl.c_id, rl.rel,
+         |      row_number() OVER (PARTITION BY rl.q_id ORDER BY
+         |        CAST($MmrL AS DOUBLE) * rl.rel -
+         |          CAST($MmrD AS DOUBLE) * mx.mx DESC, rl.c_id) AS sr
+         |    FROM rel rl
+         |    JOIN (SELECT p.q_id, p.a AS c_id, max(p.sim) AS mx
+         |          FROM psim p
+         |          JOIN sel${r - 1} s ON s.q_id = p.q_id AND s.c_id = p.b
+         |          GROUP BY p.q_id, p.a) mx
+         |      ON mx.q_id = rl.q_id AND mx.c_id = rl.c_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+         |      WHERE s.q_id = rl.q_id AND s.c_id = rl.c_id))
+         |  WHERE sr = 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    s"""WITH n AS ($normedSql),
+       |idx AS (SELECT * FROM read_parquet('${pth("ivf_idx")}/*.parquet')),
+       |pr AS (SELECT * FROM read_parquet('${pth("ivf_probe")}/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT pr.q_id, idx.c_id
+       |  FROM pr JOIN idx USING (cell)
+       |  WHERE pr.q_id <> idx.c_id),
+       |rel0 AS (
+       |  SELECT cand.q_id, cand.c_id,
+       |    ${vdotSql("qe.embedding", "ce.embedding")} / (qe.norm * ce.norm)
+       |      AS rel
+       |  FROM cand
+       |  JOIN n qe ON qe.vec_id = cand.q_id
+       |  JOIN n ce ON ce.vec_id = cand.c_id),
+       |rel AS MATERIALIZED (
+       |  SELECT q_id, c_id, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, c_id) AS rr FROM rel0)
+       |  WHERE rr <= $MmrC),
+       |psim AS MATERIALIZED (
+       |  SELECT a.q_id, a.c_id AS a, b.c_id AS b,
+       |    ${vdotSql("ae.embedding", "be.embedding")} / (ae.norm * be.norm)
+       |      AS sim
+       |  FROM rel a
+       |  JOIN rel b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+       |  JOIN n ae ON ae.vec_id = a.c_id
+       |  JOIN n be ON be.vec_id = b.c_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT q_id, c_id, rel, 1 AS step FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, c_id) AS sr FROM rel)
+       |  WHERE sr = 1),
+       |${(2 to TopK).map(round).mkString(",\n")}
+       |SELECT q_id, c_id, rel, step FROM sel$TopK
+       |ORDER BY q_id, step""".stripMargin
+  }
 
   /** IVF top-k with an explicit index-side assignment count — the recall/
     * cost knob SimilaritySpec sweeps; production (`simsearch_ivf`) derives
@@ -1740,6 +1913,7 @@ object SimilarityOps {
     "simsearch_topk" -> (bruteTopK _),
     "simsearch_lsh" -> (lshTopK _),
     "simsearch_ivf" -> (ivfTopK _),
+    "simsearch_mmr" -> (mmrTopK _),
     "simsearch_ivfpq" -> (ivfPqTopK _),
     "simsearch_ivfrq" -> (ivfRqTopK _),
     "simsearch_ivfopq" -> (ivfOpqTopK _),
@@ -1758,6 +1932,7 @@ object SimilarityOps {
     "simsearch_topk" -> bruteTopKSql,
     "simsearch_lsh" -> lshSql,
     "simsearch_ivf" -> ivfSql,
+    "simsearch_mmr" -> mmrSql,
     "simsearch_ivfpq" -> ivfPqSql,
     "simsearch_ivfrq" -> ivfRqSql,
     "simsearch_ivfopq" -> ivfOpqSql,

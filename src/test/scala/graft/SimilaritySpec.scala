@@ -178,6 +178,60 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"IVF recall@5 $recall%.2f below 0.8")
   }
 
+  test("MMR re-rank: valid greedy shape, relevance-first, measurably diverse") {
+    val mmr = SparkEntry.queries("simsearch_mmr")(spark, sf0001).collect()
+      .map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"),
+        x.getAs[Int]("step")))
+    assert(mmr.nonEmpty)
+    // shape: per query exactly steps 1..k over distinct candidates
+    val byQ = mmr.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length),
+        s"query $q steps must be 1..k")
+      assert(rows.map(_._2).distinct.length == rows.length,
+        s"query $q selected a candidate twice")
+    }
+    // step 1 is the pure relevance argmax — identical to IVF's rank-1
+    // pick (same candidate set, same exact cosine, same tie rule)
+    val ivf = SparkEntry.queries("simsearch_ivf")(spark, sf0001).collect()
+      .map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"),
+        x.getAs[Int]("rank")))
+    val ivf1 = ivf.filter(_._3 == 1).map(x => x._1 -> x._2).toMap
+    byQ.foreach { case (q, rows) =>
+      assert(rows.find(_._3 == 1).get._2 == ivf1(q),
+        s"query $q: MMR step 1 must equal the relevance top-1")
+    }
+    // diversity: the selected sets are less self-similar than the pure
+    // relevance top-5 (the point of the re-rank); deterministic corpus,
+    // so the strict aggregate inequality is stable
+    val allIds = (mmr.map(_._2) ++ ivf.map(_._2)).distinct
+    val emb = Tables(spark, sf0001, "embeddings")
+      .filter(col("vec_id").isin(allIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long](0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      val d = x.zip(y).map { case (u, v) => u * v }.sum
+      d / (math.sqrt(x.map(u => u * u).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    def meanPairSim(sets: Map[Long, Seq[Long]]): Double = {
+      val per = sets.values.toSeq.map { ids =>
+        val ps = for (i <- ids.indices; j <- ids.indices if i < j)
+          yield cos(ids(i), ids(j))
+        ps.sum / ps.length
+      }
+      per.sum / per.length
+    }
+    val mmrSets = byQ.map { case (q, rows) => q -> rows.map(_._2).toSeq }
+    val ivfSets = ivf.groupBy(_._1)
+      .map { case (q, rows) => q -> rows.map(_._2).toSeq }
+    val (dm, di) = (meanPairSim(mmrSets), meanPairSim(ivfSets.toMap))
+    info(f"mean pairwise sim: mmr $dm%.3f vs relevance-top-k $di%.3f")
+    assert(dm < di, f"MMR selection not more diverse: $dm%.3f >= $di%.3f")
+  }
+
   test("IVF-bucketed embedding dedup recovers most brute-force pairs") {
     val brute = SparkEntry.queries("dedup_embedding_exact")(spark, sf0001)
       .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"))).toSet

@@ -49,6 +49,47 @@ object TextOps {
        |  CAST(len - (tok_cnt - 1) AS DOUBLE) / tok_cnt AS avg_tok_len
        |FROM q ORDER BY doc_id""".stripMargin
 
+  // Readability: Flesch–Kincaid grade + Flesch reading ease (Kincaid et
+  // al., 1975) from the classic counts, with the standard cheap proxies —
+  // words = space-split tokens, sentences = terminal-punctuation runs
+  // (floored at 1 so fragment documents stay defined), syllables =
+  // vowel-group runs. Three codegen'd regexp/split scans, O(total chars),
+  // no shuffle; the grade arithmetic runs in identical doubles in both
+  // engines (integer counts cast once, literals spelled the same).
+  private def readability(s: SparkSession, dir: String): DataFrame = {
+    val words = size(split(col("text"), " "))
+    val sents = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+    val sylls = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        words.as("words"), sents.as("sents"), sylls.as("sylls"))
+      .withColumn("wps", col("words").cast("double") / col("sents"))
+      .withColumn("spw", col("sylls").cast("double") / col("words"))
+      .withColumn("fk_grade",
+        lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59))
+      .withColumn("reading_ease",
+        lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
+      .orderBy("doc_id")
+  }
+
+  private val readabilitySql =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS words,
+       |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS INT)
+       |      AS sents,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)
+       |      AS sylls
+       |  FROM documents),
+       |d AS (
+       |  SELECT *, CAST(words AS DOUBLE) / sents AS wps,
+       |    CAST(sylls AS DOUBLE) / words AS spw
+       |  FROM r)
+       |SELECT doc_id, lang, words, sents, sylls, wps, spw,
+       |  0.39 * wps + 11.8 * spw - 15.59 AS fk_grade,
+       |  206.835 - 1.015 * wps - 84.6 * spw AS reading_ease
+       |FROM d ORDER BY doc_id""".stripMargin
+
   // Language ID: n-gram/stopword heuristic. The synthetic corpus is the
   // same vocabulary across langs, so the heuristic is exercised for
   // determinism, not linguistic accuracy.
@@ -753,6 +794,7 @@ object TextOps {
     "winnow_spans" -> (winnowSpans _),
     "text_entropy" -> (entropy _),
     "text_quality" -> (quality _),
+    "text_readability" -> (readability _),
     "text_langid" -> (langid _),
     "text_tokens" -> (tokens _),
     "text_tokens_bpe" -> (tokensBpe _),
@@ -768,6 +810,7 @@ object TextOps {
     "winnow_spans" -> winnowSpansSql,
     "text_entropy" -> entropySql,
     "text_quality" -> qualitySql,
+    "text_readability" -> readabilitySql,
     "text_langid" -> langidSql,
     "text_tokens" -> tokensSql,
     "text_tokens_bpe" -> tokensBpeSql,

@@ -402,6 +402,29 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("text_readability computes FK grade from word/sentence/syllable counts") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-read").toString
+    Seq((0L, "The cat sat. The dog ran."), // 6 words, 2 sents, 6 vowel runs
+        (1L, "aaa eee iii"),               // no terminal punct → 1 sentence
+        (2L, "tsk tsk"))                   // no vowel groups → 0 syllables
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_readability")(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    def d(id: Long, c: String) = r(id).getAs[Double](c)
+    def n(id: Long, c: String) = r(id).getAs[Int](c)
+    assert(n(0L, "words") == 6 && n(0L, "sents") == 2 && n(0L, "sylls") == 6)
+    assert(math.abs(d(0L, "fk_grade") - (0.39 * 3 + 11.8 * 1 - 15.59)) < 1e-12)
+    assert(math.abs(
+      d(0L, "reading_ease") - (206.835 - 1.015 * 3 - 84.6 * 1)) < 1e-12)
+    assert(n(1L, "sents") == 1, "fragment docs floor at one sentence")
+    assert(n(2L, "sylls") == 0 && d(2L, "spw") == 0.0)
+  }
+
   test("tokenize_pack conserves the BPE token mass and packs contiguous bins") {
     val enc = SparkEntry.queries("bpe_encode")(spark, sf0001).collect()
     val totalBpe = enc.map(_.getAs[Long]("n_bpe")).sum

@@ -633,22 +633,26 @@ object SimilarityOps {
           .as("cell")))
   }
 
-  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val idx = ivfIndex(s, dir)
-    val pr = probedCells(s, dir)
-    rankPairs(normed(s, dir),
-      pr.join(idx, "cell")
-        .filter(col("q_id") =!= col("c_id"))
-        .select("q_id", "c_id").distinct()) // union over probed cells
-  }
+  /** Probe ⋈ index candidate pairs (q_id, c_id) — the union-over-probed-
+    * cells IVF candidate frame every IVF consumer (plain top-k, MMR)
+    * shares; [[ivfCandSql]] is its mirror CTE block. */
+  private def ivfCandidates(s: SparkSession, dir: String): DataFrame =
+    probedCells(s, dir).join(ivfIndex(s, dir), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct()
 
-  private def ivfSql: String = rankPairsSql(
+  private def ivfCandSql: String =
     s"""idx AS (SELECT * FROM read_parquet('${pth("ivf_idx")}/*.parquet')),
        |pr AS (SELECT * FROM read_parquet('${pth("ivf_probe")}/*.parquet')),
        |cand AS (
        |  SELECT DISTINCT pr.q_id, idx.c_id
        |  FROM pr JOIN idx USING (cell)
-       |  WHERE pr.q_id <> idx.c_id)""".stripMargin)
+       |  WHERE pr.q_id <> idx.c_id)""".stripMargin
+
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    rankPairs(normed(s, dir), ivfCandidates(s, dir))
+
+  private def ivfSql: String = rankPairsSql(ivfCandSql)
 
   // ---- MMR: diversity-aware re-rank of the IVF shortlist ----
   // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): select
@@ -661,10 +665,10 @@ object SimilarityOps {
   //
   // Shape for scale: candidate generation is the shared IVF equi-join;
   // the exact-cosine shortlist cut (top-[[MmrC]] per query) bounds
-  // everything downstream to C rows and C² pairwise sims PER QUERY — both
-  // constants — so the greedy unroll's [[TopK]] static rounds run over
-  // persisted frames of |Q|·C and |Q|·C² rows and never rescan the
-  // embeddings. All selection math is deterministic double arithmetic
+  // everything downstream to C rows and C·(C−1)/2 pairwise sims PER
+  // QUERY — both constants — so the greedy unroll's [[TopK]] static
+  // rounds run over persisted frames of |Q|·C and |Q|·C²/2 rows and
+  // never rescan the embeddings. All selection math is deterministic double arithmetic
   // with (score DESC, c_id) ties, so the DuckDB mirror — which recomputes
   // relevance, the cut, AND the pairwise sims from the raw vectors rather
   // than trusting the persisted frames — must agree bit-for-bit.
@@ -678,10 +682,7 @@ object SimilarityOps {
 
   private def mmrTopK(s: SparkSession, dir: String): DataFrame = {
     val e = normed(s, dir)
-    val idx = ivfIndex(s, dir)
-    val cand = probedCells(s, dir).join(idx, "cell")
-      .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "c_id").distinct()
+    val cand = ivfCandidates(s, dir)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
@@ -699,20 +700,26 @@ object SimilarityOps {
         .withColumn("rr", row_number().over(wRel))
         .filter(col("rr") <= MmrC)
         .select("q_id", "c_id", "rel"))
-    // pairwise sims among the shortlist: ≤ C² rows per query, two id→vector
-    // hash joins (the compressed-index discipline — ids shuffle, not vectors)
+    // pairwise sims among the shortlist: cosine is symmetric, so only the
+    // a<b half-matrix (C·(C−1)/2 per query) is vdot-folded and persisted;
+    // the full orientation set is recovered at read time by a swapped
+    // union — zero extra folds, identical doubles (per-element products
+    // commute). Two id→vector hash joins (the compressed-index
+    // discipline — ids shuffle, not vectors).
     val ca = c.select(col("c_id").as("a"), col("c_emb").as("a_emb"),
       col("c_norm").as("a_norm"))
     val cb = c.select(col("c_id").as("b"), col("c_emb").as("b_emb"),
       col("c_norm").as("b_norm"))
-    val psim = persistO(s, dir, "mmr_psim",
+    val psimHalf = persistO(s, dir, "mmr_psim",
       rel.select(col("q_id"), col("c_id").as("a"))
         .join(rel.select(col("q_id"), col("c_id").as("b")), "q_id")
-        .filter(col("a") =!= col("b"))
+        .filter(col("a") < col("b"))
         .join(ca, "a").join(cb, "b")
         .select(col("q_id"), col("a"), col("b"),
           (vdot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
             .as("sim")))
+    val psim = psimHalf.unionByName(psimHalf.select(col("q_id"),
+      col("b").as("a"), col("a").as("b"), col("sim")))
     // Greedy unroll: step 1 is pure relevance; each later step maximizes
     // λ·rel − (1−λ)·(max sim to the selected set) over the remainder.
     //
@@ -780,12 +787,7 @@ object SimilarityOps {
          |sel$r AS MATERIALIZED (
          |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
     s"""WITH n AS ($normedSql),
-       |idx AS (SELECT * FROM read_parquet('${pth("ivf_idx")}/*.parquet')),
-       |pr AS (SELECT * FROM read_parquet('${pth("ivf_probe")}/*.parquet')),
-       |cand AS (
-       |  SELECT DISTINCT pr.q_id, idx.c_id
-       |  FROM pr JOIN idx USING (cell)
-       |  WHERE pr.q_id <> idx.c_id),
+       |$ivfCandSql,
        |rel0 AS (
        |  SELECT cand.q_id, cand.c_id,
        |    ${vdotSql("qe.embedding", "ce.embedding")} / (qe.norm * ce.norm)
@@ -798,14 +800,17 @@ object SimilarityOps {
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |      ORDER BY rel DESC, c_id) AS rr FROM rel0)
        |  WHERE rr <= $MmrC),
-       |psim AS MATERIALIZED (
+       |psh AS MATERIALIZED (
        |  SELECT a.q_id, a.c_id AS a, b.c_id AS b,
        |    ${vdotSql("ae.embedding", "be.embedding")} / (ae.norm * be.norm)
        |      AS sim
        |  FROM rel a
-       |  JOIN rel b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+       |  JOIN rel b ON a.q_id = b.q_id AND a.c_id < b.c_id
        |  JOIN n ae ON ae.vec_id = a.c_id
        |  JOIN n be ON be.vec_id = b.c_id),
+       |psim AS MATERIALIZED (
+       |  SELECT q_id, a, b, sim FROM psh
+       |  UNION ALL SELECT q_id, b AS a, a AS b, sim FROM psh),
        |sel1 AS MATERIALIZED (
        |  SELECT q_id, c_id, rel, 1 AS step FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id

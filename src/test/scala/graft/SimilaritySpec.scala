@@ -217,11 +217,14 @@ class SimilaritySpec extends SparkSpec {
       d / (math.sqrt(x.map(u => u * u).sum) * math.sqrt(y.map(v => v * v).sum))
     }
     def meanPairSim(sets: Map[Long, Seq[Long]]): Double = {
-      val per = sets.values.toSeq.map { ids =>
+      // singleton sets have no pairs — skip them rather than poison the
+      // mean with a 0/0 NaN if a query's shortlist ever degenerates
+      val per = sets.values.toSeq.filter(_.length >= 2).map { ids =>
         val ps = for (i <- ids.indices; j <- ids.indices if i < j)
           yield cos(ids(i), ids(j))
         ps.sum / ps.length
       }
+      assert(per.nonEmpty, "no multi-candidate query sets to compare")
       per.sum / per.length
     }
     val mmrSets = byQ.map { case (q, rows) => q -> rows.map(_._2).toSeq }

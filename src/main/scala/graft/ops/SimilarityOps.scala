@@ -620,18 +620,27 @@ object SimilarityOps {
             .as("cell")))
   }
 
-  /** Index-side cell assignment (c_id, cell) — the shared IVF index frame;
-    * persisted under one sub-table so every consumer's mirror (plain IVF,
-    * MMR) reads the same frame. */
-  private def ivfIndex(s: SparkSession, dir: String): DataFrame = {
+  /** Index-side cell assignment (c_id, cell) for any (vec_id, embedding)
+    * frame under `dir`'s fitted (frozen) coarse quantizer — the one
+    * kernel behind the full index build, the incremental delta append
+    * ([[ivfDeltaTopK]]), and the streaming index maintainer
+    * ([[graft.streaming.IvfMonitor]]); sharing it is what makes their
+    * equality contracts structural rather than coincidental. */
+  private[graft] def indexAssign(s: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
     val (dim, cmat, _) = fitCentroids(s, dir)
     val assign = assignFor(cmat.length / dim)
     val cLit = typedLit(cmat.toSeq)
-    persistO(s, dir, "ivf_idx",
-      normed(s, dir).select(col("vec_id").as("c_id"),
-        explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
-          .as("cell")))
+    df.select(col("vec_id").as("c_id"),
+      explode(gf.ivf_cells(col("embedding"), cLit, lit(dim), lit(assign)))
+        .as("cell"))
   }
+
+  /** Index-side cell assignment (c_id, cell) — the shared IVF index frame;
+    * persisted under one sub-table so every consumer's mirror (plain IVF,
+    * MMR) reads the same frame. */
+  private def ivfIndex(s: SparkSession, dir: String): DataFrame =
+    persistO(s, dir, "ivf_idx", indexAssign(s, dir, normed(s, dir)))
 
   /** Probe ⋈ index candidate pairs (q_id, c_id) — the union-over-probed-
     * cells IVF candidate frame every IVF consumer (plain top-k, MMR)
@@ -653,6 +662,42 @@ object SimilarityOps {
     rankPairs(normed(s, dir), ivfCandidates(s, dir))
 
   private def ivfSql: String = rankPairsSql(ivfCandSql)
+
+  // ---- Incremental IVF: append-only index under a frozen quantizer ----
+  // The production vector-store maintenance shape (FAISS `add()`; the
+  // `dedup_incremental` discipline applied to ANN): arriving vectors are
+  // assigned in ONE pushed-filter pass over the delta only and appended
+  // to the persisted base index — the base corpus is never re-scanned and
+  // the quantizer is not refit (refit drift is the operator's documented
+  // trade until an offline rebuild). A deterministic 20% residue split
+  // (vec_id % 5 = 4) stands in for the arrival set. Because assignment is
+  // per-vector under a frozen model, union-of-assignments over a
+  // partition of the vectors IS the full assignment — so this query must
+  // return exactly `simsearch_ivf`'s rows, and that equality is the
+  // maintenance contract (pinned in SimilaritySpec; the streaming form is
+  // [[graft.streaming.IvfMonitor]]).
+  private def ivfDeltaTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val base = persistO(s, dir, "ivf_idx_base",
+      indexAssign(s, dir, e.filter(col("vec_id") % 5 =!= 4)))
+    val delta = persistO(s, dir, "ivf_idx_delta",
+      indexAssign(s, dir, e.filter(col("vec_id") % 5 === 4)))
+    val idx = base.unionByName(delta)
+    rankPairs(e, probedCells(s, dir).join(idx, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct())
+  }
+
+  private def ivfDeltaSql: String = rankPairsSql(
+    s"""idx AS (
+       |  SELECT * FROM read_parquet('${pth("ivf_idx_base")}/*.parquet')
+       |  UNION ALL
+       |  SELECT * FROM read_parquet('${pth("ivf_idx_delta")}/*.parquet')),
+       |pr AS (SELECT * FROM read_parquet('${pth("ivf_probe")}/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT pr.q_id, idx.c_id
+       |  FROM pr JOIN idx USING (cell)
+       |  WHERE pr.q_id <> idx.c_id)""".stripMargin)
 
   // ---- MMR: diversity-aware re-rank of the IVF shortlist ----
   // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): select
@@ -1918,6 +1963,7 @@ object SimilarityOps {
     "simsearch_topk" -> (bruteTopK _),
     "simsearch_lsh" -> (lshTopK _),
     "simsearch_ivf" -> (ivfTopK _),
+    "simsearch_ivf_delta" -> (ivfDeltaTopK _),
     "simsearch_mmr" -> (mmrTopK _),
     "simsearch_ivfpq" -> (ivfPqTopK _),
     "simsearch_ivfrq" -> (ivfRqTopK _),
@@ -1937,6 +1983,7 @@ object SimilarityOps {
     "simsearch_topk" -> bruteTopKSql,
     "simsearch_lsh" -> lshSql,
     "simsearch_ivf" -> ivfSql,
+    "simsearch_ivf_delta" -> ivfDeltaSql,
     "simsearch_mmr" -> mmrSql,
     "simsearch_ivfpq" -> ivfPqSql,
     "simsearch_ivfrq" -> ivfRqSql,

@@ -178,6 +178,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"IVF recall@5 $recall%.2f below 0.8")
   }
 
+  test("incremental IVF delta equals the full index build (frozen quantizer)") {
+    // union-of-assignments over a partition of the vectors IS the full
+    // assignment under a frozen quantizer — the maintenance contract
+    val full = SparkEntry.queries("simsearch_ivf")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val delta = SparkEntry.queries("simsearch_ivf_delta")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(full.nonEmpty && delta == full,
+      "append-only maintenance must equal the rebuilt index")
+  }
+
   test("MMR re-rank: valid greedy shape, relevance-first, measurably diverse") {
     val mmr = SparkEntry.queries("simsearch_mmr")(spark, sf0001).collect()
       .map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"),

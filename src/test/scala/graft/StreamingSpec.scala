@@ -821,6 +821,36 @@ class StreamingSpec extends SparkSpec {
       "index must hold seed + one directory per micro-batch")
   }
 
+  test("streaming IVF index maintenance equals the batch assignment") {
+    import graft.streaming.IvfMonitor
+    val emb = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft-ivfm-idx").toString
+    val dir = Files.createTempDirectory("graft-ivfm-feed").toString
+    // seed = the batch op's 80% residue base; stream = its delta in two
+    // ascending-id micro-batches under the same frozen quantizer
+    IvfMonitor.seed(spark, sf0001, emb.filter(col("vec_id") % 5 =!= 4), idx)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+    delta.filter(col("vec_id") < 250).coalesce(1).write.parquet(s"$dir/b1")
+    val feed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+    val q = IvfMonitor.attach(feed, sf0001, idx).start()
+    try {
+      q.processAllAvailable()
+      delta.filter(col("vec_id") >= 250).coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("c_id"), r.getAs[Int]("cell"))).toSeq.sorted
+    val streamed = rows(IvfMonitor.index(spark, idx))
+    val batch = rows(graft.ops.SimilarityOps.indexAssign(spark, sf0001, emb))
+    assert(streamed == batch,
+      s"stream-maintained index diverged: ${streamed.size} vs ${batch.size}")
+    // the index grew by exactly the two streamed batches
+    assert(new java.io.File(idx).listFiles().count(_.isDirectory) == 3,
+      "index must hold seed + one directory per micro-batch")
+  }
+
   test("streaming session windows merge by gap and close at the watermark") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-03-05T10:00:00Z")

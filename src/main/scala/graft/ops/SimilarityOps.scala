@@ -642,21 +642,31 @@ object SimilarityOps {
   private def ivfIndex(s: SparkSession, dir: String): DataFrame =
     persistO(s, dir, "ivf_idx", indexAssign(s, dir, normed(s, dir)))
 
-  /** Probe ⋈ index candidate pairs (q_id, c_id) — the union-over-probed-
-    * cells IVF candidate frame every IVF consumer (plain top-k, MMR)
-    * shares; [[ivfCandSql]] is its mirror CTE block. */
-  private def ivfCandidates(s: SparkSession, dir: String): DataFrame =
-    probedCells(s, dir).join(ivfIndex(s, dir), "cell")
+  /** Probe ⋈ index candidate pairs (q_id, c_id) over an arbitrary index
+    * frame — the union-over-probed-cells IVF candidate semantics (self
+    * pairs dropped, distinct over probed cells) every IVF consumer
+    * (plain top-k, MMR, the delta-maintained index) shares;
+    * [[ivfCandSqlFrom]] is its mirror CTE block. Candidate-semantics
+    * changes belong HERE, in both engines at once. */
+  private def candidatesFrom(s: SparkSession, dir: String,
+      idx: DataFrame): DataFrame =
+    probedCells(s, dir).join(idx, "cell")
       .filter(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id").distinct()
 
-  private def ivfCandSql: String =
-    s"""idx AS (SELECT * FROM read_parquet('${pth("ivf_idx")}/*.parquet')),
+  private def ivfCandidates(s: SparkSession, dir: String): DataFrame =
+    candidatesFrom(s, dir, ivfIndex(s, dir))
+
+  private def ivfCandSqlFrom(idxCte: String): String =
+    s"""idx AS ($idxCte),
        |pr AS (SELECT * FROM read_parquet('${pth("ivf_probe")}/*.parquet')),
        |cand AS (
        |  SELECT DISTINCT pr.q_id, idx.c_id
        |  FROM pr JOIN idx USING (cell)
        |  WHERE pr.q_id <> idx.c_id)""".stripMargin
+
+  private def ivfCandSql: String = ivfCandSqlFrom(
+    s"SELECT * FROM read_parquet('${pth("ivf_idx")}/*.parquet')")
 
   private def ivfTopK(s: SparkSession, dir: String): DataFrame =
     rankPairs(normed(s, dir), ivfCandidates(s, dir))
@@ -682,22 +692,14 @@ object SimilarityOps {
       indexAssign(s, dir, e.filter(col("vec_id") % 5 =!= 4)))
     val delta = persistO(s, dir, "ivf_idx_delta",
       indexAssign(s, dir, e.filter(col("vec_id") % 5 === 4)))
-    val idx = base.unionByName(delta)
-    rankPairs(e, probedCells(s, dir).join(idx, "cell")
-      .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "c_id").distinct())
+    rankPairs(e, candidatesFrom(s, dir, base.unionByName(delta)))
   }
 
-  private def ivfDeltaSql: String = rankPairsSql(
-    s"""idx AS (
-       |  SELECT * FROM read_parquet('${pth("ivf_idx_base")}/*.parquet')
+  private def ivfDeltaSql: String = rankPairsSql(ivfCandSqlFrom(
+    s"""SELECT * FROM read_parquet('${pth("ivf_idx_base")}/*.parquet')
        |  UNION ALL
-       |  SELECT * FROM read_parquet('${pth("ivf_idx_delta")}/*.parquet')),
-       |pr AS (SELECT * FROM read_parquet('${pth("ivf_probe")}/*.parquet')),
-       |cand AS (
-       |  SELECT DISTINCT pr.q_id, idx.c_id
-       |  FROM pr JOIN idx USING (cell)
-       |  WHERE pr.q_id <> idx.c_id)""".stripMargin)
+       |  SELECT * FROM read_parquet('${pth("ivf_idx_delta")}/*.parquet')"""
+      .stripMargin))
 
   // ---- MMR: diversity-aware re-rank of the IVF shortlist ----
   // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): select

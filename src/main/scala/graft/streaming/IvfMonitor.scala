@@ -15,9 +15,9 @@ import graft.ops.SimilarityOps
   * build, so cell ids are bit-identical) and appended under a per-batch
   * directory. The base index is never re-scanned or re-assigned: per
   * trigger the work is |batch| kernel evaluations and one append — the
-  * 100 TB ingestion shape (at real scale the per-batch directories are
-  * periodically compacted into the bucketed index table; here they are a
-  * plain parquet tree a reader unions).
+  * 100 TB ingestion shape. The per-batch directories are periodically
+  * merged by [[compact]] into a single watermarked directory so the
+  * reader's union stays one or two frames instead of one per trigger.
   *
   * Exactly-once: per-batch directories are written with overwrite mode, so
   * a replayed batch rewrites identical bytes instead of duplicating index
@@ -36,6 +36,16 @@ object IvfMonitor {
 
   private val SeedDir = "seed"
 
+  private def batchId(n: String): Option[Long] =
+    if (n.startsWith("b") && n.length > 1 && n.drop(1).forall(_.isDigit))
+      Some(n.drop(1).toLong)
+    else None
+
+  private def compactId(n: String): Option[Long] =
+    if (n.startsWith("c") && n.length > 1 && n.drop(1).forall(_.isDigit))
+      Some(n.drop(1).toLong)
+    else None
+
   /** Bootstrap the index from an existing (vec_id, embedding) frame — the
     * offline base-load a production pipeline runs once. `quantDir` names
     * the corpus whose fitted quantizer is frozen for all appends. */
@@ -44,21 +54,58 @@ object IvfMonitor {
     SimilarityOps.indexAssign(s, quantDir, df)
       .write.mode("overwrite").parquet(s"$indexDir/$SeedDir")
 
-  /** Committed index directories: the seed and every completed per-batch
-    * append (`_SUCCESS`-gated, the torn-write guard). */
+  /** Committed index directories under the compaction watermark rule.
+    * A compacted directory `c<k>` absorbs the seed, every `b<j>` with
+    * j ≤ k, and every older `c<k'>`; the reader adopts the HIGHEST
+    * committed `c<k>` plus the `b<j>` appends with j > k (or, with no
+    * compact yet, the seed plus all appends). The rule — not the
+    * eventual deletion of absorbed directories — is what makes
+    * compaction crash-safe and replay-safe: a crash after the compact's
+    * `_SUCCESS` but before cleanup leaves absorbed dirs on disk, and a
+    * replayed batch can re-materialize an absorbed `b<j>` — both are
+    * structurally excluded (j ≤ k), never double-counted. All adoption
+    * is `_SUCCESS`-gated (the torn-write guard). */
   def committedDirs(s: SparkSession, indexDir: String): Seq[String] = {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
+    if (!fs.exists(root)) return Seq.empty
+    val committed = fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
-        (n == SeedDir || (n.startsWith("b") && n.drop(1).forall(_.isDigit))) &&
+        (n == SeedDir || batchId(n).isDefined || compactId(n).isDefined) &&
           fs.exists(new Path(p, "_SUCCESS"))
       }
-      .map(_.toString).sorted
+    val wm = committed.flatMap(p => compactId(p.getName)).sorted.lastOption
+    committed.filter { p =>
+      val n = p.getName
+      wm match {
+        case None    => compactId(n).isEmpty // seed + all appends
+        case Some(k) => compactId(n).contains(k) || batchId(n).exists(_ > k)
+      }
+    }.map(_.toString).sorted
+  }
+
+  /** Merge the currently-adopted directories into one `c<maxBatch>`
+    * directory and reclaim the absorbed ones. Returns the number of
+    * directories absorbed (0 = nothing to do: fewer than two adopted
+    * frames). Crash-safe by construction: the new directory is invisible
+    * until its `_SUCCESS` lands, at which point the watermark rule
+    * already excludes everything it absorbed — deletions after it are
+    * pure space reclamation and may be re-run idempotently. */
+  def compact(s: SparkSession, indexDir: String): Int = {
+    val dirs = committedDirs(s, indexDir)
+    if (dirs.length < 2) return 0
+    val names = dirs.map(d => new Path(d).getName)
+    val maxB = (names.flatMap(batchId) ++ names.flatMap(compactId)).max
+    s.read.parquet(dirs: _*)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(f"$indexDir/c$maxB%08d")
+    val fs = new Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    dirs.foreach(d => fs.delete(new Path(d), true))
+    dirs.length
   }
 
   /** The maintained index as one frame (seed plus committed appends). */

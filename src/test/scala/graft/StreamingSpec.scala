@@ -849,6 +849,24 @@ class StreamingSpec extends SparkSpec {
     // the index grew by exactly the two streamed batches
     assert(new java.io.File(idx).listFiles().count(_.isDirectory) == 3,
       "index must hold seed + one directory per micro-batch")
+    // compaction merges seed + appends into one watermarked directory
+    // without changing the index content
+    assert(IvfMonitor.compact(spark, idx) == 3, "three dirs absorbed")
+    assert(IvfMonitor.committedDirs(spark, idx).map(d =>
+      new java.io.File(d).getName) == Seq("c00000001"))
+    assert(rows(IvfMonitor.index(spark, idx)) == batch,
+      "compaction changed the index content")
+    assert(IvfMonitor.compact(spark, idx) == 0, "re-compaction is a no-op")
+    // a replayed absorbed batch re-materializing its directory is
+    // structurally excluded by the watermark rule, not double-counted
+    val replayDir = new java.io.File(idx, "b00000000")
+    replayDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(replayDir, "_SUCCESS").toPath, Array.empty[Byte])
+    assert(IvfMonitor.committedDirs(spark, idx).map(d =>
+      new java.io.File(d).getName) == Seq("c00000001"),
+      "absorbed batch id below the watermark must stay excluded")
+    assert(rows(IvfMonitor.index(spark, idx)) == batch)
   }
 
   test("streaming session windows merge by gap and close at the watermark") {

@@ -246,6 +246,21 @@ class SimilaritySpec extends SparkSpec {
     assert(dm < di, f"MMR selection not more diverse: $dm%.3f >= $di%.3f")
   }
 
+  test("MMR degrades cleanly when the shortlist is shorter than k") {
+    // 16-vector corpus: tiny per-query candidate sets, so some queries
+    // exhaust their shortlist before k picks — steps must stay a clean
+    // 1..m prefix, never padded or duplicated
+    val dir = genEmb(16)
+    val r = SparkEntry.queries("simsearch_mmr")(spark, dir).collect()
+      .map(x => (x.getAs[Long]("q_id"), x.getAs[Int]("step")))
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (q, rows) =>
+      val steps = rows.map(_._2).sorted.toSeq
+      assert(steps == (1 to steps.length) && steps.length <= 5,
+        s"query $q steps $steps not a clean 1..m prefix")
+    }
+  }
+
   test("IVF-bucketed embedding dedup recovers most brute-force pairs") {
     val brute = SparkEntry.queries("dedup_embedding_exact")(spark, sf0001)
       .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"))).toSet

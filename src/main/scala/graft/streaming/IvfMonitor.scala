@@ -36,15 +36,16 @@ object IvfMonitor {
 
   private val SeedDir = "seed"
 
-  private def batchId(n: String): Option[Long] =
-    if (n.startsWith("b") && n.length > 1 && n.drop(1).forall(_.isDigit))
-      Some(n.drop(1).toLong)
+  // ≤18 digits: inside Long range, so a stray 20-digit dir name is
+  // ignored instead of throwing NumberFormatException in every reader
+  private def idSuffix(n: String, prefix: Char): Option[Long] = {
+    val d = n.drop(1)
+    if (n.length > 1 && n.head == prefix && d.length <= 18 &&
+      d.forall(_.isDigit)) Some(d.toLong)
     else None
-
-  private def compactId(n: String): Option[Long] =
-    if (n.startsWith("c") && n.length > 1 && n.drop(1).forall(_.isDigit))
-      Some(n.drop(1).toLong)
-    else None
+  }
+  private def batchId(n: String): Option[Long] = idSuffix(n, 'b')
+  private def compactId(n: String): Option[Long] = idSuffix(n, 'c')
 
   /** Bootstrap the index from an existing (vec_id, embedding) frame — the
     * offline base-load a production pipeline runs once. `quantDir` names
@@ -87,25 +88,70 @@ object IvfMonitor {
     }.map(_.toString).sorted
   }
 
-  /** Merge the currently-adopted directories into one `c<maxBatch>`
-    * directory and reclaim the absorbed ones. Returns the number of
-    * directories absorbed (0 = nothing to do: fewer than two adopted
-    * frames). Crash-safe by construction: the new directory is invisible
-    * until its `_SUCCESS` lands, at which point the watermark rule
-    * already excludes everything it absorbed — deletions after it are
-    * pure space reclamation and may be re-run idempotently. */
+  /** Merge the watermark base (the previous `c<k>`, or the seed) plus the
+    * CONTIGUOUS run of committed appends after it into one `c<m>`
+    * directory. Returns the number of directories absorbed (0 = nothing
+    * absorbable). Absorbed directories are NOT deleted here — see
+    * [[vacuum]].
+    *
+    * Contiguity is the data-loss guard for running compact alongside a
+    * live stream: batch ids are consecutive, so a GAP in the committed
+    * appends is a batch mid-replay-rewrite (overwrite mode deletes the
+    * directory, `_SUCCESS` included, before rewriting it). Stamping a
+    * watermark past a gap would exclude that batch's rows forever without
+    * ever having read them; stopping the run at the gap means the replay
+    * lands above the watermark and is adopted normally.
+    *
+    * Crash-safe: the new directory is invisible until its `_SUCCESS`
+    * lands, at which point the adoption rule already excludes everything
+    * it absorbed; a crash before that leaves the previous generation
+    * fully intact. The write stays parallel (no coalesce) — the merge is
+    * O(index), not O(batch), and a single-file rewrite would serialize
+    * it and destroy the compacted index's read parallelism. */
   def compact(s: SparkSession, indexDir: String): Int = {
     val dirs = committedDirs(s, indexDir)
-    if (dirs.length < 2) return 0
     val names = dirs.map(d => new Path(d).getName)
-    val maxB = (names.flatMap(batchId) ++ names.flatMap(compactId)).max
-    s.read.parquet(dirs: _*)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(f"$indexDir/c$maxB%08d")
-    val fs = new Path(indexDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    dirs.foreach(d => fs.delete(new Path(d), true))
-    dirs.length
+    val wm = names.flatMap(compactId).sorted.lastOption
+    val start = wm.map(_ + 1).getOrElse(0L)
+    val run = names.flatMap(batchId).sorted.zipWithIndex
+      .takeWhile { case (b, i) => b == start + i }.map(_._1)
+    if (run.isEmpty) return 0
+    val absorbed = dirs.filter { d =>
+      val n = new Path(d).getName
+      (wm.isEmpty && n == SeedDir) || compactId(n).exists(wm.contains) ||
+        batchId(n).exists(run.contains)
+    }
+    if (absorbed.length < 2) return 0
+    s.read.parquet(absorbed: _*)
+      .write.mode("overwrite").parquet(f"$indexDir/c${run.max}%08d")
+    absorbed.length
+  }
+
+  /** Reclaim committed directories the adoption rule excludes (absorbed
+    * generations, replay-re-materialized appends below the watermark).
+    * Separate from [[compact]] so deletion can wait for a moment with no
+    * in-flight readers: a reader that listed directories BEFORE a compact
+    * still scans the old generation until its job finishes — the Delta
+    * VACUUM discipline. Directories without `_SUCCESS` are left alone
+    * (they are in-flight appends or torn writes the stream will rewrite),
+    * so vacuum never races the writer. Idempotent; returns the number of
+    * directories removed. */
+  def vacuum(s: SparkSession, indexDir: String): Int = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val adopted = committedDirs(s, indexDir).toSet
+    val garbage = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n == SeedDir || batchId(n).isDefined || compactId(n).isDefined) &&
+          fs.exists(new Path(p, "_SUCCESS")) &&
+          !adopted.contains(p.toString)
+      }
+    garbage.foreach(p => fs.delete(p, true))
+    garbage.length
   }
 
   /** The maintained index as one frame (seed plus committed appends). */
@@ -117,7 +163,14 @@ object IvfMonitor {
 
   /** Wire the maintainer over any (vec_id, embedding) stream: per trigger
     * the batch's cell assignments land under `<indexDir>/b<batchId>`.
-    * Caller starts the returned writer (and owns checkpoint location). */
+    * Caller starts the returned writer (and owns checkpoint location).
+    *
+    * CONTRACT: an index directory is bound to ONE checkpoint lineage.
+    * Batch ids come from the checkpoint; restarting the ingest with a
+    * fresh checkpoint restarts them at 0, and once a compact watermark
+    * exists those low ids would be structurally excluded as "already
+    * absorbed" — silently. A new checkpoint therefore requires a new
+    * index directory (re-[[seed]] from the compacted old one). */
   def attach(stream: DataFrame, quantDir: String,
       indexDir: String): DataStreamWriter[Row] = {
     val fn: (DataFrame, Long) => Unit = (df, id) => {

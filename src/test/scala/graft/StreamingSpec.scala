@@ -850,23 +850,50 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(idx).listFiles().count(_.isDirectory) == 3,
       "index must hold seed + one directory per micro-batch")
     // compaction merges seed + appends into one watermarked directory
-    // without changing the index content
+    // without changing the index content; absorbed dirs survive until
+    // vacuum (in-flight readers may still be scanning them)
+    def dirNames() = IvfMonitor.committedDirs(spark, idx).map(d =>
+      new java.io.File(d).getName)
     assert(IvfMonitor.compact(spark, idx) == 3, "three dirs absorbed")
-    assert(IvfMonitor.committedDirs(spark, idx).map(d =>
-      new java.io.File(d).getName) == Seq("c00000001"))
+    assert(dirNames() == Seq("c00000001"))
     assert(rows(IvfMonitor.index(spark, idx)) == batch,
       "compaction changed the index content")
     assert(IvfMonitor.compact(spark, idx) == 0, "re-compaction is a no-op")
+    assert(IvfMonitor.vacuum(spark, idx) == 3, "absorbed dirs reclaimed")
+    assert(IvfMonitor.vacuum(spark, idx) == 0, "vacuum is idempotent")
+    assert(rows(IvfMonitor.index(spark, idx)) == batch)
     // a replayed absorbed batch re-materializing its directory is
-    // structurally excluded by the watermark rule, not double-counted
+    // structurally excluded by the watermark rule, not double-counted —
+    // and vacuum reclaims it
     val replayDir = new java.io.File(idx, "b00000000")
     replayDir.mkdirs()
     java.nio.file.Files.write(
       new java.io.File(replayDir, "_SUCCESS").toPath, Array.empty[Byte])
-    assert(IvfMonitor.committedDirs(spark, idx).map(d =>
-      new java.io.File(d).getName) == Seq("c00000001"),
+    assert(dirNames() == Seq("c00000001"),
       "absorbed batch id below the watermark must stay excluded")
     assert(rows(IvfMonitor.index(spark, idx)) == batch)
+    assert(IvfMonitor.vacuum(spark, idx) == 1, "replay stub reclaimed")
+    // gap safety: a committed append with a missing predecessor (a batch
+    // mid-replay-rewrite) BLOCKS the watermark from advancing past it —
+    // compact must not stamp out rows it never read
+    def append(id: Long, lo: Int, hi: Int): Seq[(Long, Int)] = {
+      val part = graft.ops.SimilarityOps.indexAssign(spark, sf0001,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi))
+      part.coalesce(1).write.mode("overwrite")
+        .parquet(f"$idx/b$id%08d")
+      part.collect().map(r =>
+        (r.getAs[Long]("c_id"), r.getAs[Int]("cell"))).toSeq
+    }
+    val b3 = append(3L, 0, 50) // b2 "in flight": gap at id 2
+    assert(IvfMonitor.compact(spark, idx) == 0,
+      "compact must refuse to advance past a gap")
+    assert(dirNames() == Seq("b00000003", "c00000001"))
+    val b2 = append(2L, 50, 100) // the replay lands; gap closed
+    assert(IvfMonitor.compact(spark, idx) == 3, "c1 + b2 + b3 absorbed")
+    assert(dirNames() == Seq("c00000003"))
+    assert(rows(IvfMonitor.index(spark, idx)) ==
+      (batch ++ b2 ++ b3).sorted, "post-gap compact lost rows")
+    assert(IvfMonitor.vacuum(spark, idx) == 3)
   }
 
   test("streaming session windows merge by gap and close at the watermark") {

@@ -55,22 +55,16 @@ object IvfMonitor {
     SimilarityOps.indexAssign(s, quantDir, df)
       .write.mode("overwrite").parquet(s"$indexDir/$SeedDir")
 
-  /** Committed index directories under the compaction watermark rule.
-    * A compacted directory `c<k>` absorbs the seed, every `b<j>` with
-    * j ≤ k, and every older `c<k'>`; the reader adopts the HIGHEST
-    * committed `c<k>` plus the `b<j>` appends with j > k (or, with no
-    * compact yet, the seed plus all appends). The rule — not the
-    * eventual deletion of absorbed directories — is what makes
-    * compaction crash-safe and replay-safe: a crash after the compact's
-    * `_SUCCESS` but before cleanup leaves absorbed dirs on disk, and a
-    * replayed batch can re-materialize an absorbed `b<j>` — both are
-    * structurally excluded (j ≤ k), never double-counted. All adoption
-    * is `_SUCCESS`-gated (the torn-write guard). */
-  def committedDirs(s: SparkSession, indexDir: String): Seq[String] = {
-    val root = new Path(indexDir)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Seq.empty
-    val committed = fs.listStatus(root).toSeq
+  /** One listing snapshot: every recognized index directory
+    * (seed / `b<j>` / `c<k>`) that has committed (`_SUCCESS` present —
+    * the torn-write guard). All adoption and reclamation decisions must
+    * derive from ONE such snapshot; classifying against a second, later
+    * listing races the writer (a batch committing between the two would
+    * be mis-read as garbage). */
+  private def listCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter { p =>
@@ -78,6 +72,16 @@ object IvfMonitor {
         (n == SeedDir || batchId(n).isDefined || compactId(n).isDefined) &&
           fs.exists(new Path(p, "_SUCCESS"))
       }
+
+  /** The watermark adoption rule over a committed-listing snapshot: the
+    * HIGHEST committed `c<k>` plus the `b<j>` appends with j > k (or,
+    * with no compact yet, the seed plus all appends). A compacted
+    * directory absorbs the seed, every `b<j>` with j ≤ k, and every
+    * older `c<k'>` — a crash after a compact's `_SUCCESS` but before
+    * vacuum leaves absorbed dirs on disk, and a replayed batch can
+    * re-materialize an absorbed `b<j>`; both are structurally excluded
+    * here, never double-counted. */
+  private def adopt(committed: Seq[Path]): Seq[Path] = {
     val wm = committed.flatMap(p => compactId(p.getName)).sorted.lastOption
     committed.filter { p =>
       val n = p.getName
@@ -85,7 +89,14 @@ object IvfMonitor {
         case None    => compactId(n).isEmpty // seed + all appends
         case Some(k) => compactId(n).contains(k) || batchId(n).exists(_ > k)
       }
-    }.map(_.toString).sorted
+    }
+  }
+
+  /** Committed index directories under the compaction watermark rule. */
+  def committedDirs(s: SparkSession, indexDir: String): Seq[String] = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    adopt(listCommitted(fs, root)).map(_.toString).sorted
   }
 
   /** Merge the watermark base (the previous `c<k>`, or the seed) plus the
@@ -109,7 +120,9 @@ object IvfMonitor {
     * O(index), not O(batch), and a single-file rewrite would serialize
     * it and destroy the compacted index's read parallelism. */
   def compact(s: SparkSession, indexDir: String): Int = {
-    val dirs = committedDirs(s, indexDir)
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirs = adopt(listCommitted(fs, root)).map(_.toString).sorted
     val names = dirs.map(d => new Path(d).getName)
     val wm = names.flatMap(compactId).sorted.lastOption
     val start = wm.map(_ + 1).getOrElse(0L)
@@ -122,34 +135,58 @@ object IvfMonitor {
         batchId(n).exists(run.contains)
     }
     if (absorbed.length < 2) return 0
-    s.read.parquet(absorbed: _*)
+    // ignoreMissingFiles pinned OFF for the merge read: if a replay
+    // rewrite deletes an absorbed directory between the listing and the
+    // scan, the read must FAIL loudly — under ignoreMissingFiles=true it
+    // would silently contribute zero rows and the watermark would stamp
+    // out rows compact never read (the exact loss the contiguity guard
+    // exists to prevent, re-opened through the listing-to-read window)
+    s.read.option("ignoreMissingFiles", "false").parquet(absorbed: _*)
       .write.mode("overwrite").parquet(f"$indexDir/c${run.max}%08d")
+    // belt-and-braces on the same window: if any absorbed directory lost
+    // its _SUCCESS during the merge (replay began mid-read), disown the
+    // fresh compact rather than risk a silent short-read — absorbed dirs
+    // are all still present, so the next compact simply redoes the work
+    if (absorbed.exists(d => !fs.exists(new Path(d, "_SUCCESS")))) {
+      fs.delete(new Path(f"$indexDir/c${run.max}%08d"), true)
+      return 0
+    }
     absorbed.length
   }
 
-  /** Reclaim committed directories the adoption rule excludes (absorbed
-    * generations, replay-re-materialized appends below the watermark).
+  /** Reclaim directories the adoption rule excludes: absorbed
+    * generations, replay-re-materialized appends below the watermark,
+    * and torn `c<id>` dirs with id ≤ the watermark (a compact that
+    * crashed mid-write — the stream only ever rewrites `b` dirs, so
+    * nothing else would reclaim them; an in-flight compact always
+    * targets an id ABOVE the current watermark and is never touched).
     * Separate from [[compact]] so deletion can wait for a moment with no
-    * in-flight readers: a reader that listed directories BEFORE a compact
-    * still scans the old generation until its job finishes — the Delta
-    * VACUUM discipline. Directories without `_SUCCESS` are left alone
-    * (they are in-flight appends or torn writes the stream will rewrite),
-    * so vacuum never races the writer. Idempotent; returns the number of
-    * directories removed. */
+    * in-flight readers: a reader that listed directories BEFORE a
+    * compact still scans the old generation until its job finishes —
+    * the Delta VACUUM discipline. Both the adopted set and the garbage
+    * set derive from ONE listing snapshot; a second listing would race
+    * the writer (a batch committing between the two lists would read as
+    * garbage). Uncommitted `b` dirs are left alone (in-flight appends or
+    * torn writes the stream will rewrite). Idempotent; returns the
+    * number of directories removed. */
   def vacuum(s: SparkSession, indexDir: String): Int = {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
-    val adopted = committedDirs(s, indexDir).toSet
-    val garbage = fs.listStatus(root).toSeq
+    val all = fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
-        (n == SeedDir || batchId(n).isDefined || compactId(n).isDefined) &&
-          fs.exists(new Path(p, "_SUCCESS")) &&
-          !adopted.contains(p.toString)
+        n == SeedDir || batchId(n).isDefined || compactId(n).isDefined
       }
+    val committed = all.filter(p => fs.exists(new Path(p, "_SUCCESS")))
+    val adopted = adopt(committed).map(_.toString).toSet
+    val wm = committed.flatMap(p => compactId(p.getName)).sorted.lastOption
+    val staleCompact = all.filterNot(committed.contains)
+      .filter(p => compactId(p.getName).exists(id => wm.exists(id <= _)))
+    val garbage =
+      committed.filterNot(p => adopted.contains(p.toString)) ++ staleCompact
     garbage.foreach(p => fs.delete(p, true))
     garbage.length
   }

@@ -894,6 +894,16 @@ class StreamingSpec extends SparkSpec {
     assert(rows(IvfMonitor.index(spark, idx)) ==
       (batch ++ b2 ++ b3).sorted, "post-gap compact lost rows")
     assert(IvfMonitor.vacuum(spark, idx) == 3)
+    // a compact that crashed mid-write (torn c dir at/below the
+    // watermark, no _SUCCESS) is reclaimed; an in-flight compact
+    // targeting above the watermark is untouched
+    val torn = new java.io.File(idx, "c00000002"); torn.mkdirs()
+    val inflight = new java.io.File(idx, "c00000009"); inflight.mkdirs()
+    assert(IvfMonitor.vacuum(spark, idx) == 1, "torn compact reclaimed")
+    assert(!torn.exists && inflight.exists,
+      "in-flight compact above the watermark must survive vacuum")
+    inflight.delete()
+    assert(rows(IvfMonitor.index(spark, idx)) == (batch ++ b2 ++ b3).sorted)
   }
 
   test("streaming session windows merge by gap and close at the watermark") {

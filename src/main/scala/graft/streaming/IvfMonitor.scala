@@ -46,6 +46,10 @@ object IvfMonitor {
   }
   private def batchId(n: String): Option[Long] = idSuffix(n, 'b')
   private def compactId(n: String): Option[Long] = idSuffix(n, 'c')
+  // staging for an in-progress compact: never adopted (readers gate on
+  // compactId), reclaimed unconditionally by vacuum (maintenance ops are
+  // serialized — see the compact scaladoc)
+  private def stagingId(n: String): Option[Long] = idSuffix(n, 't')
 
   /** Bootstrap the index from an existing (vec_id, embedding) frame — the
     * offline base-load a production pipeline runs once. `quantDir` names
@@ -113,16 +117,35 @@ object IvfMonitor {
     * ever having read them; stopping the run at the gap means the replay
     * lands above the watermark and is adopted normally.
     *
-    * Crash-safe: the new directory is invisible until its `_SUCCESS`
-    * lands, at which point the adoption rule already excludes everything
-    * it absorbed; a crash before that leaves the previous generation
-    * fully intact. The write stays parallel (no coalesce) — the merge is
-    * O(index), not O(batch), and a single-file rewrite would serialize
-    * it and destroy the compacted index's read parallelism. */
+    * Verify-before-publish: the merge reads an explicit FILE MANIFEST
+    * snapshotted at listing time (not directory paths), writes to an
+    * unadoptable `t<m>` staging directory, re-verifies the absorbed
+    * generation is still committed, and only then renames to `c<m>`.
+    * Each piece closes a specific race with a live stream:
+    *  - manifest read: a replay rewrite deletes and re-creates an
+    *    absorbed directory's files; a directory-path read of the
+    *    recreated-but-empty dir would silently contribute ZERO rows
+    *    (nothing listed, so even `ignoreMissingFiles=false` cannot
+    *    fire) and the watermark would stamp those rows out forever.
+    *    Reading the snapshotted file paths makes any such race fail
+    *    LOUDLY (missing explicit path) — rerun compact.
+    *  - staging + rename: verification after a direct `c<m>` write is
+    *    not crash-atomic (the write's job commit already published it)
+    *    and deleting a published compact races readers that adopted
+    *    it. Nothing under `t<m>` is ever adopted, so a crash at any
+    *    point before the rename leaves only reclaimable staging.
+    * compact and vacuum are MAINTENANCE operations, serialized by the
+    * operator (one at a time); only the ingest stream is safe to run
+    * concurrently. On stores without atomic directory rename the
+    * `_SUCCESS` gate still protects adoption only if that marker lands
+    * last; production object-store deployments should publish via a
+    * manifest commit instead (the `_spark_metadata` discipline).
+    * The write stays parallel (no coalesce) — the merge is O(index),
+    * not O(batch). */
   def compact(s: SparkSession, indexDir: String): Int = {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dirs = adopt(listCommitted(fs, root)).map(_.toString).sorted
+    val dirs = committedDirs(s, indexDir)
     val names = dirs.map(d => new Path(d).getName)
     val wm = names.flatMap(compactId).sorted.lastOption
     val start = wm.map(_ + 1).getOrElse(0L)
@@ -135,20 +158,21 @@ object IvfMonitor {
         batchId(n).exists(run.contains)
     }
     if (absorbed.length < 2) return 0
-    // ignoreMissingFiles pinned OFF for the merge read: if a replay
-    // rewrite deletes an absorbed directory between the listing and the
-    // scan, the read must FAIL loudly — under ignoreMissingFiles=true it
-    // would silently contribute zero rows and the watermark would stamp
-    // out rows compact never read (the exact loss the contiguity guard
-    // exists to prevent, re-opened through the listing-to-read window)
-    s.read.option("ignoreMissingFiles", "false").parquet(absorbed: _*)
-      .write.mode("overwrite").parquet(f"$indexDir/c${run.max}%08d")
-    // belt-and-braces on the same window: if any absorbed directory lost
-    // its _SUCCESS during the merge (replay began mid-read), disown the
-    // fresh compact rather than risk a silent short-read — absorbed dirs
-    // are all still present, so the next compact simply redoes the work
-    if (absorbed.exists(d => !fs.exists(new Path(d, "_SUCCESS")))) {
-      fs.delete(new Path(f"$indexDir/c${run.max}%08d"), true)
+    val manifest = absorbed.flatMap(d => fs.listStatus(new Path(d)).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.toString))
+    if (manifest.isEmpty) return 0
+    val staging = new Path(f"$indexDir/t${run.max}%08d")
+    fs.delete(staging, true) // stale staging from a crashed attempt
+    s.read.option("ignoreMissingFiles", "false").parquet(manifest: _*)
+      .write.mode("overwrite").parquet(staging.toString)
+    // re-verify before publishing; afterwards would not be crash-atomic
+    if (absorbed.exists(d => !fs.exists(new Path(d, "_SUCCESS"))) ||
+        !fs.rename(staging, new Path(f"$indexDir/c${run.max}%08d"))) {
+      fs.delete(staging, true)
       return 0
     }
     absorbed.length
@@ -178,15 +202,21 @@ object IvfMonitor {
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
-        n == SeedDir || batchId(n).isDefined || compactId(n).isDefined
+        n == SeedDir || batchId(n).isDefined || compactId(n).isDefined ||
+          stagingId(n).isDefined
       }
-    val committed = all.filter(p => fs.exists(new Path(p, "_SUCCESS")))
+    val committed = all.filter(p => stagingId(p.getName).isEmpty &&
+      fs.exists(new Path(p, "_SUCCESS")))
     val adopted = adopt(committed).map(_.toString).toSet
     val wm = committed.flatMap(p => compactId(p.getName)).sorted.lastOption
     val staleCompact = all.filterNot(committed.contains)
       .filter(p => compactId(p.getName).exists(id => wm.exists(id <= _)))
-    val garbage =
-      committed.filterNot(p => adopted.contains(p.toString)) ++ staleCompact
+    // staging dirs are only live inside an active compact call, and
+    // maintenance ops are serialized — any staging vacuum can see is a
+    // crashed attempt
+    val staleStaging = all.filter(p => stagingId(p.getName).isDefined)
+    val garbage = committed.filterNot(p => adopted.contains(p.toString)) ++
+      staleCompact ++ staleStaging
     garbage.foreach(p => fs.delete(p, true))
     garbage.length
   }

@@ -899,8 +899,10 @@ class StreamingSpec extends SparkSpec {
     // targeting above the watermark is untouched
     val torn = new java.io.File(idx, "c00000002"); torn.mkdirs()
     val inflight = new java.io.File(idx, "c00000009"); inflight.mkdirs()
-    assert(IvfMonitor.vacuum(spark, idx) == 1, "torn compact reclaimed")
-    assert(!torn.exists && inflight.exists,
+    val staging = new java.io.File(idx, "t00000005"); staging.mkdirs()
+    assert(IvfMonitor.vacuum(spark, idx) == 2,
+      "torn compact + crashed staging reclaimed")
+    assert(!torn.exists && !staging.exists && inflight.exists,
       "in-flight compact above the watermark must survive vacuum")
     inflight.delete()
     assert(rows(IvfMonitor.index(spark, idx)) == (batch ++ b2 ++ b3).sorted)

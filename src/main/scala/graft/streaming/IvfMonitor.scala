@@ -127,8 +127,13 @@ object IvfMonitor {
     *    recreated-but-empty dir would silently contribute ZERO rows
     *    (nothing listed, so even `ignoreMissingFiles=false` cannot
     *    fire) and the watermark would stamp those rows out forever.
-    *    Reading the snapshotted file paths makes any such race fail
-    *    LOUDLY (missing explicit path) — rerun compact.
+    *    Reading the snapshotted file paths makes a bare delete fail
+    *    LOUDLY (missing explicit path — compact may also throw
+    *    FileNotFoundException listing a racing dir; rerun it), and a
+    *    full delete+rewrite+recommit is caught by the `_SUCCESS`
+    *    MODIFICATION-TIME brackets around both the manifest listing
+    *    and the merge: existence alone cannot distinguish a restored
+    *    marker from the snapshotted one.
     *  - staging + rename: verification after a direct `c<m>` write is
     *    not crash-atomic (the write's job commit already published it)
     *    and deleting a published compact races readers that adopted
@@ -158,32 +163,55 @@ object IvfMonitor {
         batchId(n).exists(run.contains)
     }
     if (absorbed.length < 2) return 0
+    // _SUCCESS identity, not mere existence, is the generation witness:
+    // a replay that deletes, rewrites, and re-commits an absorbed dir
+    // entirely inside one of the race windows below restores an
+    // EXISTING _SUCCESS with a NEW modification time. Capture the
+    // identity before the manifest listing; any later mismatch means
+    // the listed file set may not be the committed set — abort (absorbed
+    // dirs are untouched, so the next compact simply redoes the work).
+    def successStamp(d: String): Option[Long] =
+      try Some(fs.getFileStatus(new Path(d, "_SUCCESS"))
+        .getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    val stamps = absorbed.map(d => d -> successStamp(d)).toMap
+    if (stamps.values.exists(_.isEmpty)) return 0
     val manifest = absorbed.flatMap(d => fs.listStatus(new Path(d)).toSeq
       .filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
       .map(_.getPath.toString))
-    if (manifest.isEmpty) return 0
+    def generationMoved: Boolean =
+      absorbed.exists(d => successStamp(d) != stamps(d))
+    // bracket the manifest listing: a stamp unchanged across it proves
+    // no delete+recommit interleaved, so the listed files ARE the
+    // committed generation (a bare delete after this fails the explicit-
+    // path merge read loudly instead)
+    if (manifest.isEmpty || generationMoved) return 0
     val staging = new Path(f"$indexDir/t${run.max}%08d")
-    fs.delete(staging, true) // stale staging from a crashed attempt
     s.read.option("ignoreMissingFiles", "false").parquet(manifest: _*)
-      .write.mode("overwrite").parquet(staging.toString)
-    // re-verify before publishing; afterwards would not be crash-atomic
-    if (absorbed.exists(d => !fs.exists(new Path(d, "_SUCCESS"))) ||
-        !fs.rename(staging, new Path(f"$indexDir/c${run.max}%08d"))) {
-      fs.delete(staging, true)
-      return 0
-    }
+      .write.mode("overwrite").parquet(staging.toString) // clears stale staging
+    // re-verify before publishing; afterwards would not be crash-atomic.
+    // The rename destination can only be a TORN c<m> (a committed one
+    // would itself be the watermark, contradicting run.max > wm) — left
+    // over from an old-version crash or partial rename; clear it, or
+    // Hadoop rename would move staging INSIDE it and report success.
+    val dest = new Path(f"$indexDir/c${run.max}%08d")
+    if (generationMoved) { fs.delete(staging, true); return 0 }
+    fs.delete(dest, true)
+    if (!fs.rename(staging, dest)) { fs.delete(staging, true); return 0 }
     absorbed.length
   }
 
   /** Reclaim directories the adoption rule excludes: absorbed
     * generations, replay-re-materialized appends below the watermark,
-    * and torn `c<id>` dirs with id ≤ the watermark (a compact that
-    * crashed mid-write — the stream only ever rewrites `b` dirs, so
-    * nothing else would reclaim them; an in-flight compact always
-    * targets an id ABOVE the current watermark and is never touched).
+    * crashed staging, and every uncommitted `c<id>` dir (since the
+    * staged-rename protocol no uncommitted `c` dir is ever live — an
+    * in-flight compact works under `t<id>` and `c<id>` appears only by
+    * renaming a verified staging dir; an uncommitted `c` is an
+    * old-version crash or a partial object-store rename, and leaving it
+    * would wedge a future compact whose run reaches that id).
     * Separate from [[compact]] so deletion can wait for a moment with no
     * in-flight readers: a reader that listed directories BEFORE a
     * compact still scans the old generation until its job finishes —
@@ -208,9 +236,8 @@ object IvfMonitor {
     val committed = all.filter(p => stagingId(p.getName).isEmpty &&
       fs.exists(new Path(p, "_SUCCESS")))
     val adopted = adopt(committed).map(_.toString).toSet
-    val wm = committed.flatMap(p => compactId(p.getName)).sorted.lastOption
     val staleCompact = all.filterNot(committed.contains)
-      .filter(p => compactId(p.getName).exists(id => wm.exists(id <= _)))
+      .filter(p => compactId(p.getName).isDefined)
     // staging dirs are only live inside an active compact call, and
     // maintenance ops are serialized — any staging vacuum can see is a
     // crashed attempt

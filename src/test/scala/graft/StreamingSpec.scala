@@ -894,17 +894,16 @@ class StreamingSpec extends SparkSpec {
     assert(rows(IvfMonitor.index(spark, idx)) ==
       (batch ++ b2 ++ b3).sorted, "post-gap compact lost rows")
     assert(IvfMonitor.vacuum(spark, idx) == 3)
-    // a compact that crashed mid-write (torn c dir at/below the
-    // watermark, no _SUCCESS) is reclaimed; an in-flight compact
-    // targeting above the watermark is untouched
+    // every uncommitted c dir (old-version crash / partial rename) and
+    // crashed staging is reclaimed — under the staged-rename protocol
+    // no uncommitted c dir is ever live, and leaving one would wedge a
+    // future compact whose run reaches that id
     val torn = new java.io.File(idx, "c00000002"); torn.mkdirs()
-    val inflight = new java.io.File(idx, "c00000009"); inflight.mkdirs()
+    val torn2 = new java.io.File(idx, "c00000009"); torn2.mkdirs()
     val staging = new java.io.File(idx, "t00000005"); staging.mkdirs()
-    assert(IvfMonitor.vacuum(spark, idx) == 2,
-      "torn compact + crashed staging reclaimed")
-    assert(!torn.exists && !staging.exists && inflight.exists,
-      "in-flight compact above the watermark must survive vacuum")
-    inflight.delete()
+    assert(IvfMonitor.vacuum(spark, idx) == 3,
+      "torn compacts + crashed staging reclaimed")
+    assert(!torn.exists && !torn2.exists && !staging.exists)
     assert(rows(IvfMonitor.index(spark, idx)) == (batch ++ b2 ++ b3).sorted)
   }
 

@@ -131,9 +131,14 @@ object IvfMonitor {
     *    LOUDLY (missing explicit path — compact may also throw
     *    FileNotFoundException listing a racing dir; rerun it), and a
     *    full delete+rewrite+recommit is caught by the `_SUCCESS`
-    *    MODIFICATION-TIME brackets around both the manifest listing
-    *    and the merge: existence alone cannot distinguish a restored
-    *    marker from the snapshotted one.
+    *    MODIFICATION-TIME brackets around the manifest listing and the
+    *    merge: existence alone cannot distinguish a restored marker
+    *    from the snapshotted one. The brackets shrink the unguarded
+    *    window to the final check→rename instants; a recommit landing
+    *    exactly there is covered only by the replay-determinism
+    *    contract (a replayed batch rewrites identical bytes — the
+    *    monitors' documented overwrite-idempotence), as any
+    *    check-then-rename protocol on a plain filesystem must be.
     *  - staging + rename: verification after a direct `c<m>` write is
     *    not crash-atomic (the write's job commit already published it)
     *    and deleting a published compact races readers that adopted
@@ -209,9 +214,10 @@ object IvfMonitor {
     * crashed staging, and every uncommitted `c<id>` dir (since the
     * staged-rename protocol no uncommitted `c` dir is ever live — an
     * in-flight compact works under `t<id>` and `c<id>` appears only by
-    * renaming a verified staging dir; an uncommitted `c` is an
-    * old-version crash or a partial object-store rename, and leaving it
-    * would wedge a future compact whose run reaches that id).
+    * renaming a verified staging dir; an uncommitted `c` is inert
+    * garbage from an old-version crash or a partial object-store
+    * rename — compact itself clears a torn destination before
+    * renaming, so this reclaim is hygiene, not wedge prevention).
     * Separate from [[compact]] so deletion can wait for a moment with no
     * in-flight readers: a reader that listed directories BEFORE a
     * compact still scans the old generation until its job finishes —

@@ -889,6 +889,11 @@ class StreamingSpec extends SparkSpec {
       "compact must refuse to advance past a gap")
     assert(dirNames() == Seq("b00000003", "c00000001"))
     val b2 = append(2L, 50, 100) // the replay lands; gap closed
+    // a torn destination (old-version crash at exactly this id) must be
+    // cleared before the publish rename — otherwise Hadoop rename moves
+    // the staging dir INSIDE it and reports success while publishing
+    // nothing adoptable
+    new java.io.File(idx, "c00000003").mkdirs()
     assert(IvfMonitor.compact(spark, idx) == 3, "c1 + b2 + b3 absorbed")
     assert(dirNames() == Seq("c00000003"))
     assert(rows(IvfMonitor.index(spark, idx)) ==
@@ -896,8 +901,8 @@ class StreamingSpec extends SparkSpec {
     assert(IvfMonitor.vacuum(spark, idx) == 3)
     // every uncommitted c dir (old-version crash / partial rename) and
     // crashed staging is reclaimed — under the staged-rename protocol
-    // no uncommitted c dir is ever live, and leaving one would wedge a
-    // future compact whose run reaches that id
+    // no uncommitted c dir is ever live (compact clears its own torn
+    // destination, so this is hygiene, not wedge prevention)
     val torn = new java.io.File(idx, "c00000002"); torn.mkdirs()
     val torn2 = new java.io.File(idx, "c00000009"); torn2.mkdirs()
     val staging = new java.io.File(idx, "t00000005"); staging.mkdirs()

@@ -849,17 +849,18 @@ class StreamingSpec extends SparkSpec {
     // the index grew by exactly the two streamed batches
     assert(new java.io.File(idx).listFiles().count(_.isDirectory) == 3,
       "index must hold seed + one directory per micro-batch")
-    // compaction merges seed + appends into one watermarked directory
-    // without changing the index content; absorbed dirs survive until
-    // vacuum (in-flight readers may still be scanning them)
+    // compaction absorbs only batches STRICTLY BELOW the highest
+    // committed append (b<max> may still replay; everything below it is
+    // checkpoint-committed): seed + b0 merge, b1 stays live. Absorbed
+    // dirs survive until vacuum (in-flight readers may be scanning them)
     def dirNames() = IvfMonitor.committedDirs(spark, idx).map(d =>
       new java.io.File(d).getName)
-    assert(IvfMonitor.compact(spark, idx) == 3, "three dirs absorbed")
-    assert(dirNames() == Seq("c00000001"))
+    assert(IvfMonitor.compact(spark, idx) == 2, "seed + b0 absorbed")
+    assert(dirNames() == Seq("b00000001", "c00000000"))
     assert(rows(IvfMonitor.index(spark, idx)) == batch,
       "compaction changed the index content")
     assert(IvfMonitor.compact(spark, idx) == 0, "re-compaction is a no-op")
-    assert(IvfMonitor.vacuum(spark, idx) == 3, "absorbed dirs reclaimed")
+    assert(IvfMonitor.vacuum(spark, idx) == 2, "absorbed dirs reclaimed")
     assert(IvfMonitor.vacuum(spark, idx) == 0, "vacuum is idempotent")
     assert(rows(IvfMonitor.index(spark, idx)) == batch)
     // a replayed absorbed batch re-materializing its directory is
@@ -869,13 +870,14 @@ class StreamingSpec extends SparkSpec {
     replayDir.mkdirs()
     java.nio.file.Files.write(
       new java.io.File(replayDir, "_SUCCESS").toPath, Array.empty[Byte])
-    assert(dirNames() == Seq("c00000001"),
+    assert(dirNames() == Seq("b00000001", "c00000000"),
       "absorbed batch id below the watermark must stay excluded")
     assert(rows(IvfMonitor.index(spark, idx)) == batch)
     assert(IvfMonitor.vacuum(spark, idx) == 1, "replay stub reclaimed")
     // gap safety: a committed append with a missing predecessor (a batch
     // mid-replay-rewrite) BLOCKS the watermark from advancing past it —
-    // compact must not stamp out rows it never read
+    // compact absorbs up to the gap but never stamps out rows it
+    // never read
     def append(id: Long, lo: Int, hi: Int): Seq[(Long, Int)] = {
       val part = graft.ops.SimilarityOps.indexAssign(spark, sf0001,
         emb.filter(col("vec_id") >= lo && col("vec_id") < hi))
@@ -885,25 +887,26 @@ class StreamingSpec extends SparkSpec {
         (r.getAs[Long]("c_id"), r.getAs[Int]("cell"))).toSeq
     }
     val b3 = append(3L, 0, 50) // b2 "in flight": gap at id 2
-    assert(IvfMonitor.compact(spark, idx) == 0,
-      "compact must refuse to advance past a gap")
+    assert(IvfMonitor.compact(spark, idx) == 2,
+      "c0 + b1 absorb below the gap; b3 must stay out")
     assert(dirNames() == Seq("b00000003", "c00000001"))
     val b2 = append(2L, 50, 100) // the replay lands; gap closed
     // a torn destination (old-version crash at exactly this id) must be
     // cleared before the publish rename — otherwise Hadoop rename moves
     // the staging dir INSIDE it and reports success while publishing
     // nothing adoptable
-    new java.io.File(idx, "c00000003").mkdirs()
-    assert(IvfMonitor.compact(spark, idx) == 3, "c1 + b2 + b3 absorbed")
-    assert(dirNames() == Seq("c00000003"))
+    new java.io.File(idx, "c00000002").mkdirs()
+    assert(IvfMonitor.compact(spark, idx) == 2,
+      "c1 + b2 absorbed; b3 is the replayable latest and stays live")
+    assert(dirNames() == Seq("b00000003", "c00000002"))
     assert(rows(IvfMonitor.index(spark, idx)) ==
       (batch ++ b2 ++ b3).sorted, "post-gap compact lost rows")
-    assert(IvfMonitor.vacuum(spark, idx) == 3)
+    assert(IvfMonitor.vacuum(spark, idx) == 4) // c0, b1, c1, b2
     // every uncommitted c dir (old-version crash / partial rename) and
     // crashed staging is reclaimed — under the staged-rename protocol
     // no uncommitted c dir is ever live (compact clears its own torn
     // destination, so this is hygiene, not wedge prevention)
-    val torn = new java.io.File(idx, "c00000002"); torn.mkdirs()
+    val torn = new java.io.File(idx, "c00000004"); torn.mkdirs()
     val torn2 = new java.io.File(idx, "c00000009"); torn2.mkdirs()
     val staging = new java.io.File(idx, "t00000005"); staging.mkdirs()
     assert(IvfMonitor.vacuum(spark, idx) == 3,

@@ -23,7 +23,10 @@ import graft.ops.DedupOps
   * is |batch| hashing plus one band equi-join whose index side is a
   * bucketable indexed read — the 100 TB ingestion shape (at real scale
   * the index directory is a table bucketed by band hash, making the join
-  * shuffle-free on the index side; here it is a plain parquet tree).
+  * shuffle-free on the index side). The per-batch directories are
+  * periodically merged and reclaimed via the shared [[DirIndex]] protocol
+  * ([[compact]]/[[vacuum]]), so the index read stays one or two frames
+  * instead of one per trigger.
   *
   * Exactly-once: the index append and the verdict output are both
   * per-batch directories written with overwrite mode, so a replayed batch
@@ -43,36 +46,54 @@ import graft.ops.DedupOps
   */
 object MinhashMonitor {
 
-  private val SeedDir = "seed"
-
   /** Bootstrap the index from an existing corpus (the offline base-load a
     * production pipeline runs once): writes its (doc_id, sig) frame under
     * `<indexDir>/seed`. */
   def seed(df: DataFrame, idCol: String, textCol: String,
       indexDir: String): Unit =
     DedupOps.minhashSigs(df, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$indexDir/$SeedDir")
+      .write.mode("overwrite").parquet(s"$indexDir/${DirIndex.SeedDir}")
 
-  /** Committed index directories visible to batch `batchId`: the seed and
-    * every `b<k>` with k < batchId that finished its write (`_SUCCESS`).
-    * The strict bound keeps a replayed batch from seeing its own torn or
-    * completed append. */
+  /** Merge absorbable generations into one watermarked directory —
+    * [[DirIndex.compact]]. Safe alongside the live verdict stream:
+    * compact absorbs only batches strictly below the highest committed
+    * append, i.e. only checkpoint-committed batches, so the replayable
+    * batch always sits ABOVE any watermark and the bounded adoption
+    * below never hands a batch an index containing its own signatures. */
+  def compact(s: SparkSession, indexDir: String): Int =
+    DirIndex.compact(s, indexDir)
+
+  /** Reclaim excluded directories — [[DirIndex.vacuum]]. */
+  def vacuum(s: SparkSession, indexDir: String): Int =
+    DirIndex.vacuum(s, indexDir)
+
+  /** Committed index directories visible to batch `batchId` under
+    * [[DirIndex]]'s watermark rule, REPLAY-BOUNDED: the verdict batch
+    * must see the index strictly as of earlier batches (a replayed batch
+    * must never see its own signatures), so only `b<j>` with j < batchId
+    * are adopted, and a compact watermark at or past batchId — possible
+    * only under the one-checkpoint-lineage contract being broken — is a
+    * loud failure instead of a silently self-matching batch. */
   private def committedDirs(s: SparkSession, indexDir: String,
       batchId: Long): Seq[String] = {
-    val root = new Path(indexDir)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        val inRange = n == SeedDir ||
-          (n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toLong < batchId)
-        inRange && fs.exists(new Path(p, "_SUCCESS"))
+    val committed =
+      DirIndex.listCommitted(DirIndex.fs(s, indexDir), new Path(indexDir))
+    val wm = committed.flatMap(p => DirIndex.compactId(p.getName))
+      .sorted.lastOption
+    wm.foreach(k => require(k < batchId,
+      s"index compacted through batch $k but batch $batchId is " +
+        "(re)playing — compaction crossed the replay horizon " +
+        "(index directory reused across checkpoint lineages?)"))
+    committed.filter { p =>
+      val n = p.getName
+      wm match {
+        case None => DirIndex.compactId(n).isEmpty &&
+          (n == DirIndex.SeedDir ||
+            DirIndex.batchId(n).exists(_ < batchId))
+        case Some(k) => DirIndex.compactId(n).contains(k) ||
+          DirIndex.batchId(n).exists(j => j > k && j < batchId)
       }
-      .map(_.toString).sorted
+    }.map(_.toString).sorted
   }
 
   /** One micro-batch: verdicts for `batch` against the index as of the
@@ -89,7 +110,7 @@ object MinhashMonitor {
       else s.read.parquet(dirs: _*)
     val verdicts = DedupOps.incrVerdicts(sigs, index).localCheckpoint()
     sigs.coalesce(1).write.mode("overwrite")
-      .parquet(f"$indexDir/b$batchId%08d")
+      .parquet(DirIndex.appendPath(indexDir, batchId))
     verdicts
   }
 

@@ -787,20 +787,35 @@ class StreamingSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-mhdedup-feed").toString
     val idx = Files.createTempDirectory("graft-mhdedup-idx").toString
     val out = Files.createTempDirectory("graft-mhdedup-out").toString
-    // seed = the batch op's base side; stream = its delta in two
-    // ascending-id micro-batches (the DedupMonitor replay contract)
-    MinhashMonitor.seed(docs.filter(col("doc_id") % 10 < mod),
-      "doc_id", "text", idx)
-    val split = 200000L // batch 1: original delta ids; batch 2: +200009 copies
+    // seed = the batch op's base side; stream = its delta in three
+    // ascending-id micro-batches (the DedupMonitor replay contract).
+    // Two monitors share the feed: A is compacted mid-stream, B never —
+    // their verdicts must be identical (and equal the batch op), proving
+    // a verdict batch reads a compacted generation transparently.
+    val idxB = Files.createTempDirectory("graft-mhdedup-idxB").toString
+    val outB = Files.createTempDirectory("graft-mhdedup-outB").toString
+    for (i <- Seq(idx, idxB))
+      MinhashMonitor.seed(docs.filter(col("doc_id") % 10 < mod),
+        "doc_id", "text", i)
+    val split = 200000L  // batch 1: original delta ids; 2 and 3: +200009 copies
+    val split2 = 200300L
     delta.filter(col("doc_id") <= split).write.parquet(s"$dir/b1")
     val feed = spark.readStream
       .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
     val q = MinhashMonitor.attach(feed, "doc_id", "text", idx, out).start()
+    val qB = MinhashMonitor.attach(feed, "doc_id", "text", idxB, outB).start()
     try {
-      q.processAllAvailable()
-      delta.filter(col("doc_id") > split).coalesce(1).write.parquet(s"$dir/b2")
-      q.processAllAvailable()
-    } finally q.stop()
+      q.processAllAvailable(); qB.processAllAvailable()
+      delta.filter(col("doc_id") > split && col("doc_id") <= split2)
+        .coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable(); qB.processAllAvailable()
+      // compact A between batches: absorbs seed + b0 (strictly below the
+      // highest committed append), so batch 2's verdict join reads the
+      // compacted c0 generation plus the live b1 append
+      assert(MinhashMonitor.compact(spark, idx) == 2, "seed + b0 absorbed")
+      delta.filter(col("doc_id") > split2).coalesce(1).write.parquet(s"$dir/b3")
+      q.processAllAvailable(); qB.processAllAvailable()
+    } finally { q.stop(); qB.stop() }
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
         r.getAs[Double]("est_sim"))).toSet
@@ -808,17 +823,23 @@ class StreamingSpec extends SparkSpec {
     val batch = rows(SparkEntry.queries("dedup_incremental")(spark, aug))
     assert(streamed == batch,
       s"stream-over-batches diverged: ${streamed.size} vs ${batch.size} verdicts")
+    assert(rows(spark.read.parquet(s"$outB/b*")) == streamed,
+      "compacted-index verdicts diverged from the uncompacted twin")
     // both planted paths actually fired
     val baseIds = docs.filter(col("doc_id") % 10 < mod)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamed.exists(v => baseIds(v._2)),
       "no verdict resolved against the seeded base index")
-    val b2 = rows(spark.read.parquet(f"$out/b${1}%08d"))
-    assert(b2.exists(v => !baseIds(v._2) && v._2 <= split),
-      "no batch-2 verdict matched a batch-1 delta doc via the index append")
-    // the index grew by exactly the two streamed batches
+    val lastB = rows(spark.read.parquet(f"$out/b${2}%08d"))
+    assert(lastB.exists(v => !baseIds(v._2) && v._2 <= split),
+      "batch-3 verdicts must match batch-1 delta docs THROUGH the " +
+        "compacted generation")
+    // A: seed+b0 absorbed but on disk until vacuum; B grew by its batches
+    assert(MinhashMonitor.vacuum(spark, idx) == 2, "absorbed dirs reclaimed")
     assert(new java.io.File(idx).listFiles().count(_.isDirectory) == 3,
-      "index must hold seed + one directory per micro-batch")
+      "compacted index must hold c0 + the two live appends")
+    assert(new java.io.File(idxB).listFiles().count(_.isDirectory) == 4,
+      "uncompacted index must hold seed + one directory per micro-batch")
   }
 
   test("streaming IVF index maintenance equals the batch assignment") {

@@ -80,14 +80,28 @@ private[streaming] object DirIndex {
           fs.exists(new Path(p, "_SUCCESS"))
       }
 
-  /** The watermark adoption rule over a committed-listing snapshot. */
-  def adopt(committed: Seq[Path]): Seq[Path] = {
+  /** The watermark adoption rule over a committed-listing snapshot.
+    * `below` bounds adoption for replay-sensitive readers (a verdict
+    * batch must see the index strictly as of earlier batches): only
+    * appends with id < below are adopted, and a watermark at/past the
+    * bound — impossible in one checkpoint lineage, since a `c<k>`
+    * requires a committed append above k, which requires batch k
+    * committed — fails loudly instead of handing a replayed batch an
+    * index containing its own rows. */
+  def adopt(committed: Seq[Path],
+      below: Option[Long] = None): Seq[Path] = {
     val wm = committed.flatMap(p => compactId(p.getName)).sorted.lastOption
+    for (k <- wm; b <- below) require(k < b,
+      s"index compacted through batch $k but batch $b is (re)playing — " +
+        "compaction crossed the replay horizon (index directory reused " +
+        "across checkpoint lineages?)")
+    def inBound(j: Long): Boolean = below.forall(j < _)
     committed.filter { p =>
       val n = p.getName
       wm match {
-        case None    => compactId(n).isEmpty // seed + all appends
-        case Some(k) => compactId(n).contains(k) || batchId(n).exists(_ > k)
+        case None    => n == SeedDir || batchId(n).exists(inBound)
+        case Some(k) => compactId(n).contains(k) ||
+          batchId(n).exists(j => j > k && inBound(j))
       }
     }
   }

@@ -63,38 +63,23 @@ object MinhashMonitor {
   def compact(s: SparkSession, indexDir: String): Int =
     DirIndex.compact(s, indexDir)
 
-  /** Reclaim excluded directories — [[DirIndex.vacuum]]. */
+  /** Reclaim excluded directories — [[DirIndex.vacuum]]. Unlike
+    * [[compact]], this is NOT safe alongside the live verdict stream:
+    * every trigger is an in-flight reader of the index (processBatch's
+    * lazy read materializes inside the band join), so run vacuum only
+    * with the stream stopped, or between triggers the caller controls. */
   def vacuum(s: SparkSession, indexDir: String): Int =
     DirIndex.vacuum(s, indexDir)
 
   /** Committed index directories visible to batch `batchId` under
-    * [[DirIndex]]'s watermark rule, REPLAY-BOUNDED: the verdict batch
-    * must see the index strictly as of earlier batches (a replayed batch
-    * must never see its own signatures), so only `b<j>` with j < batchId
-    * are adopted, and a compact watermark at or past batchId — possible
-    * only under the one-checkpoint-lineage contract being broken — is a
-    * loud failure instead of a silently self-matching batch. */
+    * [[DirIndex]]'s watermark rule, REPLAY-BOUNDED via `below`: the
+    * verdict batch must see the index strictly as of earlier batches (a
+    * replayed batch must never see its own signatures). */
   private def committedDirs(s: SparkSession, indexDir: String,
-      batchId: Long): Seq[String] = {
-    val committed =
-      DirIndex.listCommitted(DirIndex.fs(s, indexDir), new Path(indexDir))
-    val wm = committed.flatMap(p => DirIndex.compactId(p.getName))
-      .sorted.lastOption
-    wm.foreach(k => require(k < batchId,
-      s"index compacted through batch $k but batch $batchId is " +
-        "(re)playing — compaction crossed the replay horizon " +
-        "(index directory reused across checkpoint lineages?)"))
-    committed.filter { p =>
-      val n = p.getName
-      wm match {
-        case None => DirIndex.compactId(n).isEmpty &&
-          (n == DirIndex.SeedDir ||
-            DirIndex.batchId(n).exists(_ < batchId))
-        case Some(k) => DirIndex.compactId(n).contains(k) ||
-          DirIndex.batchId(n).exists(j => j > k && j < batchId)
-      }
-    }.map(_.toString).sorted
-  }
+      batchId: Long): Seq[String] =
+    DirIndex.adopt(
+      DirIndex.listCommitted(DirIndex.fs(s, indexDir), new Path(indexDir)),
+      below = Some(batchId)).map(_.toString).sorted
 
   /** One micro-batch: verdicts for `batch` against the index as of the
     * previous batch, with the batch's signatures appended afterwards.

@@ -775,10 +775,22 @@ class StreamingSpec extends SparkSpec {
     //    index-append path.
     val aug = Files.createTempDirectory("graft-mhdedup-corpus").toString
     val docs0 = Tables(spark, sf0001, "documents")
+    // the fresh-pair docs (ids 200258/400258, both %10=8 → delta) share a
+    // unique text that exists NOWHERE else: 200258 streams in batch 2 and
+    // 400258 in batch 3, so resolving that pair REQUIRES the live
+    // post-watermark append — the adoption branch a compacted generation
+    // alone cannot cover
+    import spark.implicits._
+    val freshPair = Seq(200258L, 400258L)
+      .toDF("doc_id")
+      .withColumn("text", lit(("zqxjkv " * 40).trim))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
     docs0.unionByName(docs0.filter(col("doc_id") % 10 <= 1)
         .withColumn("doc_id", col("doc_id") + lit(100008L)))
       .unionByName(docs0.filter(col("doc_id") % 10 === 9)
         .withColumn("doc_id", col("doc_id") + lit(200009L)))
+      .unionByName(freshPair.select(docs0.columns.map(col): _*))
       .coalesce(1).write.parquet(s"$aug/documents.parquet")
     val docs = spark.read.parquet(s"$aug/documents.parquet")
       .select("doc_id", "text")
@@ -834,6 +846,12 @@ class StreamingSpec extends SparkSpec {
     assert(lastB.exists(v => !baseIds(v._2) && v._2 <= split),
       "batch-3 verdicts must match batch-1 delta docs THROUGH the " +
         "compacted generation")
+    // the fresh pair's only match lives in the LIVE post-watermark
+    // append (batch-2's 200258 is in neither the seed nor c0): dropping
+    // the appends-above-watermark adoption branch would lose exactly
+    // this verdict
+    assert(lastB.exists(v => v._1 == 400258L && v._2 == 200258L),
+      "batch-3 verdict must resolve against the live post-watermark append")
     // A: seed+b0 absorbed but on disk until vacuum; B grew by its batches
     assert(MinhashMonitor.vacuum(spark, idx) == 2, "absorbed dirs reclaimed")
     assert(new java.io.File(idx).listFiles().count(_.isDirectory) == 3,

@@ -1169,8 +1169,80 @@ object DedupOps {
       |    FILTER (WHERE keep), ' '), '')) AS kept_fp
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- boilerplate strip (RefinedWeb-style repeated-block removal) ----
+  // The OTHER repeated-block keep rule: `dedup_paragraph` keeps each
+  // repeated block's FIRST occurrence (CCNet), this drops EVERY
+  // occurrence of a block seen in >= [[BoilerMinDf]] DISTINCT documents
+  // (RefinedWeb / Dolma line-wise filtering: navigation chrome, license
+  // headers, cookie banners repeat verbatim across pages and carry no
+  // training signal even once). Block geometry is the shared
+  // [[paragraphBlocks]] kernel, so the two rules stay comparable
+  // block-for-block on the same corpus.
+  //
+  // Plan shape: linear explode; ONE distinct-doc count per block hash
+  // (partial-distinct combines map-side); the flagged-hash side is
+  // FILTERED to df >= BoilerMinDf BEFORE the back-join, so the join's
+  // build side carries repeated hashes only — the corpus-frequency skew
+  // lives on the small side, not on the block stream — and a left join
+  // marks survivors; one doc-keyed re-agg rebuilds each document. A doc
+  // whose every block is boilerplate survives as md5('') — the caller's
+  // drop filter, not silent loss.
+  private[graft] val BoilerMinDf = 2L
+
+  private def boilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val blocks = paragraphBlocks(t(s, dir, "documents"), "doc_id", "text")
+      .withColumn("bh", md5(col("blk")))
+    val boiler = blocks.groupBy("bh")
+      .agg(countDistinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd") >= BoilerMinDf)
+      .select("bh")
+    blocks.join(boiler.withColumn("flag", lit(true)), Seq("bh"), "left")
+      .withColumn("keep", col("flag").isNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), lit(0L)).otherwise(lit(1L))).as("n_boiler"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(blk_id, blk) END)), x -> x.blk)"),
+          " ")).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateStripSql =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS BIGINT) AS n_tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, greatest(1, (n_tok + ${ParaW - 1}) // $ParaW)))
+      |      AS blk_id
+      |  FROM d),
+      |-- MATERIALIZED: referenced by both f and k; DuckDB inlines plain
+      |-- CTEs once per reference
+      |u AS MATERIALIZED (
+      |  SELECT doc_id, blk_id,
+      |    COALESCE(array_to_string(list_slice(toks,
+      |      blk_id * $ParaW + 1, blk_id * $ParaW + $ParaW), ' '), '') AS blk
+      |  FROM b),
+      |f AS (
+      |  SELECT bh FROM (
+      |    SELECT md5(blk) AS bh, count(DISTINCT doc_id) AS dfd
+      |    FROM u GROUP BY 1)
+      |  WHERE dfd >= $BoilerMinDf),
+      |k AS (
+      |  SELECT u.doc_id, u.blk_id, u.blk, f.bh IS NULL AS keep
+      |  FROM u LEFT JOIN f ON md5(u.blk) = f.bh)
+      |SELECT doc_id, count(*) AS n_blocks,
+      |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+      |  md5(COALESCE(array_to_string(list(blk ORDER BY blk_id)
+      |    FILTER (WHERE keep), ' '), '')) AS kept_fp
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_paragraph" -> (paragraphDedup _),
+    "boilerplate_strip" -> (boilerplateStrip _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact" -> (exact _),
     "dedup_substring" -> (substringSpans _),
@@ -1190,6 +1262,7 @@ object DedupOps {
   // paths recorded when the queries last ran (Verify dumps afterwards)
   def oracle: Map[String, String] = Map(
     "dedup_paragraph" -> paragraphDedupSql,
+    "boilerplate_strip" -> boilerplateStripSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact" -> exactSql,
     "dedup_substring" -> substringSpansSql,

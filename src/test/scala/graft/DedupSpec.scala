@@ -343,6 +343,53 @@ class DedupSpec extends SparkSpec {
     assert(r(1L) == ((0L, md5Hex("")))) // survives as a row, fp of ""
   }
 
+  test("boilerplate_strip drops EVERY occurrence of a repeated block") {
+    import spark.implicits._
+    import graft.ops.DedupOps.ParaW
+    val w = ParaW.toInt
+    // Same geometry as the dedup_paragraph fixture, but the keep rule
+    // differs: the shared block X must vanish from doc0 AND doc1 (the
+    // RefinedWeb drop-all rule), where dedup_paragraph kept doc0's copy.
+    val X = (0 until w).map(i => s"x$i").mkString(" ")
+    val Y = (0 until w).map(i => s"y$i").mkString(" ")
+    val Z = (0 until w).map(i => s"z$i").mkString(" ")
+    val dir = Files.createTempDirectory("graft-boiler").toString
+    Seq((0L, s"$X $Y", "en", "s0"), (1L, s"$X $Z", "en", "s1"),
+        (2L, (0 until w).map(i => s"w$i").mkString(" "), "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("boilerplate_strip")(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_blocks"), x.getAs[Long]("n_boiler"),
+          x.getAs[String]("kept_fp")))).toMap
+    assert(r(0L) == ((2L, 1L, md5Hex(Y)))) // X gone here too
+    assert(r(1L) == ((2L, 1L, md5Hex(Z))))
+    assert(r(2L) == ((1L, 0L, md5Hex((0 until w).map(i => s"w$i")
+      .mkString(" ")))))
+  }
+
+  test("boilerplate_strip: intra-doc repetition alone is NOT boilerplate") {
+    import spark.implicits._
+    import graft.ops.DedupOps.ParaW
+    val w = ParaW.toInt
+    // Block df counts DISTINCT documents: a block repeated twice INSIDE
+    // one doc (refrain, chorus) must survive — only cross-document
+    // repetition is chrome. doc1 shares nothing.
+    val X = (0 until w).map(i => s"x$i").mkString(" ")
+    val F = (0 until w).map(i => s"f$i").mkString(" ")
+    val dir = Files.createTempDirectory("graft-boiler2").toString
+    Seq((0L, s"$X $X", "en", "s0"), (1L, F, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("boilerplate_strip")(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_boiler"), x.getAs[String]("kept_fp")))).toMap
+    assert(r(0L) == ((0L, md5Hex(s"$X $X"))))
+    assert(r(1L) == ((0L, md5Hex(F))))
+  }
+
   test("freeLocalCheckpoint releases RDD-layer blocks Dataset.unpersist cannot") {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.functions.col

@@ -4,7 +4,7 @@ import graft.Tables
 import graft.expr.{functions => gf}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Retrieval-side corpus preparation: RAG chunking, inverted-index
   * construction, and curriculum ordering — the three passes that turn a
@@ -420,17 +420,206 @@ object RetrievalOps {
        |FROM scored ORDER BY rank""".stripMargin
   }
 
+  // ---- hybrid retrieval: BM25 ⊕ vector shortlist via RRF ----
+  // The production RAG retrieval shape (Cormack, Clarke & Buettcher 2009,
+  // "Reciprocal Rank Fusion outperforms Condorcet and individual rank
+  // learning methods", public): two independent rankers — a lexical BM25
+  // list and an ANN vector shortlist — fused by rank only, score(d) =
+  // Σ_lists 1/(k + rank_list(d)), k = 60. Rank-space fusion needs no
+  // score calibration between rankers, which is exactly why it is the
+  // default hybrid in production search stacks.
+  //
+  // Query model is more-like-this: query q is a document id < NQueries;
+  // its lexical query is its own top-[[HybridQTerms]] TF terms
+  // (tf desc, term asc — deterministic), its vector query is its
+  // embedding. The vector leg consumes [[SimilarityOps.ivfCandidates]] —
+  // the SAME persisted-index candidate frame every IVF consumer shares —
+  // so hybrid inherits the index's scale shape (bucket equi-join, never
+  // a scan). The lexical leg is bm25_search's pipeline with the term
+  // filter a broadcast semi-join on the ≤ NQueries·HybridQTerms union
+  // term set (a posting-list read at 100 TB).
+  //
+  // Float discipline: ranks are the ONLY thing fused. Both legs rank by
+  // (score desc, id asc) with the bm25/vdot fixed-point disciplines, so
+  // ranks are engine-exact; the RRF contribution discretizes as
+  // round(1e9/(60+rank)) — an exact IEEE divide of small ints, identical
+  // in both engines — and the fusion sum is integer. Full-outer rank
+  // join: a doc on one list only scores that list's term (standard RRF).
+  private[graft] val HybridQTerms = 3
+  private val HybridLexK = 20
+  private val HybridVecK = 20
+  private val HybridK = 10
+  private val RrfK = 60
+  private val RrfScale = 1000000000L
+
+  private def rrfContrib(rank: Column): Column =
+    when(rank.isNotNull,
+      round(lit(RrfScale.toDouble) / (lit(RrfK) + rank)).cast("long"))
+      .otherwise(lit(0L))
+
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import SimilarityOps.NQueries
+    val tokens = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks("text")).as("term"))
+      .filter(col("term") =!= "")
+    // per-query lexical terms: the query doc's top TF terms
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("tf").desc, col("term"))
+    val qt = tokens.filter(col("doc_id") < NQueries)
+      .groupBy(col("doc_id").as("q_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= HybridQTerms)
+      .select("q_id", "term")
+    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
+      .withColumn("avgdl", col("tot").cast("double") / col("nd"))
+    val tf = tokens
+      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wl = Window.partitionBy("q_id")
+      .orderBy(col("score_fp").desc, col("id"))
+    val lex = tf
+      .join(broadcast(qt), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus)) // 1-row (nd, avgdl) side
+      .withColumn("idf_fp",
+        round(log((col("nd") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) * IdfScale).cast("long"))
+      .withColumn("contrib_fp",
+        round(col("idf_fp") * (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) +
+            lit(Bm25B) * (col("dl").cast("double") / col("avgdl")))))
+          .cast("long"))
+      .groupBy(col("q_id"), col("doc_id").as("id"))
+      .agg(sum(col("contrib_fp")).as("score_fp"))
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= HybridLexK)
+      .select("q_id", "id", "lex_rank")
+    // vector leg: shared IVF candidate frame, exact cosine re-rank
+    import DedupOps.{normed, vdot}
+    val e = normed(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"))
+    val wv = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    val vec = SimilarityOps.ivfCandidates(s, dir)
+      .join(broadcast(q), "q_id")
+      .join(c, "c_id")
+      .select(col("q_id"), col("c_id"),
+        (vdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("cos_sim"))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= HybridVecK)
+      .select(col("q_id"), col("c_id").as("id"), col("vec_rank"))
+    val wf = Window.partitionBy("q_id")
+      .orderBy(col("rrf_fp").desc, col("id"))
+    lex.join(vec, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf_fp",
+        rrfContrib(col("lex_rank")) + rrfContrib(col("vec_rank")))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= HybridK)
+      .select(col("q_id"), col("rank"), col("id"), col("rrf_fp"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  private def hybridRrfSql: String = {
+    import SimilarityOps.NQueries
+    import DedupOps.{normedSql, vdotSql}
+    val rrf = (r: String) =>
+      s"COALESCE(CAST(round(CAST($RrfScale AS DOUBLE) / ($RrfK + $r)) AS BIGINT), 0)"
+    s"""WITH tokens AS MATERIALIZED (
+       |  SELECT doc_id, term
+       |  FROM (SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents)
+       |  WHERE term <> ''),
+       |qt AS MATERIALIZED (
+       |  SELECT q_id, term FROM (
+       |    SELECT q_id, term, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY tf DESC, term) AS rn
+       |    FROM (SELECT doc_id AS q_id, term, count(*) AS tf FROM tokens
+       |      WHERE doc_id < $NQueries GROUP BY 1, 2))
+       |  WHERE rn <= $HybridQTerms),
+       |dl AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1),
+       |corpus AS (
+       |  SELECT nd, CAST(tot AS DOUBLE) / nd AS avgdl
+       |  FROM (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tot FROM dl)),
+       |tf AS MATERIALIZED (
+       |  SELECT term, doc_id, count(*) AS tf FROM tokens
+       |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    CAST(round(
+       |      CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * $IdfScale)
+       |        AS BIGINT)
+       |      * (tf * ${Bm25K1 + 1}) /
+       |      (tf + $Bm25K1 * (${1 - Bm25B} +
+       |        $Bm25B * (CAST(dl.dl AS DOUBLE) / avgdl)))) AS BIGINT)
+       |      AS contrib_fp
+       |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN corpus
+       |  WHERE tf.doc_id <> qt.q_id),
+       |lex AS (
+       |  SELECT q_id, id, lex_rank FROM (
+       |    SELECT q_id, doc_id AS id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score_fp DESC, doc_id) AS lex_rank
+       |    FROM (SELECT q_id, doc_id, CAST(sum(contrib_fp) AS BIGINT)
+       |        AS score_fp
+       |      FROM contrib GROUP BY 1, 2))
+       |  WHERE lex_rank <= $HybridLexK),
+       |n AS ($normedSql),
+       |${SimilarityOps.ivfCandSql},
+       |vsims AS (
+       |  SELECT cand.q_id, cand.c_id,
+       |    ${vdotSql("qe.embedding", "ce.embedding")} / (qe.norm * ce.norm)
+       |      AS cos_sim
+       |  FROM cand
+       |  JOIN n qe ON qe.vec_id = cand.q_id
+       |  JOIN n ce ON ce.vec_id = cand.c_id),
+       |vec AS (
+       |  SELECT q_id, id, vec_rank FROM (
+       |    SELECT q_id, c_id AS id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos_sim DESC, c_id) AS vec_rank
+       |    FROM vsims)
+       |  WHERE vec_rank <= $HybridVecK),
+       |fused AS (
+       |  SELECT q_id, id,
+       |    ${rrf("lex_rank")} + ${rrf("vec_rank")} AS rrf_fp,
+       |    lex_rank, vec_rank
+       |  FROM lex FULL JOIN vec USING (q_id, id))
+       |SELECT q_id, CAST(rank AS INT) AS rank, id, rrf_fp,
+       |  CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf_fp DESC, id) AS rank FROM fused)
+       |WHERE rank <= $HybridK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_search" -> (bm25Search _),
     "bm25_chunks" -> (bm25Chunks _),
     "doc_chunk" -> (docChunk _),
     "inverted_index" -> (invertedIndex _),
-    "curriculum_order" -> (curriculumOrder _))
+    "curriculum_order" -> (curriculumOrder _),
+    "search_hybrid_rrf" -> (hybridRrf _))
 
-  val oracle: Map[String, String] = Map(
+  // def, not val: the hybrid mirror embeds the persisted IVF index/probe
+  // paths recorded when the vector leg last ran (Verify dumps afterwards)
+  def oracle: Map[String, String] = Map(
     "bm25_search" -> bm25SearchSql,
     "bm25_chunks" -> bm25ChunksSql,
     "doc_chunk" -> docChunkSql,
     "inverted_index" -> invertedIndexSql,
-    "curriculum_order" -> curriculumOrderSql)
+    "curriculum_order" -> curriculumOrderSql,
+    "search_hybrid_rrf" -> hybridRrfSql)
 }

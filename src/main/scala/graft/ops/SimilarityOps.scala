@@ -32,7 +32,7 @@ object SimilarityOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
   private val TopK = 5
-  private val NQueries = 8 // query set: vec_id < 8
+  private[ops] val NQueries = 8 // query set: vec_id < 8
 
   /** Persisted-frame registry for the oracle mirrors: sub-table name →
     * parquet path recorded when the owning query last ran ([[oracle]] is a
@@ -654,7 +654,10 @@ object SimilarityOps {
       .filter(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id").distinct()
 
-  private def ivfCandidates(s: SparkSession, dir: String): DataFrame =
+  // private[ops]: `search_hybrid_rrf` (RetrievalOps) consumes the same
+  // candidate frame as its vector leg — ONE candidate semantics across
+  // every IVF consumer, retrieval included.
+  private[ops] def ivfCandidates(s: SparkSession, dir: String): DataFrame =
     candidatesFrom(s, dir, ivfIndex(s, dir))
 
   private def ivfCandSqlFrom(idxCte: String): String =
@@ -665,7 +668,7 @@ object SimilarityOps {
        |  FROM pr JOIN idx USING (cell)
        |  WHERE pr.q_id <> idx.c_id)""".stripMargin
 
-  private def ivfCandSql: String = ivfCandSqlFrom(
+  private[ops] def ivfCandSql: String = ivfCandSqlFrom(
     s"SELECT * FROM read_parquet('${pth("ivf_idx")}/*.parquet')")
 
   private def ivfTopK(s: SparkSession, dir: String): DataFrame =

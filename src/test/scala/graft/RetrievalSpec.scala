@@ -119,4 +119,42 @@ class RetrievalSpec extends SparkSpec {
         s"phase ${i + 1} overlaps phase ${i + 2} in difficulty")
     r.unpersist()
   }
+
+  test("search_hybrid_rrf fuses the two rank lists with exact RRF mass") {
+    val rows = SparkEntry.queries("search_hybrid_rrf")(spark, sf0001).collect()
+    def contrib(r: Any): Long = r match {
+      case null => 0L
+      case i: Int => math.round(1e9 / (60 + i))
+      case _ => fail(s"rank of unexpected type: $r")
+    }
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    for ((q, qr) <- byQ) {
+      val ranked = qr.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq == (1 to ranked.length),
+        s"q=$q ranks not dense from 1")
+      assert(ranked.length <= 10)
+      // the fused score IS the sum of the two lists' reciprocal masses
+      for (r <- ranked) {
+        val want = contrib(r.get(r.fieldIndex("lex_rank"))) +
+          contrib(r.get(r.fieldIndex("vec_rank")))
+        assert(r.getAs[Long]("rrf_fp") == want,
+          s"q=$q id=${r.getAs[Long]("id")} rrf mismatch")
+        assert(r.getAs[Long]("id") != q, "query doc leaked into its own list")
+      }
+      // fused order is non-increasing in rrf_fp
+      val fps = ranked.map(_.getAs[Long]("rrf_fp"))
+      assert(fps.zip(fps.tail).forall { case (a, b) => a >= b },
+        s"q=$q fused scores not monotone")
+      // fusion is real: with 20-deep legs over 500 docs some fused head
+      // must carry BOTH ranks somewhere in the catalog output
+    }
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("lex_rank")) &&
+      !r.isNullAt(r.fieldIndex("vec_rank"))),
+      "no fused row carries both a lexical and a vector rank")
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("lex_rank")) ||
+      r.isNullAt(r.fieldIndex("vec_rank"))),
+      "full-outer fusion never saw a single-list id (suspicious)")
+  }
 }

@@ -787,7 +787,109 @@ object TextOps {
        |FROM isl GROUP BY a_id, b_id, side, island
        |ORDER BY a_id, b_id, side, start_tok""".stripMargin
 
+  // ---- per-block language segmentation (CCNet-style) ----
+  // CCNet runs language ID per PARAGRAPH and splits documents into
+  // monolingual spans — a mixed-language page contributes its English
+  // paragraphs to the English corpus instead of being dropped whole.
+  // Block geometry is the shared [[DedupOps.paragraphBlocks]] kernel
+  // (the same unit dedup_paragraph/boilerplate_strip use), the per-block
+  // classifier is `text_langid`'s stopword-ratio heuristic verbatim —
+  // so block-level and doc-level predictions stay comparable. Output per
+  // document: block count, the number of contiguous same-prediction
+  // SEGMENTS (the spans a splitter would cut), the majority prediction
+  // (ties break to the lexicographically smallest label) and its mass.
+  //
+  // Plan shape: linear explode; one doc_id window (segment-change flags
+  // via null-safe lag compare) and two doc-keyed aggs — all on the same
+  // doc_id partitioning, no joins wider than doc_id. Determinism: the
+  // ratio is one small-int divide (identical IEEE in both engines, the
+  // langid discipline) and everything downstream is integer/string.
+  private def langSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = DedupOps.paragraphBlocks(
+      t(s, dir, "documents"), "doc_id", "text")
+    val toksB = split(col("blk"), " ")
+    val p = blocks
+      .withColumn("ratio",
+        size(filter(toksB, x => array_contains(stopArr, x))).cast("double")
+          / size(toksB))
+      .withColumn("pred",
+        when(col("ratio") >= 0.10, "en")
+          .when(col("ratio") >= 0.04, "mixed")
+          .otherwise("other"))
+    val wd = Window.partitionBy("doc_id").orderBy("blk_id")
+    val segs = p
+      .withColumn("chg",
+        when(col("pred") <=> lag(col("pred"), 1).over(wd), lit(0L))
+          .otherwise(lit(1L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"), sum(col("chg")).as("n_segments"))
+    val wm = Window.partitionBy("doc_id")
+      .orderBy(col("n").desc, col("pred"))
+    val major = p.groupBy("doc_id", "pred")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wm))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("pred").as("major_pred"),
+        col("n").as("n_major"))
+    segs.join(major, "doc_id")
+      .select("doc_id", "n_blocks", "n_segments", "major_pred", "n_major")
+      .orderBy("doc_id")
+  }
+
+  private val langSegmentsSql = {
+    import DedupOps.ParaW
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS BIGINT) AS n_tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(0, greatest(1, (n_tok + ${ParaW - 1}) // $ParaW)))
+       |      AS blk_id
+       |  FROM d),
+       |u AS (
+       |  SELECT doc_id, blk_id,
+       |    COALESCE(array_to_string(list_slice(toks,
+       |      blk_id * $ParaW + 1, blk_id * $ParaW + $ParaW), ' '), '') AS blk
+       |  FROM b),
+       |-- MATERIALIZED: referenced by both segs and major
+       |p AS MATERIALIZED (
+       |  SELECT doc_id, blk_id,
+       |    CASE WHEN ratio >= 0.10 THEN 'en'
+       |         WHEN ratio >= 0.04 THEN 'mixed'
+       |         ELSE 'other' END AS pred
+       |  FROM (
+       |    SELECT doc_id, blk_id,
+       |      CAST(len(list_filter(string_split(blk, ' '),
+       |        x -> list_contains($stopSql, x))) AS DOUBLE)
+       |        / len(string_split(blk, ' ')) AS ratio
+       |    FROM u)),
+       |segs AS (
+       |  SELECT doc_id, count(*) AS n_blocks,
+       |    CAST(sum(chg) AS BIGINT) AS n_segments
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN pred IS NOT DISTINCT FROM
+       |        lag(pred) OVER (PARTITION BY doc_id ORDER BY blk_id)
+       |      THEN 0 ELSE 1 END AS chg
+       |    FROM p)
+       |  GROUP BY 1),
+       |major AS (
+       |  SELECT doc_id, pred AS major_pred, n AS n_major FROM (
+       |    SELECT doc_id, pred, count(*) AS n,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY count(*) DESC, pred) AS rn
+       |    FROM p GROUP BY 1, 2)
+       |  WHERE rn = 1)
+       |SELECT doc_id, n_blocks, n_segments, major_pred, n_major
+       |FROM segs JOIN major USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_lang_segments" -> (langSegments _),
     "text_winnow" -> (winnow _),
     "winnow_pairs" -> (winnowPairs _),
     "winnow_resolve" -> (winnowResolve _),
@@ -804,6 +906,7 @@ object TextOps {
     "quality_gate" -> (qualityGate _))
 
   val oracle: Map[String, String] = Map(
+    "doc_lang_segments" -> langSegmentsSql,
     "text_winnow" -> winnowSql,
     "winnow_pairs" -> winnowPairsSql,
     "winnow_resolve" -> winnowResolveSql,

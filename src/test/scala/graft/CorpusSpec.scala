@@ -374,6 +374,37 @@ class CorpusSpec extends SparkSpec {
     assert(six._3 == "https://www.site6.example.com/Path/6?a=6&b=2", six._3)
   }
 
+  test("doc_lang_segments cuts contiguous same-prediction spans per doc") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    import spark.implicits._
+    import graft.ops.DedupOps.ParaW
+    val w = ParaW.toInt
+    // 32-token blocks engineered around the langid thresholds: EN has
+    // 16/32 stopwords (0.50 >= 0.10), MIX has 2/32 (0.0625 in [0.04,
+    // 0.10)), OTH has none.
+    val en = (0 until w / 2).flatMap(i => Seq("the", s"x$i")).mkString(" ")
+    val en2 = (0 until w / 2).flatMap(i => Seq("of", s"y$i")).mkString(" ")
+    val mix = ("the" +: "and" +: (0 until w - 2).map(i => s"m$i")).mkString(" ")
+    val oth = (0 until w).map(i => s"z$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-langseg").toString
+    Seq((0L, s"$en $en2 $oth"), // en,en,other → 2 segments, major en
+        (1L, s"$en $oth $en2"), // alternating → 3 segments, major en (2)
+        (2L, mix),              // single mixed block
+        (3L, s"$en $oth"))      // 1–1 tie → major breaks to 'en' < 'other'
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("doc_lang_segments")(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_blocks"), x.getAs[Long]("n_segments"),
+          x.getAs[String]("major_pred"), x.getAs[Long]("n_major")))).toMap
+    assert(r(0L) == ((3L, 2L, "en", 2L)))
+    assert(r(1L) == ((3L, 3L, "en", 2L)))
+    assert(r(2L) == ((1L, 1L, "mixed", 1L)))
+    assert(r(3L) == ((2L, 2L, "en", 1L))) // deterministic tie-break
+  }
+
   test("text_entropy: zero for constant docs, ln(n) for uniform, bounded between") {
     import org.apache.spark.sql.functions.{col, length, lit}
     import spark.implicits._

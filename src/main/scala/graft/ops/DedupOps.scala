@@ -1134,8 +1134,18 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  private val paragraphDedupSql =
-    s"""WITH d AS (
+  /** SQL mirror of [[paragraphBlocks]] — the d/b/block CTE chain, ONE
+    * definition shared by every block-geometry mirror (paragraph dedup,
+    * boilerplate strip, TextOps.doc_lang_segments) so an engine-version
+    * guard or a ParaW change cannot be applied to one copy and silently
+    * diverge the others. Emits CTEs `d`, `b` and a final block CTE
+    * named `name` (doc_id, blk_id, blk); pass `materialized = true` when
+    * the consumer references it more than once (DuckDB inlines plain
+    * CTEs once PER REFERENCE). */
+  private[ops] def paragraphBlocksSql(name: String,
+      materialized: Boolean): String = {
+    val mat = if (materialized) "MATERIALIZED " else ""
+    s"""d AS (
       |  SELECT doc_id,
       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks,
       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
@@ -1146,13 +1156,17 @@ object DedupOps {
       |    unnest(range(0, greatest(1, (n_tok + ${ParaW - 1}) // $ParaW)))
       |      AS blk_id
       |  FROM d),
-      |h AS (
+      |$name AS $mat(
       |  SELECT doc_id, blk_id,
       |    -- COALESCE: an empty doc's single block slices an empty list,
       |    -- which DuckDB v1.0.0 stringifies to NULL, Spark to ''
       |    COALESCE(array_to_string(list_slice(toks,
       |      blk_id * $ParaW + 1, blk_id * $ParaW + $ParaW), ' '), '') AS blk
-      |  FROM b),
+      |  FROM b)""".stripMargin
+  }
+
+  private val paragraphDedupSql =
+    s"""WITH ${paragraphBlocksSql("h", materialized = false)},
       |k AS (
       |  SELECT doc_id, blk_id, blk,
       |    row_number() OVER (PARTITION BY md5(blk)
@@ -1208,24 +1222,7 @@ object DedupOps {
   }
 
   private val boilerplateStripSql =
-    s"""WITH d AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split(text, ' '), t -> t <> '') AS toks,
-      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
-      |      AS BIGINT) AS n_tok
-      |  FROM documents),
-      |b AS (
-      |  SELECT doc_id, toks,
-      |    unnest(range(0, greatest(1, (n_tok + ${ParaW - 1}) // $ParaW)))
-      |      AS blk_id
-      |  FROM d),
-      |-- MATERIALIZED: referenced by both f and k; DuckDB inlines plain
-      |-- CTEs once per reference
-      |u AS MATERIALIZED (
-      |  SELECT doc_id, blk_id,
-      |    COALESCE(array_to_string(list_slice(toks,
-      |      blk_id * $ParaW + 1, blk_id * $ParaW + $ParaW), ' '), '') AS blk
-      |  FROM b),
+    s"""WITH ${paragraphBlocksSql("u", materialized = true)},
       |f AS (
       |  SELECT bh FROM (
       |    SELECT md5(blk) AS bh, count(DISTINCT doc_id) AS dfd

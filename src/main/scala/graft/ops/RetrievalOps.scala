@@ -225,6 +225,31 @@ object RetrievalOps {
   private val Bm25K = 20
   private val IdfScale = 1000000L
 
+  /** The BM25 fixed-point discretization — ONE definition for all three
+    * consumers (bm25_search, bm25_chunks, search_hybrid_rrf) so the IEEE
+    * sequence before each BIGINT re-discretization cannot drift by
+    * copy-edit. Expects columns nd, df, tf, dl, avgdl; adds idf_fp and
+    * contrib_fp. [[bm25ContribSql]] is its mirror (both engines run the
+    * same double ops in the same order; the only order-sensitive
+    * reduction downstream is the exact integer sum). */
+  private def withBm25Contrib(in: DataFrame): DataFrame = in
+    .withColumn("idf_fp",
+      round(log((col("nd") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)) * IdfScale).cast("long"))
+    .withColumn("contrib_fp",
+      round(col("idf_fp") * (col("tf") * lit(Bm25K1 + 1)) /
+        (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) +
+          lit(Bm25B) * (col("dl").cast("double") / col("avgdl")))))
+        .cast("long"))
+
+  private val bm25ContribSql: String =
+    s"""CAST(round(
+       |      CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * $IdfScale)
+       |        AS BIGINT)
+       |      * (tf * ${Bm25K1 + 1}) /
+       |      (tf + $Bm25K1 * (${1 - Bm25B} +
+       |        $Bm25B * (CAST(dl.dl AS DOUBLE) / avgdl)))) AS BIGINT)""".stripMargin
+
   private def bm25Search(s: SparkSession, dir: String): DataFrame = {
     val tokens = t(s, dir, "documents")
       .select(col("doc_id"), explode(toks("text")).as("term"))
@@ -235,18 +260,10 @@ object RetrievalOps {
     val tf = tokens.filter(col("term").isin(Bm25Query: _*))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = tf
+    val contrib = withBm25Contrib(tf
       .join(broadcast(df), "term")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(corpus)) // 1-row (nd, avgdl) side
-      .withColumn("idf_fp",
-        round(log((col("nd") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)) + lit(1.0)) * IdfScale).cast("long"))
-      .withColumn("contrib_fp",
-        round(col("idf_fp") * (col("tf") * lit(Bm25K1 + 1)) /
-          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) +
-            lit(Bm25B) * (col("dl").cast("double") / col("avgdl")))))
-          .cast("long"))
+      .crossJoin(broadcast(corpus))) // 1-row (nd, avgdl) side
     val w = Window.orderBy(col("score_fp").desc, col("doc_id"))
     contrib.groupBy("doc_id")
       .agg(sum(col("contrib_fp")).as("score_fp"),
@@ -274,12 +291,7 @@ object RetrievalOps {
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |contrib AS (
        |  SELECT tf.doc_id,
-       |    CAST(round(
-       |      CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * $IdfScale)
-       |        AS BIGINT)
-       |      * (tf * ${Bm25K1 + 1}) /
-       |      (tf + $Bm25K1 * (${1 - Bm25B} +
-       |        $Bm25B * (CAST(dl.dl AS DOUBLE) / avgdl)))) AS BIGINT)
+       |    $bm25ContribSql
        |      AS contrib_fp
        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
        |  CROSS JOIN corpus),
@@ -339,18 +351,10 @@ object RetrievalOps {
     val tf = tokens.filter(col("term").isin(Bm25Query: _*))
       .groupBy("term", "doc_id", "chunk_id").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = tf
+    val contrib = withBm25Contrib(tf
       .join(broadcast(df), "term")
       .join(dl, Seq("doc_id", "chunk_id"))
-      .crossJoin(broadcast(corpus)) // 1-row (nd, avgdl) side
-      .withColumn("idf_fp",
-        round(log((col("nd") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)) + lit(1.0)) * IdfScale).cast("long"))
-      .withColumn("contrib_fp",
-        round(col("idf_fp") * (col("tf") * lit(Bm25K1 + 1)) /
-          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) +
-            lit(Bm25B) * (col("dl").cast("double") / col("avgdl")))))
-          .cast("long"))
+      .crossJoin(broadcast(corpus))) // 1-row (nd, avgdl) side
     val w = Window.orderBy(col("score_fp").desc, col("doc_id"),
       col("chunk_id"))
     contrib.groupBy("doc_id", "chunk_id", "start_tok", "n_tok_chunk")
@@ -399,12 +403,7 @@ object RetrievalOps {
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |contrib AS (
        |  SELECT tf.doc_id, tf.chunk_id, dl.start_tok, dl.n_tok_chunk,
-       |    CAST(round(
-       |      CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * $IdfScale)
-       |        AS BIGINT)
-       |      * (tf * ${Bm25K1 + 1}) /
-       |      (tf + $Bm25K1 * (${1 - Bm25B} +
-       |        $Bm25B * (CAST(dl.dl AS DOUBLE) / avgdl)))) AS BIGINT)
+       |    $bm25ContribSql
        |      AS contrib_fp
        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id, chunk_id)
        |  CROSS JOIN corpus),
@@ -480,20 +479,12 @@ object RetrievalOps {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val wl = Window.partitionBy("q_id")
       .orderBy(col("score_fp").desc, col("id"))
-    val lex = tf
+    val lex = withBm25Contrib(tf
       .join(broadcast(qt), "term")
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(df), "term")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(corpus)) // 1-row (nd, avgdl) side
-      .withColumn("idf_fp",
-        round(log((col("nd") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)) + lit(1.0)) * IdfScale).cast("long"))
-      .withColumn("contrib_fp",
-        round(col("idf_fp") * (col("tf") * lit(Bm25K1 + 1)) /
-          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) +
-            lit(Bm25B) * (col("dl").cast("double") / col("avgdl")))))
-          .cast("long"))
+      .crossJoin(broadcast(corpus))) // 1-row (nd, avgdl) side
       .groupBy(col("q_id"), col("doc_id").as("id"))
       .agg(sum(col("contrib_fp")).as("score_fp"))
       .withColumn("lex_rank", row_number().over(wl))
@@ -557,12 +548,7 @@ object RetrievalOps {
        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |contrib AS (
        |  SELECT qt.q_id, tf.doc_id,
-       |    CAST(round(
-       |      CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * $IdfScale)
-       |        AS BIGINT)
-       |      * (tf * ${Bm25K1 + 1}) /
-       |      (tf + $Bm25K1 * (${1 - Bm25B} +
-       |        $Bm25B * (CAST(dl.dl AS DOUBLE) / avgdl)))) AS BIGINT)
+       |    $bm25ContribSql
        |      AS contrib_fp
        |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
        |  JOIN dl ON dl.doc_id = tf.doc_id
@@ -577,7 +563,8 @@ object RetrievalOps {
        |        AS score_fp
        |      FROM contrib GROUP BY 1, 2))
        |  WHERE lex_rank <= $HybridLexK),
-       |n AS ($normedSql),
+       |-- MATERIALIZED: joined as both qe and ce in vsims
+       |n AS MATERIALIZED ($normedSql),
        |${SimilarityOps.ivfCandSql},
        |vsims AS (
        |  SELECT cand.q_id, cand.c_id,

@@ -80,7 +80,7 @@ object SimilarityOps {
     * produce a distinct `cand(q_id, c_id)` relation; the tail computes the
     * bit-exact ordered-fold cosine and the same (desc cos, asc id) rank. */
   private def rankPairsSql(candCtes: String): String =
-    s"""WITH n AS ($normedSql),
+    s"""WITH n AS MATERIALIZED ($normedSql),
        |$candCtes,
        |sims AS (
        |  SELECT cand.q_id, cand.c_id,

@@ -838,23 +838,7 @@ object TextOps {
   }
 
   private val langSegmentsSql = {
-    import DedupOps.ParaW
-    s"""WITH d AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks,
-       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
-       |      AS BIGINT) AS n_tok
-       |  FROM documents),
-       |b AS (
-       |  SELECT doc_id, toks,
-       |    unnest(range(0, greatest(1, (n_tok + ${ParaW - 1}) // $ParaW)))
-       |      AS blk_id
-       |  FROM d),
-       |u AS (
-       |  SELECT doc_id, blk_id,
-       |    COALESCE(array_to_string(list_slice(toks,
-       |      blk_id * $ParaW + 1, blk_id * $ParaW + $ParaW), ' '), '') AS blk
-       |  FROM b),
+    s"""WITH ${DedupOps.paragraphBlocksSql("u", materialized = false)},
        |-- MATERIALIZED: referenced by both segs and major
        |p AS MATERIALIZED (
        |  SELECT doc_id, blk_id,

@@ -660,10 +660,10 @@ object SimilarityOps {
   private[ops] def ivfCandidates(s: SparkSession, dir: String): DataFrame =
     candidatesFrom(s, dir, ivfIndex(s, dir))
 
-  private def ivfCandSqlFrom(idxCte: String): String =
+  private def ivfCandSqlFrom(idxCte: String, name: String = "cand"): String =
     s"""idx AS ($idxCte),
        |pr AS (SELECT * FROM read_parquet('${pth("ivf_probe")}/*.parquet')),
-       |cand AS (
+       |$name AS (
        |  SELECT DISTINCT pr.q_id, idx.c_id
        |  FROM pr JOIN idx USING (cell)
        |  WHERE pr.q_id <> idx.c_id)""".stripMargin
@@ -675,6 +675,41 @@ object SimilarityOps {
     rankPairs(normed(s, dir), ivfCandidates(s, dir))
 
   private def ivfSql: String = rankPairsSql(ivfCandSql)
+
+  // ---- filtered ANN: top-k within an attribute predicate ----
+  // The production filtered-vector-search shape ("similar items in MY
+  // category"): each query keeps only candidates sharing its `label`,
+  // then ranks exact cosine top-k. This is POST-filtering over the
+  // shared IVF candidate frame — the label predicate rides the existing
+  // candidate equi-join as one more broadcast dim join, nothing rescans
+  // the corpus. The documented trade: with selectivity s, probed cells
+  // yield ~s·|cand| survivors, so a highly selective filter wants
+  // over-probing or a per-label partitioned index (the same upgrade
+  // axis as the IVF probe count); recall vs the brute-filtered baseline
+  // is measured in SimilaritySpec rather than assumed.
+  private def ivfFilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val lab = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val qlab = lab.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val clab = lab.select(col("vec_id").as("c_id"), col("label").as("c_label"))
+    val cand = ivfCandidates(s, dir)
+      .join(broadcast(qlab), "q_id")
+      .join(clab, "c_id")
+      .filter(col("c_label") === col("q_label"))
+      .select("q_id", "c_id")
+    rankPairs(normed(s, dir), cand)
+  }
+
+  private def ivfFilteredSql: String = rankPairsSql(
+    s"""${ivfCandSqlFrom(
+        s"SELECT * FROM read_parquet('${pth("ivf_idx")}/*.parquet')",
+        "cand0")},
+       |cand AS (
+       |  SELECT cand0.q_id, cand0.c_id
+       |  FROM cand0
+       |  JOIN embeddings ql ON ql.vec_id = cand0.q_id
+       |  JOIN embeddings cl ON cl.vec_id = cand0.c_id
+       |  WHERE cl.label = ql.label)""".stripMargin)
 
   // ---- Incremental IVF: append-only index under a frozen quantizer ----
   // The production vector-store maintenance shape (FAISS `add()`; the
@@ -1968,6 +2003,7 @@ object SimilarityOps {
     "simsearch_topk" -> (bruteTopK _),
     "simsearch_lsh" -> (lshTopK _),
     "simsearch_ivf" -> (ivfTopK _),
+    "simsearch_ivf_filtered" -> (ivfFilteredTopK _),
     "simsearch_ivf_delta" -> (ivfDeltaTopK _),
     "simsearch_mmr" -> (mmrTopK _),
     "simsearch_ivfpq" -> (ivfPqTopK _),
@@ -1988,6 +2024,7 @@ object SimilarityOps {
     "simsearch_topk" -> bruteTopKSql,
     "simsearch_lsh" -> lshSql,
     "simsearch_ivf" -> ivfSql,
+    "simsearch_ivf_filtered" -> ivfFilteredSql,
     "simsearch_ivf_delta" -> ivfDeltaSql,
     "simsearch_mmr" -> mmrSql,
     "simsearch_ivfpq" -> ivfPqSql,

@@ -178,6 +178,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"IVF recall@5 $recall%.2f below 0.8")
   }
 
+  test("filtered IVF: label predicate holds, recall vs brute-filtered clears 0.7") {
+    val emb = graft.Tables(spark, sf0001, "embeddings")
+      .collect().map(x => (x.getAs[Long]("vec_id"),
+        x.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        x.getAs[Int]("label")))
+    val labels = emb.map(e => e._1 -> e._3).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    // brute-filtered baseline: top-5 cosine among SAME-label candidates
+    val brute = (for {
+      (q, qe, ql) <- emb if q < 8
+      top = emb.filter(c => c._1 != q && c._3 == ql)
+        .map(c => (c._1, cos(qe, c._2)))
+        .sortBy(x => (-x._2, x._1)).take(5)
+      (c, _) <- top
+    } yield (q, c)).toSet
+    val filt = SparkEntry.queries("simsearch_ivf_filtered")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id")))
+    // every returned candidate shares its query's label
+    filt.foreach { case (q, c) =>
+      assert(labels(c) == labels(q), s"q=$q c=$c crosses labels") }
+    val recall = (brute & filt.toSet).size.toDouble / brute.size
+    info(f"filtered IVF recall@5 = $recall%.2f")
+    // ~10% selectivity post-filter over the shared probe set: the honest
+    // bar sits below the unfiltered 0.8 (the documented over-probing /
+    // per-label-index upgrade axis)
+    assert(recall >= 0.7, f"filtered recall@5 $recall%.2f below 0.7")
+  }
+
   test("incremental IVF delta equals the full index build (frozen quantizer)") {
     // union-of-assignments over a partition of the vectors IS the full
     // assignment under a frozen quantizer — the maintenance contract

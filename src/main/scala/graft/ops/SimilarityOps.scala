@@ -1686,6 +1686,38 @@ object SimilarityOps {
        |SELECT a_id AS vec_id, c_id AS nbr_id, cos_sim, CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
 
+  // ---- mutual k-NN edges ----
+  // The symmetric core of the neighbor graph: an edge survives only if
+  // BOTH endpoints rank each other inside their top-[[KnnK]] (Brito et
+  // al. 1997's mutual-kNN graph — the standard robustness filter before
+  // density clustering: hub vectors collect thousands of one-way
+  // in-edges; requiring reciprocity strips exactly those). One equi
+  // self-join of the k·N edge frame on the reversed key pair — the
+  // heavy work (cells, candidate join, exact rank) is the SHARED knn
+  // core both orientations read; the join itself moves (id, id, rank)
+  // triples only.
+  private def knnMutual(s: SparkSession, dir: String): DataFrame = {
+    val g = knnCore(s, dir)
+    val rev = g.select(col("nbr_id").as("vec_id"),
+      col("vec_id").as("nbr_id"), col("rank").as("rank_back"))
+    g.join(rev, Seq("vec_id", "nbr_id"))
+      .filter(col("vec_id") < col("nbr_id"))
+      .select(col("vec_id").as("u"), col("nbr_id").as("v"),
+        col("cos_sim"), col("rank"), col("rank_back"))
+      .orderBy("u", "v")
+  }
+
+  private def knnMutualSql: String =
+    s"""WITH $knnCtes,
+       |-- MATERIALIZED: joined against itself reversed
+       |k AS MATERIALIZED (
+       |  SELECT a_id AS vec_id, c_id AS nbr_id, cos_sim, rank
+       |  FROM ranked WHERE rank <= $KnnK)
+       |SELECT k.vec_id AS u, k.nbr_id AS v, k.cos_sim,
+       |  CAST(k.rank AS INT) AS rank, CAST(r.rank AS INT) AS rank_back
+       |FROM k JOIN k r ON r.vec_id = k.nbr_id AND r.nbr_id = k.vec_id
+       |WHERE k.vec_id < k.nbr_id ORDER BY u, v""".stripMargin
+
   // ---- semantic components over the k-NN graph ----
   // Cluster ids from the neighbor graph: keep edges with cosine ≥
   // [[KnnTau]], take connected components — the grouping SemDeDup-style
@@ -2011,6 +2043,7 @@ object SimilarityOps {
     "simsearch_ivfopq" -> (ivfOpqTopK _),
     "hard_negatives" -> (hardNegatives _),
     "knn_graph" -> (knnGraph _),
+    "knn_mutual" -> (knnMutual _),
     "knn_label_prop" -> (knnLabelProp _),
     "knn_components" -> (knnComponents _),
     "knn_keep_best" -> (knnKeepBest _),
@@ -2032,6 +2065,7 @@ object SimilarityOps {
     "simsearch_ivfopq" -> ivfOpqSql,
     "hard_negatives" -> hardNegativesSql,
     "knn_graph" -> knnGraphSql,
+    "knn_mutual" -> knnMutualSql,
     "knn_label_prop" -> knnLabelPropSql,
     "knn_components" -> knnComponentsSql,
     "knn_keep_best" -> knnKeepBestSql,

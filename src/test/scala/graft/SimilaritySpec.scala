@@ -669,6 +669,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"knn-graph recall $recall%.2f below 0.8")
   }
 
+  test("knn_mutual is exactly the reciprocal subset of knn_graph") {
+    val g = SparkEntry.queries("knn_graph")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("nbr_id"))
+        -> x.getAs[Int]("rank")).toMap
+    val m = SparkEntry.queries("knn_mutual")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("u"), x.getAs[Long]("v"),
+        x.getAs[Int]("rank"), x.getAs[Int]("rank_back")))
+    assert(m.nonEmpty)
+    // every mutual pair is reciprocal in the one-way graph with the
+    // exact ranks from each side, ordered u < v
+    m.foreach { case (u, v, r, rb) =>
+      assert(u < v, s"pair ($u,$v) not ordered")
+      assert(g.get((u, v)).contains(r), s"($u,$v) forward rank mismatch")
+      assert(g.get((v, u)).contains(rb), s"($u,$v) back rank mismatch")
+    }
+    // and NOTHING reciprocal is missing: recompute the mutual set
+    val expect = g.keySet.filter { case (a, b) => a < b && g.contains((b, a)) }
+    assert(m.map(x => (x._1, x._2)).toSet == expect,
+      "mutual set differs from the recomputed reciprocal subset")
+    // the filter bites: strictly fewer mutual pairs than one-way edges
+    assert(m.length < g.size, "mutual filter removed nothing (suspicious)")
+  }
+
   test("knn_label_prop is the exact majority vote over the knn_graph edges") {
     import org.apache.spark.sql.functions.col
     val labels = graft.Tables(spark, sf0001, "embeddings")

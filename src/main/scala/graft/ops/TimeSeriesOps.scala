@@ -497,8 +497,105 @@ object TimeSeriesOps {
        |  s[1] + s[2] AS forecast
        |FROM st ORDER BY user_id""".stripMargin
 
+  // ---- Holt-Winters additive (triple exponential, period m) ----
+  // The seasonal member of the smoothing family (Winters 1960):
+  //   l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+  //   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+  //   s_t = γ(y_t − (l_{t−1} + b_{t−1})) + (1−γ)s_{t−m}
+  // folded in (ts, event_id) order with the events_holt discipline:
+  // identical IEEE sequences in both engines, BIT-exact doubles, no
+  // fixed point. α, β, γ are dyadic. The accumulator is the flat
+  // [l, b, s₁..s_m] vector kept ROTATED — the next season to consume is
+  // always slot 3, each step appends its replacement at the end — so no
+  // step counter is carried. Classic first-season seed: l₀ = mean of
+  // the first min(n, m) values, b₀ = 0, s_i = y_i − l₀ (missing slots
+  // 0 when n < m); the fold covers y_{m+1}.. and an n ≤ m series
+  // degrades to its seed (both engines' folds return the seed untouched
+  // over an empty tail). Scale shape: one per-key ordered aggregate,
+  // O(m) state per key, no windows, no joins.
+  private[graft] val HwM = 4    // season length
+  private[graft] val HwA = 0.5  // level gain
+  private[graft] val HwB = 0.25 // trend gain
+  private[graft] val HwG = 0.5  // seasonal gain
+
+  private def holtWinters(s: SparkSession, dir: String): DataFrame = {
+    val lNew = s"$HwA * (v - element_at(acc, 3)) + ${1 - HwA} * " +
+      "(element_at(acc, 1) + element_at(acc, 2))"
+    t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("value")))).as("ps"))
+      .withColumn("vs", expr("transform(ps, p -> p.value)"))
+      .withColumn("l0", expr(
+        s"""aggregate(slice(vs, 1, least(size(vs), $HwM)),
+             CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+           / least(size(vs), $HwM)"""))
+      .withColumn("st", expr(
+        s"""aggregate(slice(vs, ${HwM + 1}, greatest(size(vs) - $HwM, 0)),
+             concat(array(l0, CAST(0.0 AS DOUBLE)),
+               transform(sequence(1, $HwM), i ->
+                 CASE WHEN i <= size(vs) THEN element_at(vs, i) - l0
+                      ELSE CAST(0.0 AS DOUBLE) END)),
+             (acc, v) -> concat(
+               array(
+                 $lNew,
+                 $HwB * (($lNew) - element_at(acc, 1))
+                   + ${1 - HwB} * element_at(acc, 2)),
+               slice(acc, 4, ${HwM - 1}),
+               array($HwG * (v - (element_at(acc, 1) + element_at(acc, 2)))
+                 + ${1 - HwG} * element_at(acc, 3))))"""))
+      .select(col("user_id"), col("n_events"),
+        expr("element_at(st, 1)").as("level"),
+        expr("element_at(st, 2)").as("trend"),
+        expr("element_at(st, 3)").as("season_next"),
+        expr("element_at(st, 1) + element_at(st, 2) + element_at(st, 3)")
+          .as("forecast"))
+      .orderBy("user_id")
+  }
+
+  // Same list-accumulator discipline as [[holtSql]] (struct_pack updates
+  // in place; a list materializes every element from the OLD accumulator
+  // before the rebind). Values wrap as singleton lists so the fold's
+  // element type matches the accumulator's.
+  private val holtWintersSql = {
+    val lNew = s"$HwA * (x[1] - acc[3]) + ${1 - HwA} * (acc[1] + acc[2])"
+    s"""WITH o AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |    list(value ORDER BY ts, event_id) AS vs
+       |  FROM events GROUP BY user_id),
+       |sd AS (
+       |  SELECT user_id, n_events, vs,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE), vs[1:least(len(vs), $HwM)]),
+       |      (a, x) -> a + x) / least(len(vs), $HwM) AS l0
+       |  FROM o),
+       |st AS (
+       |  SELECT user_id, n_events,
+       |    list_reduce(
+       |      list_prepend(
+       |        list_concat([l0, CAST(0.0 AS DOUBLE)],
+       |          list_transform(range(1, ${HwM + 1}), i ->
+       |            CASE WHEN i <= len(vs) THEN vs[i] - l0
+       |                 ELSE CAST(0.0 AS DOUBLE) END)),
+       |        list_transform(vs[${HwM + 1}:], v -> [v])),
+       |      (acc, x) -> list_concat(list_concat(
+       |        [$lNew,
+       |         $HwB * (($lNew) - acc[1]) + ${1 - HwB} * acc[2]],
+       |        acc[4:${HwM + 2}]),
+       |        [$HwG * (x[1] - (acc[1] + acc[2])) + ${1 - HwG} * acc[3]]))
+       |      AS s
+       |  FROM sd)
+       |SELECT user_id, n_events, s[1] AS level, s[2] AS trend,
+       |  s[3] AS season_next, s[1] + s[2] + s[3] AS forecast
+       |FROM st ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_holt" -> (holt _),
+    "events_hw" -> (holtWinters _),
     "window_range" -> (windowRange _),
     "value_histogram" -> (valueHistogram _),
     "funnel" -> (funnel _),
@@ -511,6 +608,7 @@ object TimeSeriesOps {
 
   val oracle: Map[String, String] = Map(
     "events_holt" -> holtSql,
+    "events_hw" -> holtWintersSql,
     "window_range" -> windowRangeSql,
     "value_histogram" -> valueHistogramSql,
     "funnel" -> funnelSql,

@@ -236,4 +236,42 @@ class TimeSeriesPackSpec extends SparkSpec {
     assert(r(7L) == ((10.0 + 2.5 * 19, 2.5, 10.0 + 2.5 * 20)))
     assert(r(8L)._2 != 2.5, "the level spike must perturb the trend")
   }
+
+  test("events_hw: a pure periodic series is a fixed point; short series seed-degrade") {
+    import spark.implicits._
+    // y_t = c + season[t mod 4] with a zero-sum season is a FIXED POINT
+    // of additive Holt-Winters under the first-season seed: l₀ = c
+    // (one-season mean), b₀ = 0, s_i = the exact deviations; every
+    // update returns (c, 0, s) and the forecast hits the NEXT value
+    // exactly, in doubles (dyadic season and gains). A user whose
+    // period is 5 ≠ m in the same fixture must NOT predict exactly.
+    val season = Array(4.0, -2.0, 1.5, -3.5) // sums to 0
+    val c = 20.0
+    val per = (0 until 21).map(i => (i.toLong, 1L, c + season(i % 4)))
+    val off = (0 until 21).map(i =>
+      (100L + i, 2L, c + (if (i % 5 == 0) 4.0 else -1.0)))
+    val short3 = (0 until 3).map(i => (200L + i, 3L, 10.0 + i)) // n < m
+    val single = Seq((300L, 4L, 42.0))
+    (per ++ off ++ short3 ++ single)
+      .toDF("event_id", "user_id", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("event_type", lit("x")).withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(s"$dir2/events.parquet")
+    val r = SparkEntry.queries("events_hw")(spark, dir2).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Double]("level"), x.getAs[Double]("trend"),
+          x.getAs[Double]("season_next"), x.getAs[Double]("forecast")))).toMap
+    // 21 points = seed season + 17 updates; next index is 21, 21 % 4 = 1
+    assert(r(1L) == ((c, 0.0, season(1), c + season(1))),
+      s"periodic fixed point violated: ${r(1L)}")
+    assert(r(2L)._4 != c + 4.0 && r(2L)._4 != c - 1.0,
+      "a period-5 series must not be an m=4 fixed point")
+    // n < m: seed only — level = mean of the 3 values, trend 0, and the
+    // next season slot is the first deviation
+    assert(r(3L) == ((11.0, 0.0, 10.0 - 11.0, 11.0 + 0.0 + (10.0 - 11.0))))
+    assert(r(4L) == ((42.0, 0.0, 0.0, 42.0)))
+  }
+
+  private lazy val dir2: String =
+    java.nio.file.Files.createTempDirectory("graft-hw").toString
 }

@@ -494,6 +494,49 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming Holt-Winters state is bit-identical to the batch events_hw fold") {
+    import graft.streaming.HwMonitor
+    val dir = Files.createTempDirectory("graft-hw-s").toString
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+    // split INSIDE most keys' first season (25th percentile) so the
+    // cross-batch seed re-derivation path is genuinely exercised
+    val split = ev.agg(expr("percentile_approx(us, 0.25)")).collect()(0).getLong(0)
+    ev.filter(col("us") <= split).drop("us").write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = spark.readStream
+        .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+      val q = HwMonitor.hw(feed, "user_id", "ts", "event_id", "value")
+        .writeStream.format("memory").queryName("shw").outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        ev.filter(col("us") > split).drop("us")
+          .coalesce(1).write.parquet(s"$dir/b2")
+        q.processAllAvailable()
+        val streamed = spark.table("shw").collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+          .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+        val batch = SparkEntry.queries("events_hw")(spark, sf0001).collect()
+          .map(r => r.getLong(0).toString -> ((r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+        assert(streamed.keySet == batch.keySet)
+        streamed.foreach { case (k, (n, l, b, sn, f)) =>
+          val (bn, bl, bb, bsn, bf) = batch(k)
+          assert(n == bn, s"key $k: count $n vs $bn")
+          def bits(x: Double) = java.lang.Double.doubleToRawLongBits(x)
+          assert(bits(l) == bits(bl) && bits(b) == bits(bb) &&
+            bits(sn) == bits(bsn) && bits(f) == bits(bf),
+            s"key $k: streaming ($l,$b,$sn,$f) != batch ($bl,$bb,$bsn,$bf)")
+        }
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming EMA state is bit-identical to the batch events_ema fold") {
     import graft.streaming.EmaMonitor
     val dir = Files.createTempDirectory("graft-ema").toString

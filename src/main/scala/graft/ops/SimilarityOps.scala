@@ -1669,10 +1669,28 @@ object SimilarityOps {
   // through two id-keyed joins at the exact-cosine rank.
   private[graft] val KnnK = 4
 
-  private def knnCore(s: SparkSession, dir: String): DataFrame =
-    minedTopK(s, dir, col("a_id") =!= col("c_id"), KnnK)
-      .select(col("a_id").as("vec_id"), col("c_id").as("nbr_id"),
-        col("cos_sim"), col("rank"))
+  // The ranked k·N neighbor frame is the shared input of FIVE catalog
+  // queries (graph, mutual, components, label_prop, keep_best via
+  // components); content-cache its materialization so a consumer that
+  // reads it twice (knn_mutual's self-join: 2 full core builds without
+  // this, measured 10.2 s vs knn_graph's 3.8 s at sf1) — or two
+  // consumers in one session — pay the cells + candidate join + exact
+  // rank ONCE. Same Lru + eviction-unpersist discipline as [[compCache]];
+  // the checkpointed frame is N·K narrow rows, the op family's own
+  // output scale.
+  private val coreCache =
+    new ContentKey.Lru[DataFrame](2,
+      (df: DataFrame) => GraftSqlBridge.freeLocalCheckpoint(df))
+
+  private def knnCore(s: SparkSession, dir: String): DataFrame = {
+    val key = ContentKey.ofScoped(s, Seq(dir))
+    coreCache.get(key) {
+      minedTopK(s, dir, col("a_id") =!= col("c_id"), KnnK)
+        .select(col("a_id").as("vec_id"), col("c_id").as("nbr_id"),
+          col("cos_sim"), col("rank"))
+        .localCheckpoint()
+    }
+  }
 
   private def knnGraph(s: SparkSession, dir: String): DataFrame =
     knnCore(s, dir).orderBy("vec_id", "rank")

@@ -34,11 +34,17 @@ private[graft] object ContentKey {
   private val persistedKeys =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Deterministic persisted-frame location for (source dir, sub-table):
+    * where [[persistForOracle]] writes. Exposed so a content-cache HIT —
+    * which skips the compute path's persist calls — can still re-point an
+    * oracle-path registry at the dir actually being served. */
+  def oraclePath(dir: String, sub: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_oracle/${md5(dir)}/$sub"
+
   def persistForOracle(s: SparkSession, dir: String, sub: String,
       ref: java.util.concurrent.atomic.AtomicReference[String],
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_oracle/" +
-      s"${md5(dir)}/$sub"
+    val path = oraclePath(dir, sub)
     val key = s"${of(s, Seq(dir))}/$sub"
     if (!persistedKeys.contains(key)) {
       // Natural partitioning, NOT coalesce(1): these frames feed heavy

@@ -53,6 +53,15 @@ object SimilarityOps {
     Option(oraclePaths.get(sub)).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_oracle/unset/$sub")
 
+  /** A content-cache HIT skips the compute path's [[persistO]] calls, but
+    * the oracle dump must still embed THIS run's persisted-frame paths —
+    * the registry otherwise keeps describing whichever dir ran LAST, and a
+    * multi-dir session (dirA → dirB → dirA-hit) would dump dirA's mirrors
+    * pointing at dirB's frames. Re-point at the deterministic per-dir
+    * locations; idempotent, so callers run it on hit and miss alike. */
+  private def reRegisterO(dir: String, subs: String*): Unit =
+    subs.foreach(sub => oraclePaths.put(sub, ContentKey.oraclePath(dir, sub)))
+
   /** Exact-cosine top-k over a distinct (q_id, c_id) candidate frame: both
     * sides re-join the vector table by id. This is the compressed-index
     * tail every approximate variant shares — candidate generation carries
@@ -1626,7 +1635,7 @@ object SimilarityOps {
   /** SQL twin of [[minedTopK]] up through the rank CTE; the exclusion
     * predicate mirrors the Spark variation point. */
   private def minedCtes(excludePred: String): String =
-    s"""n AS ($normedSql),
+    s"""n AS MATERIALIZED ($normedSql),
        |idx AS (SELECT * FROM read_parquet('${pth("hn_idx")}/*.parquet')),
        |pr AS (SELECT * FROM read_parquet('${pth("hn_probe")}/*.parquet')),
        |cand AS (
@@ -1678,18 +1687,26 @@ object SimilarityOps {
   // rank ONCE. Same Lru + eviction-unpersist discipline as [[compCache]];
   // the checkpointed frame is N·K narrow rows, the op family's own
   // output scale.
+  // Capacity 4 = the compCache precedent; the eviction-safety invariant
+  // is labelsCache's (DedupOps): an evicted checkpoint is UNRECOVERABLE,
+  // and safety rests on evictions needing >capacity DISTINCT dataset
+  // contents while every harness runs one dir at a time. A consumer
+  // holding a LAZY frame over the core must execute it before that many
+  // other datasets build cores.
   private val coreCache =
-    new ContentKey.Lru[DataFrame](2,
+    new ContentKey.Lru[DataFrame](4,
       (df: DataFrame) => GraftSqlBridge.freeLocalCheckpoint(df))
 
   private def knnCore(s: SparkSession, dir: String): DataFrame = {
     val key = ContentKey.ofScoped(s, Seq(dir))
-    coreCache.get(key) {
+    val core = coreCache.get(key) {
       minedTopK(s, dir, col("a_id") =!= col("c_id"), KnnK)
         .select(col("a_id").as("vec_id"), col("c_id").as("nbr_id"),
           col("cos_sim"), col("rank"))
         .localCheckpoint()
     }
+    reRegisterO(dir, "hn_idx", "hn_probe") // mirrors read these on hit too
+    core
   }
 
   private def knnGraph(s: SparkSession, dir: String): DataFrame =
@@ -1766,7 +1783,7 @@ object SimilarityOps {
 
   private def knnComponentsCore(s: SparkSession, dir: String): DataFrame = {
     val key = ContentKey.ofScoped(s, Seq(dir))
-    compCache.get(key) {
+    val comp = compCache.get(key) {
       val g = knnCore(s, dir).filter(col("cos_sim") >= KnnTau)
         .select(col("vec_id").as("u"), col("nbr_id").as("v"))
       val edges = g.union(g.select(col("v").as("u"), col("u").as("v")))
@@ -1788,6 +1805,10 @@ object SimilarityOps {
       GraftSqlBridge.freeLocalCheckpoint(labels)
       out
     }
+    // a compCache hit skips knnCore entirely — the components mirrors
+    // still read the mined frames, so re-point the registry here too
+    reRegisterO(dir, "hn_idx", "hn_probe")
+    comp
   }
 
   private def knnComponents(s: SparkSession, dir: String): DataFrame =

@@ -87,7 +87,7 @@ object AnomalyMonitor {
       zThreshold: Double = 4.0, minSamples: Long = 30L): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    df.select(col(keyCol).cast("string"), col(tsCol).cast("long"),
+    df.select(col(keyCol).cast("string"), Ordinals.micros(df, tsCol).cast("long"),
         col(valueCol).cast("double"))
       .as[(String, Long, Double)]
       .groupByKey(_._1)

@@ -68,7 +68,7 @@ object EmaMonitor {
       valueCol: String, alpha: Double = 0.3): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    df.select(col(keyCol).cast("string"), col(tsCol).cast("long"),
+    df.select(col(keyCol).cast("string"), Ordinals.micros(df, tsCol).cast("long"),
         col(idCol).cast("long"), col(valueCol).cast("double"))
       .as[(String, Long, Long, Double)]
       .groupByKey(_._1)

@@ -74,19 +74,7 @@ object HoltMonitor {
       valueCol: String): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    // Normalize the order column to MICROSECONDS when it's a timestamp:
-    // `.cast("long")` on TimestampType yields epoch SECONDS, so two
-    // same-second events with out-of-order ids would fold in a different
-    // order than the batch `events_holt` (which orders by unix_micros) and
-    // break the bit-identical contract. Non-timestamp columns are assumed
-    // to already be a monotone long.
-    val tsLong = df.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(col(tsCol).cast("timestamp"))
-      case _ => col(tsCol).cast("long")
-    }
-    df.select(col(keyCol).cast("string"), tsLong.cast("long"),
+    df.select(col(keyCol).cast("string"), Ordinals.micros(df, tsCol).cast("long"),
         col(idCol).cast("long"), col(valueCol).cast("double"))
       .as[(String, Long, Long, Double)]
       .groupByKey(_._1)

@@ -85,17 +85,15 @@ object HwMonitor {
     * the batch `events_hw` result so the two are directly comparable. */
   def hw(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
       valueCol: String): DataFrame = {
+    // HwState's flat schema carries exactly 4 first-season and 4 seasonal
+    // slots; the batch op adapts to any HwM but this twin cannot — fail
+    // loudly instead of silently diverging from the bit-identity contract.
+    require(TimeSeriesOps.HwM == 4,
+      s"HwState is fixed at m=4 slots but TimeSeriesOps.HwM=${TimeSeriesOps.HwM}; " +
+        "widen HwState/HwProcessor before changing the season length")
     val s = df.sparkSession
     import s.implicits._
-    // HoltMonitor's ts normalization: a raw TimestampType column must
-    // order in MICROSECONDS or same-second events break bit-identity.
-    val tsLong = df.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(col(tsCol).cast("timestamp"))
-      case _ => col(tsCol).cast("long")
-    }
-    df.select(col(keyCol).cast("string"), tsLong.cast("long"),
+    df.select(col(keyCol).cast("string"), Ordinals.micros(df, tsCol).cast("long"),
         col(idCol).cast("long"), col(valueCol).cast("double"))
       .as[(String, Long, Long, Double)]
       .groupByKey(_._1)

@@ -109,6 +109,12 @@ object functions {
     inv(GeohashOps.getClass, LongType, "zorder",
       x.cast("int"), y.cast("int"), bits.cast("int"))
 
+  /** Hilbert-curve index of two pre-quantized `bits`-bit coords — the
+    * jump-free locality key (see GeohashOps.hilbert). */
+  def hilbert(x: Column, y: Column, bits: Column): Column =
+    inv(GeohashOps.getClass, LongType, "hilbert",
+      x.cast("int"), y.cast("int"), bits.cast("int"))
+
   /** 3-D Morton interleave — (lat, lon, time-bucket)-style clustering. */
   def zorder3(x: Column, y: Column, z: Column, bits: Column): Column =
     inv(GeohashOps.getClass, LongType, "zorder3",
@@ -243,7 +249,8 @@ object functions {
     ("graft_fingerprint", LongType, TextHashOps.getClass, "fingerprint", 1),
     ("graft_nfc", StringType, TextHashOps.getClass, "nfc", 1),
     ("graft_zorder", LongType, GeohashOps.getClass, "zorder", 3),
-    ("graft_zorder3", LongType, GeohashOps.getClass, "zorder3", 4))
+    ("graft_zorder3", LongType, GeohashOps.getClass, "zorder3", 4),
+    ("graft_hilbert", LongType, GeohashOps.getClass, "hilbert", 3))
 
   private def builder(dt: DataType, clazz: Class[_], method: String, arity: Int)(
       args: Seq[Expression]): Expression = {

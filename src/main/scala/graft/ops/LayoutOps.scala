@@ -46,6 +46,60 @@ object LayoutOps {
        |  min(z) AS z_min, max(z) AS z_max
        |FROM z GROUP BY 1 ORDER BY z_tile""".stripMargin
 
+  // ---- Hilbert clustering key ----
+  // The locality upgrade of the z-tile layout: consecutive Hilbert
+  // indices are ALWAYS grid-adjacent (Morton order jumps across the
+  // plane at every power-of-two boundary), so a 2-D range scan over a
+  // Hilbert-sorted write touches strictly fewer row groups — the curve
+  // production lakehouse clustering engines favor at scale. Same shape
+  // as `zorder_layout` (one codegen'd integer kernel, per-tile stats) so
+  // the two keys are directly comparable on the same axes. The mirror
+  // transcribes the kernel's masked-rotation walk level by level: the
+  // per-level state (x_k, y_k, d_k) is all non-negative integers, so
+  // each of the `Bits` unrolled CTE stages is plain CASE arithmetic —
+  // bit-for-bit the Spark kernel's op sequence.
+  private def hilbertSqlCtes(x0: String, y0: String): String = {
+    val init =
+      s"""h0 AS (
+         |  SELECT CAST($x0 AS BIGINT) AS x0, CAST($y0 AS BIGINT) AS y0,
+         |    CAST(0 AS BIGINT) AS d0
+         |  FROM events)""".stripMargin
+    // stage k consumes bit i = Bits-1-k; distinct column names per stage —
+    // DuckDB resolves lateral aliases, so reusing `x` would be ambiguous
+    val stages = (0 until Bits).map { k =>
+      val i = Bits - 1 - k
+      val m = (1L << i) - 1
+      val rx = s"((x$k >> $i) & 1)"
+      val ry = s"((y$k >> $i) & 1)"
+      s"""h${k + 1} AS (
+         |  SELECT
+         |    CASE WHEN $ry = 1 THEN x$k & $m
+         |         WHEN $rx = 1 THEN $m - (y$k & $m)
+         |         ELSE y$k & $m END AS x${k + 1},
+         |    CASE WHEN $ry = 1 THEN y$k & $m
+         |         WHEN $rx = 1 THEN $m - (x$k & $m)
+         |         ELSE x$k & $m END AS y${k + 1},
+         |    d$k + ${1L << (2 * i)} * xor(3 * $rx, $ry) AS d${k + 1}
+         |  FROM h$k)""".stripMargin
+    }
+    (init +: stages).mkString(",\n")
+  }
+
+  private def hilbertLayout(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(
+        gf.hilbert(col("event_id") % 700, col("event_id") % 1000, lit(Bits))
+          .as("h"))
+      .groupBy(shiftright(col("h"), 12).as("h_tile"))
+      .agg(count(lit(1)).as("n"), min("h").as("h_min"), max("h").as("h_max"))
+      .orderBy("h_tile")
+
+  private val hilbertLayoutSql =
+    s"""WITH ${hilbertSqlCtes("event_id % 700", "event_id % 1000")}
+       |SELECT d$Bits >> 12 AS h_tile, count(*) AS n,
+       |  min(d$Bits) AS h_min, max(d$Bits) AS h_max
+       |FROM h$Bits GROUP BY 1 ORDER BY h_tile""".stripMargin
+
   // ---- bucketed co-located join ----
   // The other half of the layout story: pre-bucketing both sides of a
   // recurring fact⋈dim join on the join key makes the join shuffle-FREE —
@@ -277,12 +331,14 @@ object LayoutOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_layout" -> (zorderLayout _),
+    "hilbert_layout" -> (hilbertLayout _),
     "bucketed_join" -> (bucketedJoin _),
     "bloom_join" -> (bloomJoin _),
     "dpp_join" -> (dppJoin _))
 
   val oracle: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
+    "hilbert_layout" -> hilbertLayoutSql,
     "bucketed_join" -> bucketedJoinSql,
     "bloom_join" -> bloomJoinSql,
     "dpp_join" -> dppJoinSql)

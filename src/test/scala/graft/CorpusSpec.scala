@@ -27,6 +27,29 @@ class CorpusSpec extends SparkSpec {
       GeohashOps.zorder(x2, y2, 10) >> 12)
   }
 
+  test("hilbert kernel: canonical walk, bijection, unit-step adjacency (the property z-order lacks)") {
+    import GeohashOps.hilbert
+    // order 1: the canonical U — (0,0) (0,1) (1,1) (1,0)
+    assert(hilbert(0, 0, 1) == 0L && hilbert(0, 1, 1) == 1L &&
+      hilbert(1, 1, 1) == 2L && hilbert(1, 0, 1) == 3L)
+    // order 3 (8×8): d is a bijection onto 0..63 and EVERY consecutive
+    // pair of indices is grid-adjacent — z-order jumps at every
+    // power-of-two boundary (e.g. z(1,0)=1 → z(0,1)=2 is a diagonal;
+    // worse at tile seams), which is exactly why Hilbert-sorted layouts
+    // touch fewer row groups per 2-D range scan
+    val byD = (for { x <- 0 until 8; y <- 0 until 8 }
+      yield hilbert(x, y, 3) -> ((x, y))).toMap
+    assert(byD.keySet == (0L until 64L).toSet)
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between d=$d ($x1,$y1) and d=${d + 1} ($x2,$y2)")
+    }
+    // like zorder, only the low `bits` bits of each input are read
+    assert(hilbert(5 + 8, 2, 3) == hilbert(5, 2, 3))
+    assert(hilbert(5, 2 + 16, 3) == hilbert(5, 2, 3))
+  }
+
   test("zorder3 kernel interleaves three axes (x at 3i, y at 3i+1, z at 3i+2)") {
     assert(GeohashOps.zorder3(0, 0, 0, 10) == 0L)
     assert(GeohashOps.zorder3(1, 0, 0, 1) == 1L)

@@ -67,19 +67,27 @@ object SimilarityOps {
     * tail every approximate variant shares — candidate generation carries
     * ids (and codes) only; raw vectors stream through exactly one hash
     * join each, and the tiny query side broadcasts. */
-  private def rankPairs(e: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Exact cosine over a distinct (q_id, c_id) candidate frame — the
+    * shared tail of both ANN query types (top-k rank and radius range):
+    * candidate generation carries ids only; raw vectors stream through
+    * exactly one hash join each, and the tiny query side broadcasts. */
+  private def simPairs(e: DataFrame, pairs: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       col("norm").as("c_norm"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("c_id"))
     pairs.join(broadcast(q), "q_id")
       .join(c, "c_id")
       .select(col("q_id"), col("c_id"),
         (vdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
           .as("cos_sim"))
+  }
+
+  private def rankPairs(e: DataFrame, pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    simPairs(e, pairs)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .orderBy("q_id", "rank")
@@ -88,8 +96,9 @@ object SimilarityOps {
   /** SQL twin of [[rankPairs]]: caller supplies the WITH-clause CTEs that
     * produce a distinct `cand(q_id, c_id)` relation; the tail computes the
     * bit-exact ordered-fold cosine and the same (desc cos, asc id) rank. */
-  private def rankPairsSql(candCtes: String): String =
-    s"""WITH n AS MATERIALIZED ($normedSql),
+  /** SQL twin of [[simPairs]] up through the `sims` CTE. */
+  private def simPairsCtes(candCtes: String): String =
+    s"""n AS MATERIALIZED ($normedSql),
        |$candCtes,
        |sims AS (
        |  SELECT cand.q_id, cand.c_id,
@@ -97,7 +106,10 @@ object SimilarityOps {
        |      AS cos_sim
        |  FROM cand
        |  JOIN n qe ON qe.vec_id = cand.q_id
-       |  JOIN n ce ON ce.vec_id = cand.c_id),
+       |  JOIN n ce ON ce.vec_id = cand.c_id)""".stripMargin
+
+  private def rankPairsSql(candCtes: String): String =
+    s"""WITH ${simPairsCtes(candCtes)},
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos_sim DESC, c_id) AS rank
@@ -684,6 +696,29 @@ object SimilarityOps {
     rankPairs(normed(s, dir), ivfCandidates(s, dir))
 
   private def ivfSql: String = rankPairsSql(ivfCandSql)
+
+  // ---- radius (range) search: ALL neighbors within a similarity bound ----
+  // FAISS range_search parity — the OTHER fundamental ANN query type next
+  // to top-k: near-duplicate audits and "everything semantically this
+  // close" retrieval want the full disc, not a fixed k (a hub query may
+  // hold dozens above the bound, a sparse one none). Same shared IVF
+  // candidate frame, same exact-cosine tail; the bound replaces the rank
+  // window — so the plan carries NO window exchange at all, just the two
+  // id joins and a filter, and output size is data-driven. The recall
+  // caveat is IVF's: the disc is exact over PROBED cells; SimilaritySpec
+  // measures disc recall vs the brute disc rather than assuming it.
+  private[graft] val RangeTau = 0.30
+
+  private def ivfRange(s: SparkSession, dir: String): DataFrame =
+    simPairs(normed(s, dir), ivfCandidates(s, dir))
+      .filter(col("cos_sim") >= RangeTau)
+      .orderBy(col("q_id"), col("cos_sim").desc, col("c_id"))
+
+  private def ivfRangeSql: String =
+    s"""WITH ${simPairsCtes(ivfCandSql)}
+       |SELECT q_id, c_id, cos_sim FROM sims
+       |WHERE cos_sim >= $RangeTau
+       |ORDER BY q_id, cos_sim DESC, c_id""".stripMargin
 
   // ---- filtered ANN: top-k within an attribute predicate ----
   // The production filtered-vector-search shape ("similar items in MY
@@ -2074,6 +2109,7 @@ object SimilarityOps {
     "simsearch_topk" -> (bruteTopK _),
     "simsearch_lsh" -> (lshTopK _),
     "simsearch_ivf" -> (ivfTopK _),
+    "simsearch_range" -> (ivfRange _),
     "simsearch_ivf_filtered" -> (ivfFilteredTopK _),
     "simsearch_ivf_delta" -> (ivfDeltaTopK _),
     "simsearch_mmr" -> (mmrTopK _),
@@ -2096,6 +2132,7 @@ object SimilarityOps {
     "simsearch_topk" -> bruteTopKSql,
     "simsearch_lsh" -> lshSql,
     "simsearch_ivf" -> ivfSql,
+    "simsearch_range" -> ivfRangeSql,
     "simsearch_ivf_filtered" -> ivfFilteredSql,
     "simsearch_ivf_delta" -> ivfDeltaSql,
     "simsearch_mmr" -> mmrSql,

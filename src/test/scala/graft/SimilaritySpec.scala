@@ -210,6 +210,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"filtered recall@5 $recall%.2f below 0.7")
   }
 
+  test("range search: bound holds, results lie in the brute disc, disc recall measured") {
+    val tau = graft.ops.SimilarityOps.RangeTau
+    val emb = graft.Tables(spark, sf0001, "embeddings")
+      .collect().map(x => (x.getAs[Long]("vec_id"),
+        x.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val got = SparkEntry.queries("simsearch_range")(spark, sf0001)
+      .collect().map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("c_id"),
+        x.getAs[Double]("cos_sim")))
+    assert(got.nonEmpty)
+    got.foreach { case (q, c, s) =>
+      assert(s >= tau, s"($q,$c) below the bound: $s") }
+    // epsilon margins absorb the spec-local double fold vs the engine
+    // kernel's op order at the disc boundary
+    val eps = 1e-6
+    val discWide = (for {
+      (q, qe) <- emb if q < 8
+      (c, ce) <- emb if c != q && cos(qe, ce) >= tau - eps
+    } yield (q, c)).toSet
+    got.foreach { case (q, c, _) =>
+      assert(discWide((q, c)), s"($q,$c) outside the brute disc") }
+    val discTight = (for {
+      (q, qe) <- emb if q < 8
+      (c, ce) <- emb if c != q && cos(qe, ce) >= tau + eps
+    } yield (q, c)).toSet
+    val pairs = got.map(x => (x._1, x._2)).toSet
+    val recall = (discTight & pairs).size.toDouble / discTight.size
+    info(f"range-search disc recall = $recall%.2f (disc size ${discTight.size})")
+    assert(recall >= 0.7, f"disc recall $recall%.2f below 0.7")
+  }
+
   test("incremental IVF delta equals the full index build (frozen quantizer)") {
     // union-of-assignments over a partition of the vectors IS the full
     // assignment under a frozen quantizer — the maintenance contract

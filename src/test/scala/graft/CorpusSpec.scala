@@ -50,6 +50,25 @@ class CorpusSpec extends SparkSpec {
     assert(hilbert(5, 2 + 16, 3) == hilbert(5, 2, 3))
   }
 
+  test("layout_prune_stats: identical selection, valid bounds, hilbert never touches more groups") {
+    val rows = SparkEntry.queries("layout_prune_stats")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("hilbert", "zorder"))
+    val (hg, ht, hb) = rows("hilbert"); val (zg, zt, zb) = rows("zorder")
+    // the layout permutes rows, never the data: same groups, same box hits
+    assert(hg == zg && hb == zb)
+    // touched is at least the information-theoretic floor (the box rows
+    // must live SOMEWHERE) and at most everything
+    val floor = (hb + 127) / 128
+    assert(ht >= floor && zt >= floor && ht <= hg && zt <= zg)
+    // the claim the operator exists to measure: the jump-free curve's
+    // bounding boxes never lose to Morton's (strict wins appear once
+    // groups are fine relative to the grid — 146 vs 154 at sf1; ties at
+    // spec scale are honest, a hilbert loss is a bug)
+    assert(ht <= zt, s"hilbert touched $ht > zorder $zt")
+  }
+
   test("zorder3 kernel interleaves three axes (x at 3i, y at 3i+1, z at 3i+2)") {
     assert(GeohashOps.zorder3(0, 0, 0, 10) == 0L)
     assert(GeohashOps.zorder3(1, 0, 0, 1) == 1L)

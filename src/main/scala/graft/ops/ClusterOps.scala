@@ -212,6 +212,42 @@ object ClusterOps {
        |${aOf("km_nf", "km_af")}""".stripMargin
   }
 
+  // ---- per-cluster curation quota (cluster-balanced sampling) ----
+  // The D4/DataComp step after SemDeDup: cap what any one semantic
+  // region contributes to the training mix — dense regions are
+  // redundant, rare regions carry the diversity signal. Per k-means
+  // cell, rank documents by quality (n_chars DESC, doc_id tiebreak — a
+  // total order, deterministic in both engines) and keep the top
+  // [[QuotaPerCell]]. Blocked by the SHARED kmFit assignment — the same
+  // cells dedup_semantic prunes within — so curation and dedup agree on
+  // what "a semantic region" is. Scale shape: one cell-partitioned rank
+  // window over |corpus| rows; nothing global, nothing quadratic.
+  private val QuotaPerCell = 40
+
+  private def clusterQuota(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cell")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    assigned(s, dir).select(col("vec_id").as("doc_id"), col("cell"))
+      .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cell").cast("int").as("cell"),
+        col("n_chars"), col("rk").cast("int").as("rk"),
+        (col("rk") <= QuotaPerCell).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val clusterQuotaSql =
+    s"""WITH $kmCtes,
+       |cq AS (
+       |  SELECT a.vec_id AS doc_id, CAST(a.cell AS INT) AS cell, d.n_chars,
+       |    CAST(row_number() OVER (PARTITION BY a.cell
+       |      ORDER BY d.n_chars DESC, a.vec_id) AS INT) AS rk
+       |  FROM km_af a JOIN documents d ON d.doc_id = a.vec_id)
+       |SELECT doc_id, cell, n_chars, rk, rk <= $QuotaPerCell AS kept
+       |FROM cq ORDER BY doc_id""".stripMargin
+
   private val embedKmeansSql =
     s"""WITH $kmCtes
        |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
@@ -240,9 +276,11 @@ object ClusterOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_kmeans" -> (embedKmeans _),
+    "cluster_quota" -> (clusterQuota _),
     "dedup_semantic" -> (dedupSemantic _))
 
   val oracle: Map[String, String] = Map(
     "embed_kmeans" -> embedKmeansSql,
+    "cluster_quota" -> clusterQuotaSql,
     "dedup_semantic" -> dedupSemanticSql)
 }

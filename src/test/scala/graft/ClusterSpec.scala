@@ -26,6 +26,28 @@ class ClusterSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("cluster_quota keeps the per-cell quality top-Q, consistent with the kmeans assignment") {
+    val quota = SparkEntry.queries("cluster_quota")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getBoolean(4)))
+    val km = SparkEntry.queries("embed_kmeans")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(quota.length == km.size) // one verdict per document
+    // cells agree with the shared fit, kept <=> rank within quota
+    quota.foreach { case (id, cell, _, rk, kept) =>
+      assert(cell == km(id), s"doc $id cell $cell != kmeans ${km(id)}")
+      assert(kept == (rk <= 40), s"doc $id kept flag inconsistent")
+    }
+    // within each cell: ranks are 1..n and ordered by (n_chars desc, id)
+    quota.groupBy(_._2).foreach { case (cell, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rows.length))
+      val resorted = rows.sortBy(r => (-r._3, r._1))
+      assert(resorted.map(_._1).toSeq == byRank.map(_._1).toSeq,
+        s"cell $cell rank order is not (n_chars desc, doc_id)")
+    }
+  }
+
   test("dedup_semantic drops are a subset of the brute-force anchor") {
     val sem = SparkEntry.queries("dedup_semantic")(spark, sf0001)
       .select("drop_id", "keep_id").as[(Long, Long)].collect().toSet

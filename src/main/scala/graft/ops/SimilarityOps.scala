@@ -2105,6 +2105,63 @@ object SimilarityOps {
        |FROM embeddings e, m
        |ORDER BY vec_id, comp""".stripMargin
 
+  // ---- index-quality report: recall of every ANN variant vs the anchor ----
+  // The vector-store QA dashboard, computed in-engine: for each index
+  // family, what fraction of the true top-K does it return? Production
+  // stores publish exactly this (FAISS's recall@k tables) before
+  // switching index types or retuning probe counts. Each leg IS the
+  // corresponding catalog query — one definition, composed — joined
+  // against the guarded brute anchor; recall is integer-discretized
+  // (hits·1e6 div possible) so the report hash-matches cross-engine.
+  // The anchor keeps its ExactAnchorGuard: past the guard this report is
+  // exactly the operation you run on a SAMPLE, never the full corpus.
+  private def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val brute = bruteTopK(s, dir).select(col("q_id"), col("c_id"))
+    val legs = Seq(
+      "ivf" -> ivfTopK(s, dir), "ivfopq" -> ivfOpqTopK(s, dir),
+      "ivfpq" -> ivfPqTopK(s, dir), "ivfrq" -> ivfRqTopK(s, dir),
+      "lsh" -> lshTopK(s, dir))
+      .map { case (n, df) =>
+        df.select(lit(n).as("index_type"), col("q_id"), col("c_id")) }
+      .reduce(_ unionAll _)
+    // 1-row denominator side (the documented bounds/totals broadcast)
+    val possible = brute.groupBy().agg(count(lit(1)).as("possible"))
+    legs.join(brute.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .groupBy("index_type")
+      .agg(count(lit(1)).as("returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .crossJoin(broadcast(possible))
+      .select(col("index_type"), col("returned"), col("hits"),
+        col("possible"),
+        expr("(hits * 1000000) div possible").as("recall_ppm"))
+      .orderBy("index_type")
+  }
+
+  private def annRecallReportSql: String = {
+    val legsSel = Seq("ivf" -> ivfSql, "ivfopq" -> ivfOpqSql,
+      "ivfpq" -> ivfPqSql, "ivfrq" -> ivfRqSql, "lsh" -> lshSql)
+      .map { case (n, q) =>
+        s"SELECT '$n' AS index_type, q_id, c_id FROM (\n$q\n)" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH legs AS MATERIALIZED ($legsSel),
+       |brute AS MATERIALIZED (
+       |  SELECT q_id, c_id FROM (
+       |$bruteTopKSql
+       |)),
+       |tot AS (SELECT count(*) AS possible FROM brute)
+       |SELECT l.index_type,
+       |  CAST(count(*) AS BIGINT) AS returned,
+       |  CAST(sum(CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hits,
+       |  CAST(any_value(tot.possible) AS BIGINT) AS possible,
+       |  CAST(sum(CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // any_value(tot.possible) AS BIGINT) AS recall_ppm
+       |FROM legs l
+       |LEFT JOIN brute b ON b.q_id = l.q_id AND b.c_id = l.c_id
+       |CROSS JOIN tot
+       |GROUP BY l.index_type ORDER BY l.index_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_topk" -> (bruteTopK _),
     "simsearch_lsh" -> (lshTopK _),
@@ -2123,7 +2180,8 @@ object SimilarityOps {
     "knn_components" -> (knnComponents _),
     "knn_keep_best" -> (knnKeepBest _),
     "embed_pca" -> (embedPca _),
-    "embed_centroids" -> (embedCentroids _))
+    "embed_centroids" -> (embedCentroids _),
+    "ann_recall_report" -> (annRecallReport _))
 
   // def, not val: the approximate-family mirrors embed the persisted-frame
   // paths recorded when the queries last ran (Verify dumps oracle SQL
@@ -2146,5 +2204,6 @@ object SimilarityOps {
     "knn_components" -> knnComponentsSql,
     "knn_keep_best" -> knnKeepBestSql,
     "embed_pca" -> embedPcaSql,
-    "embed_centroids" -> embedCentroidsSql)
+    "embed_centroids" -> embedCentroidsSql,
+    "ann_recall_report" -> annRecallReportSql)
 }

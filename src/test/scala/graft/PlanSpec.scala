@@ -87,7 +87,8 @@ class PlanSpec extends SparkSpec {
     // histogram bounds, mixture totals, PQ/IVF model-free brute ranking) —
     // every other catalog entry must keep an equi-join shape. A new
     // operator accidentally joining without keys fails here by default.
-    val bruteAnchors = Set("simsearch_topk", "dedup_embedding_exact")
+    val bruteAnchors = Set("simsearch_topk", "dedup_embedding_exact",
+      "ann_recall_report") // embeds the guarded brute anchor + 1-row total
     val oneRowBounds = Set("resample_locf", "sample_stratified",
       "mixture_weights", "value_histogram", "date_range",
       "text_collocations", "tfidf_topk", "pagerank", "triangle_count",

@@ -210,6 +210,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"filtered recall@5 $recall%.2f below 0.7")
   }
 
+  test("ann_recall_report: per-leg arithmetic closes and recalls sit in the pinned bands") {
+    val r = SparkEntry.queries("ann_recall_report")(spark, sf0001)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r.keySet == Set("ivf", "ivfopq", "ivfpq", "ivfrq", "lsh"))
+    r.foreach { case (leg, (returned, hits, possible, ppm)) =>
+      assert(returned == possible, s"$leg returned $returned != $possible")
+      assert(hits >= 0 && hits <= possible)
+      assert(ppm == hits * 1000000L / possible, s"$leg ppm drifted")
+    }
+    // consistent with each leg's own pinned recall floor
+    assert(r("ivf")._4 >= 700000L && r("lsh")._4 >= 700000L)
+  }
+
   test("range search: bound holds, results lie in the brute disc, disc recall measured") {
     val tau = graft.ops.SimilarityOps.RangeTau
     val emb = graft.Tables(spark, sf0001, "embeddings")

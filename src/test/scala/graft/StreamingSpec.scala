@@ -494,6 +494,77 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming heavy hitters in exact mode reproduce the batch vocab_topk counts") {
+    import graft.streaming.TopkMonitor
+    val dir = Files.createTempDirectory("graft-ss").toString
+    val docs = Tables(spark, sf0001, "documents").select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = spark.readStream
+        .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+      // capacity far above per-shard distinct: the exact mode
+      val q = TopkMonitor.heavyHitters(feed, "text", shards = 8,
+          capacity = 1 << 14)
+        .writeStream.format("memory").queryName("sss").outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        docs.filter(col("doc_id") % 2 === 1)
+          .coalesce(1).write.parquet(s"$dir/b2")
+        q.processAllAvailable()
+        val merged = TopkMonitor.latest(spark.table("sss")).collect()
+          .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+        assert(merged.forall(_._3 == 0L), "exact mode must carry err = 0")
+        val streamTop = merged.sortBy { case (t, e, _) => (-e, t) }.take(25)
+          .map { case (t, e, _) => (t, e) }.toSeq
+        val batchTop = SparkEntry.queries("vocab_topk")(spark, sf0001)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(streamTop == batchTop,
+          s"stream top-25 $streamTop\n!= batch $batchTop")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("space-saving under eviction keeps its error bounds and every true heavy hitter") {
+    import graft.streaming.TopkMonitor
+    val dir = Files.createTempDirectory("graft-ssb").toString
+    import spark.implicits._
+    // skewed single-shard stream: one dominant token, a mid token, and a
+    // long singleton tail that forces constant eviction at capacity 4
+    val words = Seq.fill(50)("heavy") ++ Seq.fill(9)("mid") ++
+      (0 until 30).map(i => f"rare$i%02d")
+    val truth = words.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+      .write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = spark.readStream
+        .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+      val q = TopkMonitor.heavyHitters(feed, "text", shards = 1, capacity = 4)
+        .writeStream.format("memory").queryName("ssb").outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        val sum = TopkMonitor.latest(spark.table("ssb")).collect()
+          .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        assert(sum.length <= 4, s"summary overflowed: ${sum.length}")
+        val n = sum.head._4
+        assert(n == words.length.toLong)
+        sum.foreach { case (t, est, err, _) =>
+          val tru = truth.getOrElse(t, 0L)
+          assert(est >= tru && est - err <= tru,
+            s"$t: est $est err $err vs true $tru")
+        }
+        // SpaceSaving guarantee: anything above n/capacity is retained
+        truth.filter(_._2 > n / 4).keys.foreach { hh =>
+          assert(sum.exists(_._1 == hh), s"lost heavy hitter $hh") }
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming Holt-Winters state is bit-identical to the batch events_hw fold") {
     import graft.streaming.HwMonitor
     val dir = Files.createTempDirectory("graft-hw-s").toString

@@ -468,6 +468,55 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ---- tokenizer fertility report ----
+  // The tokenizer-QA table every training org keeps: per (source, lang),
+  // how many TRAINED-BPE tokens a word costs (fertility) and how many
+  // chars a token carries — the numbers that decide whether a tokenizer
+  // is retrained before a run and which corpora inflate the token bill.
+  // Uses the REAL post-merge counts (the shared content-cached fit +
+  // shuffle-free kernel fold, same as bpe_encode/tokenize_pack), not the
+  // regex pre-token proxy. Ratios are integer-ppm (div, null on an
+  // empty denominator) so the report hash-matches cross-engine. Scale
+  // shape: one stateless encode projection + one low-cardinality agg.
+  private def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFit(s, dir)
+    val toks0 = filter(split(col("text"), " "), x => x =!= lit(""))
+    val encoded = merges.foldLeft(toks0) { case (c, (_, l, r, _)) =>
+      gf.bpe_merge(c, lit(l), lit(r))
+    }
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        size(toks0).cast("long").as("w"),
+        size(encoded).cast("long").as("bp"), col("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("bp")).as("n_bpe"), sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe"), col("n_chars"),
+        expr("(n_bpe * 1000000) div nullif(n_words, 0)")
+          .as("tok_per_word_ppm"),
+        expr("(n_chars * 1000000) div nullif(n_bpe, 0)")
+          .as("chars_per_tok_ppm"))
+      .orderBy("source", "lang")
+  }
+
+  private val tokenizerFertilitySql: String =
+    s"""WITH ${bpeCtes(finalRewrite = true)},
+       |fert AS (
+       |  SELECT d.source, d.lang, len(t0.toks) AS w, len(te.toks) AS bp,
+       |    d.n_chars AS ch
+       |  FROM t0 JOIN t$BpeMerges te USING (doc_id)
+       |  JOIN documents d USING (doc_id))
+       |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(w) AS BIGINT) AS n_words,
+       |  CAST(sum(bp) AS BIGINT) AS n_bpe,
+       |  CAST(sum(ch) AS BIGINT) AS n_chars,
+       |  CAST(sum(bp) * 1000000 // nullif(CAST(sum(w) AS BIGINT), 0)
+       |    AS BIGINT) AS tok_per_word_ppm,
+       |  CAST(sum(ch) * 1000000 // nullif(CAST(sum(bp) AS BIGINT), 0)
+       |    AS BIGINT) AS chars_per_tok_ppm
+       |FROM fert GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   // ---- bigram language-model quality score ----
   // The curation signal a pipeline runs before anything neural: train an
   // add-one-smoothed word-bigram LM on the corpus itself, score each doc
@@ -1373,6 +1422,7 @@ object CorpusOps {
     "bpe_encode" -> (bpeEncode _),
     "bpe_vocab" -> (bpeVocab _),
     "tokenize_pack" -> (tokenizePack _),
+    "tokenizer_fertility" -> (tokenizerFertility _),
     "source_quota" -> (sourceQuota _),
     "url_canon" -> (urlCanon _),
     "dedup_url" -> (dedupUrl _),
@@ -1397,6 +1447,7 @@ object CorpusOps {
     "bpe_encode" -> bpeEncodeSql,
     "bpe_vocab" -> bpeVocabSql,
     "tokenize_pack" -> tokenizePackSql,
+    "tokenizer_fertility" -> tokenizerFertilitySql,
     "source_quota" -> sourceQuotaSql,
     "url_canon" -> urlCanonSql,
     "dedup_url" -> dedupUrlSql,

@@ -50,6 +50,31 @@ class CorpusSpec extends SparkSpec {
     assert(hilbert(5, 2 + 16, 3) == hilbert(5, 2, 3))
   }
 
+  test("tokenizer_fertility reconciles with bpe_encode doc totals") {
+    val fert = SparkEntry.queries("tokenizer_fertility")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    val meta = Tables(spark, sf0001, "documents")
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    val enc = SparkEntry.queries("bpe_encode")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = enc.groupBy(e => (meta(e._1)._1, meta(e._1)._2))
+      .map { case (k, rs) =>
+        k -> ((rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum,
+          rs.map(e => meta(e._1)._3).sum)) }
+    assert(fert.keySet == expect.keySet)
+    fert.foreach { case (k, (docs, words, bpe, chars, tpw, cpt)) =>
+      val (ed, ew, eb, ec) = expect(k)
+      assert((docs, words, bpe, chars) == ((ed, ew, eb, ec)),
+        s"$k totals drifted")
+      assert(tpw == bpe * 1000000L / words && cpt == chars * 1000000L / bpe,
+        s"$k ppm arithmetic drifted")
+    }
+  }
+
   test("layout_prune_stats: identical selection, valid bounds, hilbert never touches more groups") {
     val rows = SparkEntry.queries("layout_prune_stats")(spark, sf0001)
       .collect().map(r => r.getString(0) ->

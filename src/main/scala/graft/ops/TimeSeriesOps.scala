@@ -593,9 +593,96 @@ object TimeSeriesOps {
        |FROM st ORDER BY user_id""".stripMargin
   }
 
+  // ---- CUSUM change-point detection (Page 1954, tabular form) ----
+  // The drift detector next to the smoothing family: per key, one-sided
+  // cumulative sums
+  //   S⁺ = max(0, S⁺ + (x − μ − K)),  S⁻ = max(0, S⁻ + (μ − K − x))
+  // with the textbook allowance K = σ/2 and decision interval H = 4σ;
+  // an alarm fires when either side exceeds H and BOTH sides reset
+  // (restart detection — each alarm marks a fresh regime). μ and σ
+  // derive from the key's ORDERED value fold (mean and second moment
+  // folded over the same (ts, event_id)-sorted list both engines build),
+  // so every double — moments, gains, the fold itself — replays the
+  // identical IEEE sequence. σ = 0 (constant series) degrades to
+  // K = H = 0 with both sums pinned at 0 and `>` never firing: no
+  // alarms, no 0/0. Scale shape: one per-key ordered aggregate, O(1)
+  // state per step, no joins.
+  private def cusum(s: SparkSession, dir: String): DataFrame = {
+    val sp = "greatest(CAST(0.0 AS DOUBLE), element_at(acc, 1) + (v - mu - (0.5 * sd)))"
+    val sm = "greatest(CAST(0.0 AS DOUBLE), element_at(acc, 2) + (mu - (0.5 * sd) - v))"
+    val alarm = s"($sp > (4.0 * sd) OR $sm > (4.0 * sd))"
+    t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("value")))).as("ps"))
+      .withColumn("vs", expr("transform(ps, p -> p.value)"))
+      .withColumn("mu", expr(
+        "aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x) / size(vs)"))
+      .withColumn("sd", expr(
+        """sqrt(greatest(CAST(0.0 AS DOUBLE),
+             aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)
+               / size(vs) - mu * mu))"""))
+      .withColumn("st", expr(
+        s"""aggregate(vs,
+             array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+               CAST(0.0 AS DOUBLE)),
+             (acc, v) -> array(
+               CASE WHEN $alarm THEN CAST(0.0 AS DOUBLE) ELSE $sp END,
+               CASE WHEN $alarm THEN CAST(0.0 AS DOUBLE) ELSE $sm END,
+               element_at(acc, 3)
+                 + CASE WHEN $alarm THEN 1.0 ELSE 0.0 END))"""))
+      .select(col("user_id"), col("n_events"),
+        expr("CAST(element_at(st, 3) AS BIGINT)").as("n_alarms"),
+        expr("element_at(st, 1)").as("s_plus"),
+        expr("element_at(st, 2)").as("s_minus"))
+      .orderBy("user_id")
+  }
+
+  // List accumulator ([sp, sm, alarms]), values wrapped as singleton
+  // lists — the holtSql discipline; every arithmetic term textually
+  // mirrors the Spark lambda so the IEEE sequences agree.
+  private val cusumSql = {
+    val sp = "greatest(CAST(0.0 AS DOUBLE), acc[1] + (x[1] - mu - (0.5 * sd)))"
+    val sm = "greatest(CAST(0.0 AS DOUBLE), acc[2] + (mu - (0.5 * sd) - x[1]))"
+    val alarm = s"($sp > (4.0 * sd) OR $sm > (4.0 * sd))"
+    s"""WITH o AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |    list(value ORDER BY ts, event_id) AS vs
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT user_id, n_events, vs,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+       |      (a, x) -> a + x) / len(vs) AS mu
+       |  FROM o),
+       |sdv AS (
+       |  SELECT user_id, n_events, vs, mu,
+       |    sqrt(greatest(CAST(0.0 AS DOUBLE),
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+       |        (a, x) -> a + x * x) / len(vs) - mu * mu)) AS sd
+       |  FROM m),
+       |st AS (
+       |  SELECT user_id, n_events,
+       |    list_reduce(
+       |      list_prepend(
+       |        [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+       |        list_transform(vs, v -> [v])),
+       |      (acc, x) -> [
+       |        CASE WHEN $alarm THEN CAST(0.0 AS DOUBLE) ELSE $sp END,
+       |        CASE WHEN $alarm THEN CAST(0.0 AS DOUBLE) ELSE $sm END,
+       |        acc[3] + CASE WHEN $alarm THEN 1.0 ELSE 0.0 END]) AS s
+       |  FROM sdv)
+       |SELECT user_id, n_events, CAST(s[3] AS BIGINT) AS n_alarms,
+       |  s[1] AS s_plus, s[2] AS s_minus
+       |FROM st ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_holt" -> (holt _),
     "events_hw" -> (holtWinters _),
+    "events_cusum" -> (cusum _),
     "window_range" -> (windowRange _),
     "value_histogram" -> (valueHistogram _),
     "funnel" -> (funnel _),
@@ -609,6 +696,7 @@ object TimeSeriesOps {
   val oracle: Map[String, String] = Map(
     "events_holt" -> holtSql,
     "events_hw" -> holtWintersSql,
+    "events_cusum" -> cusumSql,
     "window_range" -> windowRangeSql,
     "value_histogram" -> valueHistogramSql,
     "funnel" -> funnelSql,

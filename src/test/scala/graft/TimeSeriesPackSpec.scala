@@ -272,6 +272,33 @@ class TimeSeriesPackSpec extends SparkSpec {
     assert(r(4L) == ((42.0, 0.0, 0.0, 42.0)))
   }
 
+  test("events_cusum: a planted mean shift alarms, a constant series never does") {
+    import spark.implicits._
+    // user 1: 30 points at 10 then 30 points at 30 — a textbook level
+    // shift. With sd computed over the WHOLE series (both regimes), the
+    // shift magnitude (≈2 sd) clears the K = sd/2 allowance quickly and
+    // S+ crosses H = 4 sd within the second regime. user 2: constant —
+    // sd = 0 degrades K = H = 0 and the strict > never fires.
+    val shift = (0 until 60).map(i =>
+      (i.toLong, 1L, if (i < 30) 10.0 else 30.0))
+    val const = (0 until 40).map(i => (100L + i, 2L, 7.5))
+    (shift ++ const).toDF("event_id", "user_id", "value")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+      .withColumn("event_type", lit("x")).withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(s"$dir3/events.parquet")
+    val r = SparkEntry.queries("events_cusum")(spark, dir3).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Long]("n_alarms"), x.getAs[Double]("s_plus"),
+          x.getAs[Double]("s_minus")))).toMap
+    assert(r(1L)._1 >= 1L, s"planted shift raised no alarm: ${r(1L)}")
+    assert(r(2L) == ((0L, 0.0, 0.0)), s"constant series drifted: ${r(2L)}")
+    // sums are non-negative by construction
+    r.values.foreach { case (_, sp, sm) => assert(sp >= 0.0 && sm >= 0.0) }
+  }
+
   private lazy val dir2: String =
     java.nio.file.Files.createTempDirectory("graft-hw").toString
+
+  private lazy val dir3: String =
+    java.nio.file.Files.createTempDirectory("graft-cusum").toString
 }

@@ -54,15 +54,23 @@ object CompactOps {
   /** Z-order key over the GeoParquet bbox corner: quantize lon/lat onto a
     * 2^ZBits grid and Morton-interleave. Uses the covering struct the
     * enrich step already wrote, so it works on any geo table. */
-  private def geoZKey: org.apache.spark.sql.Column = {
+  private def geoCurveKey(curve: String): org.apache.spark.sql.Column = {
     def q(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
       least(greatest(
         floor((c - lit(lo)) / lit(hi - lo) * lit((1 << ZBits) - 1)), lit(0.0)),
         lit(((1 << ZBits) - 1).toDouble)).cast("int")
-    graft.expr.functions.zorder(
-      q(col("bbox.xmin"), -180.0, 180.0),
-      q(col("bbox.ymin"), -90.0, 90.0), lit(ZBits))
+    val (x, y) = (q(col("bbox.xmin"), -180.0, 180.0),
+      q(col("bbox.ymin"), -90.0, 90.0))
+    curve match {
+      // the jump-free curve: tighter per-file/per-row-group bboxes than
+      // Morton (layout_prune_stats quantifies the gap at query time)
+      case "hilbert" => graft.expr.functions.hilbert(x, y, lit(ZBits))
+      case "zorder"  => graft.expr.functions.zorder(x, y, lit(ZBits))
+      case other => throw new IllegalArgumentException(
+        s"unknown geo curve '$other' (zorder|hilbert)")
+    }
   }
+
 
   /** Compact `inPath` into `targetFiles` zstd files. Geo tables (those
     * carrying the `bbox` covering struct) default to a z-ordered layout:
@@ -76,7 +84,7 @@ object CompactOps {
     * `sortCols` (or `zorderGeo=false`) opts out. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFiles: Int = 1, sortCols: Seq[String] = Nil,
-      zorderGeo: Boolean = true): Unit = {
+      zorderGeo: Boolean = true, geoCurve: String = "zorder"): Unit = {
     val df = spark.read.parquet(inPath)
     // the z path reads bbox.xmin/ymin — engage it only when they exist
     // and are numeric, so an unrelated table that happens to carry a
@@ -92,9 +100,10 @@ object CompactOps {
     val arranged =
       if (sortCols.nonEmpty)
         df.coalesce(targetFiles).sortWithinPartitions(sortCols.map(col): _*)
-      else if (zorderGeo && isGeo)
-        df.repartitionByRange(targetFiles, geoZKey).sortWithinPartitions(geoZKey)
-      else df.coalesce(targetFiles)
+      else if (zorderGeo && isGeo) {
+        val k = geoCurveKey(geoCurve)
+        df.repartitionByRange(targetFiles, k).sortWithinPartitions(k)
+      } else df.coalesce(targetFiles)
     arranged.write
       .option("compression", "zstd")
       .option("parquet.compression.codec.zstd.level", ZstdLevel.toString)

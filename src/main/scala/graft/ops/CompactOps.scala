@@ -85,6 +85,10 @@ object CompactOps {
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFiles: Int = 1, sortCols: Seq[String] = Nil,
       zorderGeo: Boolean = true, geoCurve: String = "zorder"): Unit = {
+    // validate eagerly: a typo'd curve must fail on EVERY invocation, not
+    // only when the geo layout branch happens to engage
+    require(Set("zorder", "hilbert")(geoCurve),
+      s"unknown geo curve '$geoCurve' (zorder|hilbert)")
     val df = spark.read.parquet(inPath)
     // the z path reads bbox.xmin/ymin — engage it only when they exist
     // and are numeric, so an unrelated table that happens to carry a

@@ -453,12 +453,22 @@ object CorpusOps {
   // compression a tokenizer buys) and an md5 fingerprint of the encoded
   // sequence, so the oracle compares the full encoding exactly without
   // shipping the sequences through the driver compare.
-  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+  /** The ONE definition of the encode projection: empty-filtered space
+    * split folded through the learned merges (mirrors the t0 CTE +
+    * rewrite chain). Every op that consumes encoded tokens builds on
+    * this pair so a tokenization change cannot silently diverge one. */
+  private def bpeEncodedCols(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val merges = bpeFit(s, dir)
     val toks0 = filter(split(col("text"), " "), x => x =!= lit(""))
     val encoded = merges.foldLeft(toks0) { case (c, (_, l, r, _)) =>
       gf.bpe_merge(c, lit(l), lit(r))
     }
+    (toks0, encoded)
+  }
+
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (toks0, encoded) = bpeEncodedCols(s, dir)
     t(s, dir, "documents")
       .select(col("doc_id"), toks0.as("toks0"), encoded.as("enc"))
       .select(col("doc_id"),
@@ -475,15 +485,16 @@ object CorpusOps {
   // is retrained before a run and which corpora inflate the token bill.
   // Uses the REAL post-merge counts (the shared content-cached fit +
   // shuffle-free kernel fold, same as bpe_encode/tokenize_pack), not the
-  // regex pre-token proxy. Ratios are integer-ppm (div, null on an
-  // empty denominator) so the report hash-matches cross-engine. Scale
-  // shape: one stateless encode projection + one low-cardinality agg.
+  // regex pre-token proxy. Ratios are integer-ppm, computed as
+  // floor(double ratio) of the exact BIGINT sums: the sums stay four
+  // orders below int64 at 100 TB, but the naive ×1e6 PRODUCT would not
+  // (2.5e13 tokens × 1e6 > 2^63, where Spark wraps and DuckDB widens —
+  // an engine divergence), so the scale-up happens in DOUBLE with the
+  // identical IEEE op sequence on both sides. Null on an empty
+  // denominator. Scale shape: one stateless encode projection + one
+  // low-cardinality agg.
   private def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeFit(s, dir)
-    val toks0 = filter(split(col("text"), " "), x => x =!= lit(""))
-    val encoded = merges.foldLeft(toks0) { case (c, (_, l, r, _)) =>
-      gf.bpe_merge(c, lit(l), lit(r))
-    }
+    val (toks0, encoded) = bpeEncodedCols(s, dir)
     t(s, dir, "documents")
       .select(col("source"), col("lang"),
         size(toks0).cast("long").as("w"),
@@ -493,9 +504,11 @@ object CorpusOps {
         sum(col("bp")).as("n_bpe"), sum(col("n_chars")).as("n_chars"))
       .select(col("source"), col("lang"), col("n_docs"), col("n_words"),
         col("n_bpe"), col("n_chars"),
-        expr("(n_bpe * 1000000) div nullif(n_words, 0)")
+        expr("""CAST(floor(CAST(n_bpe AS DOUBLE) * 1000000.0
+                 / nullif(CAST(n_words AS DOUBLE), 0.0)) AS BIGINT)""")
           .as("tok_per_word_ppm"),
-        expr("(n_chars * 1000000) div nullif(n_bpe, 0)")
+        expr("""CAST(floor(CAST(n_chars AS DOUBLE) * 1000000.0
+                 / nullif(CAST(n_bpe AS DOUBLE), 0.0)) AS BIGINT)""")
           .as("chars_per_tok_ppm"))
       .orderBy("source", "lang")
   }
@@ -511,9 +524,11 @@ object CorpusOps {
        |  CAST(sum(w) AS BIGINT) AS n_words,
        |  CAST(sum(bp) AS BIGINT) AS n_bpe,
        |  CAST(sum(ch) AS BIGINT) AS n_chars,
-       |  CAST(sum(bp) * 1000000 // nullif(CAST(sum(w) AS BIGINT), 0)
+       |  CAST(floor(CAST(CAST(sum(bp) AS BIGINT) AS DOUBLE) * 1000000.0
+       |    / nullif(CAST(CAST(sum(w) AS BIGINT) AS DOUBLE), 0.0))
        |    AS BIGINT) AS tok_per_word_ppm,
-       |  CAST(sum(ch) * 1000000 // nullif(CAST(sum(bp) AS BIGINT), 0)
+       |  CAST(floor(CAST(CAST(sum(ch) AS BIGINT) AS DOUBLE) * 1000000.0
+       |    / nullif(CAST(CAST(sum(bp) AS BIGINT) AS DOUBLE), 0.0))
        |    AS BIGINT) AS chars_per_tok_ppm
        |FROM fert GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
@@ -1069,11 +1084,7 @@ object CorpusOps {
   private[graft] val BpeVocabK = 50
 
   private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeFit(s, dir)
-    val toks0 = filter(split(col("text"), " "), x => x =!= lit(""))
-    val encoded = merges.foldLeft(toks0) { case (c, (_, l, r, _)) =>
-      gf.bpe_merge(c, lit(l), lit(r))
-    }
+    val (_, encoded) = bpeEncodedCols(s, dir)
     t(s, dir, "documents")
       .select(col("doc_id"), explode(encoded).as("sym"))
       .groupBy("sym")
@@ -1104,11 +1115,7 @@ object CorpusOps {
   private val PackBudget = 2048L
 
   private def tokenizePack(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeFit(s, dir)
-    val toks0 = filter(split(col("text"), " "), x => x =!= lit(""))
-    val encoded = merges.foldLeft(toks0) { case (c, (_, l, r, _)) =>
-      gf.bpe_merge(c, lit(l), lit(r))
-    }
+    val (_, encoded) = bpeEncodedCols(s, dir)
     val d = t(s, dir, "documents").select(col("doc_id"),
       gf.fingerprint(col("text")).as("fp"),
       size(encoded).cast("long").as("n_bpe"))

@@ -113,7 +113,10 @@ object LayoutOps {
   // over the ≤2^8-row bucket-count frame (bounded, broadcast back). At
   // 100 TB that is one range-shuffle plus bucket-local sorts — the same
   // cost as performing the clustered write itself.
-  private val PruneG = 128 // simulated rows per row group (2^7)
+  /** Simulated rows per row group = 2^PruneShift; the shift is the one
+    * source of truth — the Spark plan, the SQL mirror, and the spec's
+    * floor arithmetic all derive from it. */
+  private[graft] val PruneShift = 7
 
   // The experiment needs cell occupancy at the CURVE's resolution: on the
   // %700/%1000 axes a 10× corpus packs >G rows into every cell, groups
@@ -151,7 +154,7 @@ object LayoutOps {
         .withColumn("rn", row_number().over(
           Window.partitionBy("b").orderBy("k", "tie")).cast("long")
           + col("off") - 1L)
-        .withColumn("g", shiftright(col("rn"), 7))
+        .withColumn("g", shiftright(col("rn"), PruneShift))
     }
     val both = ranked("hilbert",
         gf.hilbert(col("px"), col("py"), lit(Bits)))
@@ -189,7 +192,7 @@ object LayoutOps {
        |    row_number() OVER (PARTITION BY layout ORDER BY k, tie) - 1 AS rn
        |  FROM keyed JOIN ax USING (tie)),
        |grps AS (
-       |  SELECT layout, rn >> 7 AS g,
+       |  SELECT layout, rn >> $PruneShift AS g,
        |    min(px) AS x1, max(px) AS x2, min(py) AS y1, max(py) AS y2,
        |    sum(CASE WHEN px BETWEEN 100 AND 200 AND py BETWEEN 300 AND 450
        |             THEN 1 ELSE 0 END) AS inbox

@@ -62,11 +62,6 @@ object SimilarityOps {
   private def reRegisterO(dir: String, subs: String*): Unit =
     subs.foreach(sub => oraclePaths.put(sub, ContentKey.oraclePath(dir, sub)))
 
-  /** Exact-cosine top-k over a distinct (q_id, c_id) candidate frame: both
-    * sides re-join the vector table by id. This is the compressed-index
-    * tail every approximate variant shares — candidate generation carries
-    * ids (and codes) only; raw vectors stream through exactly one hash
-    * join each, and the tiny query side broadcasts. */
   /** Exact cosine over a distinct (q_id, c_id) candidate frame — the
     * shared tail of both ANN query types (top-k rank and radius range):
     * candidate generation carries ids only; raw vectors stream through
@@ -93,10 +88,9 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  /** SQL twin of [[rankPairs]]: caller supplies the WITH-clause CTEs that
-    * produce a distinct `cand(q_id, c_id)` relation; the tail computes the
-    * bit-exact ordered-fold cosine and the same (desc cos, asc id) rank. */
-  /** SQL twin of [[simPairs]] up through the `sims` CTE. */
+  /** SQL twin of [[simPairs]] up through the `sims` CTE: caller supplies
+    * the WITH-clause CTEs producing a distinct `cand(q_id, c_id)`
+    * relation; the tail computes the bit-exact ordered-fold cosine. */
   private def simPairsCtes(candCtes: String): String =
     s"""n AS MATERIALIZED ($normedSql),
        |$candCtes,
@@ -2116,7 +2110,12 @@ object SimilarityOps {
   // The anchor keeps its ExactAnchorGuard: past the guard this report is
   // exactly the operation you run on a SAMPLE, never the full corpus.
   private def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the anchor: it feeds BOTH the hit join and the
+    // denominator, and re-running the corpus-wide exact scan twice is
+    // the report's whole cost; the frame is NQueries·TopK rows (the
+    // mirror's `brute AS MATERIALIZED` is the same move)
     val brute = bruteTopK(s, dir).select(col("q_id"), col("c_id"))
+      .localCheckpoint()
     val legs = Seq(
       "ivf" -> ivfTopK(s, dir), "ivfopq" -> ivfOpqTopK(s, dir),
       "ivfpq" -> ivfPqTopK(s, dir), "ivfrq" -> ivfRqTopK(s, dir),

@@ -70,7 +70,9 @@ class CorpusSpec extends SparkSpec {
       val (ed, ew, eb, ec) = expect(k)
       assert((docs, words, bpe, chars) == ((ed, ew, eb, ec)),
         s"$k totals drifted")
-      assert(tpw == bpe * 1000000L / words && cpt == chars * 1000000L / bpe,
+      // the op scales in DOUBLE (the 100 TB-safe path) — mirror that here
+      assert(tpw == math.floor(bpe.toDouble * 1e6 / words).toLong &&
+        cpt == math.floor(chars.toDouble * 1e6 / bpe).toLong,
         s"$k ppm arithmetic drifted")
     }
   }
@@ -85,7 +87,8 @@ class CorpusSpec extends SparkSpec {
     assert(hg == zg && hb == zb)
     // touched is at least the information-theoretic floor (the box rows
     // must live SOMEWHERE) and at most everything
-    val floor = (hb + 127) / 128
+    val g = 1L << graft.ops.LayoutOps.PruneShift
+    val floor = (hb + g - 1) / g
     assert(ht >= floor && zt >= floor && ht <= hg && zt <= zg)
     // the claim the operator exists to measure: the jump-free curve's
     // bounding boxes never lose to Morton's (strict wins appear once

@@ -122,6 +122,89 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("split", "lang")
 
+  // ---- split drift check ----
+  // The audit run right after the content-addressed split: does each
+  // heldout split's (source, lang) composition match train's? A skewed
+  // val set silently mis-ranks checkpoints, so pipelines gate on exactly
+  // this. Per non-train split: a G-test statistic (2·Σ O·ln(O/E), E
+  // scaled from train's shares) in the LmScale fixed-point discipline —
+  // ln differs by ulps across engines, so each stratum's contribution
+  // rounds to an integer ×1e4 and the SUM is exact BIGINT arithmetic;
+  // plus the count of novel strata (present here, absent in train — the
+  // red flag G cannot see) and the max per-stratum share deviation in
+  // ppm. Scale shape: one groupBy over strata (tiny), a broadcast join
+  // back to train's counts, and a 1-row totals side.
+  private def splitDrift(s: SparkSession, dir: String): DataFrame = {
+    val strata = t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        (gf.fingerprint(col("text")) % 100).as("bucket"))
+      .withColumn("split", when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("split", "source", "lang").agg(count(lit(1)).as("o"))
+    val train = strata.filter(col("split") === "train")
+      .select(col("source"), col("lang"), col("o").as("t"))
+    val totals = strata.groupBy("split").agg(sum(col("o")).as("n_split"))
+    // 1-row train-total side (the documented bounds/totals broadcast)
+    val ntr = totals.filter(col("split") === "train")
+      .select(col("n_split").as("n_train"))
+    strata.filter(col("split") =!= "train")
+      .join(broadcast(train), Seq("source", "lang"), "left")
+      .join(broadcast(totals), "split")
+      .crossJoin(broadcast(ntr))
+      .withColumn("contrib_fp", when(col("t").isNotNull, expr(
+        """CAST(round(20000.0 * o * ln((CAST(o AS DOUBLE) * n_train)
+             / (CAST(n_split AS DOUBLE) * t))) AS BIGINT)"""))
+        .otherwise(lit(0L)))
+      .withColumn("dev_ppm", expr(
+        """CAST(floor(abs(CAST(o AS DOUBLE) / n_split
+             - CAST(coalesce(t, 0) AS DOUBLE) / n_train) * 1000000.0)
+           AS BIGINT)"""))
+      .groupBy("split")
+      .agg(max(col("n_split")).as("n_split"),
+        count(lit(1)).as("n_strata"),
+        sum(when(col("t").isNull, 1L).otherwise(0L)).as("novel_strata"),
+        sum(col("contrib_fp")).as("g_fp"),
+        max(col("dev_ppm")).as("max_dev_ppm"))
+      .orderBy("split")
+  }
+
+  private val splitDriftSql =
+    s"""WITH b AS (
+       |  SELECT source, lang,
+       |    ${TextOps.fingerprintFoldSql("text")} % 100 AS bucket
+       |  FROM documents),
+       |st AS (
+       |  SELECT CASE WHEN bucket < 80 THEN 'train'
+       |              WHEN bucket < 90 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    source, lang, count(*) AS o
+       |  FROM b GROUP BY 1, 2, 3),
+       |tr AS (SELECT source, lang, o AS t FROM st WHERE split = 'train'),
+       |tot AS (SELECT split, CAST(sum(o) AS BIGINT) AS n_split
+       |        FROM st GROUP BY split),
+       |ntr AS (SELECT n_split AS n_train FROM tot WHERE split = 'train'),
+       |j AS (
+       |  SELECT st.split, st.o, tr.t, tot.n_split, ntr.n_train,
+       |    CASE WHEN tr.t IS NOT NULL THEN
+       |      CAST(round(20000.0 * st.o * ln((CAST(st.o AS DOUBLE) * ntr.n_train)
+       |        / (CAST(tot.n_split AS DOUBLE) * tr.t))) AS BIGINT)
+       |    ELSE 0 END AS contrib_fp,
+       |    CAST(floor(abs(CAST(st.o AS DOUBLE) / tot.n_split
+       |      - CAST(COALESCE(tr.t, 0) AS DOUBLE) / ntr.n_train) * 1000000.0)
+       |      AS BIGINT) AS dev_ppm
+       |  FROM st
+       |  LEFT JOIN tr USING (source, lang)
+       |  JOIN tot USING (split)
+       |  CROSS JOIN ntr
+       |  WHERE st.split <> 'train')
+       |SELECT split, max(n_split) AS n_split,
+       |  CAST(count(*) AS BIGINT) AS n_strata,
+       |  CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS novel_strata,
+       |  CAST(sum(contrib_fp) AS BIGINT) AS g_fp,
+       |  max(dev_ppm) AS max_dev_ppm
+       |FROM j GROUP BY split ORDER BY split""".stripMargin
+
   private val sampleSplitSql =
     s"""WITH b AS (
        |  SELECT lang, ${TextOps.fingerprintFoldSql("text")} % 100 AS bucket
@@ -1420,6 +1503,7 @@ object CorpusOps {
     "text_normalize" -> (normalize _),
     "pii_redact" -> (piiRedact _),
     "sample_split" -> (sampleSplit _),
+    "split_drift" -> (splitDrift _),
     "shuffle_export" -> (shuffleExport _),
     "vocab_topk" -> (vocabTopK _),
     "tfidf_topk" -> (tfidfTopK _),
@@ -1446,6 +1530,7 @@ object CorpusOps {
     "text_normalize" -> normalizeSql,
     "pii_redact" -> piiRedactSql,
     "sample_split" -> sampleSplitSql,
+    "split_drift" -> splitDriftSql,
     "shuffle_export" -> shuffleExportSql,
     "vocab_topk" -> vocabTopKSql,
     "tfidf_topk" -> tfidfTopKSql,

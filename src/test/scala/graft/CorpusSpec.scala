@@ -50,6 +50,44 @@ class CorpusSpec extends SparkSpec {
     assert(hilbert(5, 2 + 16, 3) == hilbert(5, 2, 3))
   }
 
+  test("split_drift G-statistic and deviations match an in-memory recomputation") {
+    import org.apache.spark.sql.functions._
+    val strata = Tables(spark, sf0001, "documents")
+      .select(col("source"), col("lang"),
+        (graft.expr.functions.fingerprint(col("text")) % 100).as("b"))
+      .collect().map { r =>
+        val split = if (r.getLong(2) < 80) "train"
+          else if (r.getLong(2) < 90) "val" else "test"
+        (split, r.getString(0), r.getString(1))
+      }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val train = strata.collect { case ((s, src, l), c) if s == "train" =>
+      (src, l) -> c }.toMap
+    val nTrain = train.values.sum
+    def halfUp(x: Double): Long =
+      new java.math.BigDecimal(x).setScale(0,
+        java.math.RoundingMode.HALF_UP).longValueExact()
+    val got = SparkEntry.queries("split_drift")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set("test", "val"))
+    Seq("test", "val").foreach { sp =>
+      val mine = strata.collect { case ((s, src, l), c) if s == sp =>
+        (src, l) -> c }
+      val n = mine.map(_._2).sum
+      val g = mine.map { case (k, o) => train.get(k).map(t =>
+        halfUp(20000.0 * o * math.log(o.toDouble * nTrain / (n.toDouble * t))))
+        .getOrElse(0L) }.sum
+      val novel = mine.count { case (k, _) => !train.contains(k) }
+      val maxDev = mine.map { case (k, o) => math.floor(math.abs(
+        o.toDouble / n - train.getOrElse(k, 0L).toDouble / nTrain) * 1e6).toLong }.max
+      val (gn, gStrata, gNovel, gg, gDev) = got(sp)
+      assert((gn, gStrata.toInt, gNovel.toInt) == ((n, mine.size, novel)),
+        s"$sp counts drifted")
+      assert(gg == g, s"$sp G: engine $gg vs recomputed $g")
+      assert(gDev == maxDev, s"$sp max_dev: engine $gDev vs $maxDev")
+    }
+  }
+
   test("tokenizer_fertility reconciles with bpe_encode doc totals") {
     val fert = SparkEntry.queries("tokenizer_fertility")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getString(1)) ->

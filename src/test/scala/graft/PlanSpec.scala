@@ -101,7 +101,8 @@ class PlanSpec extends SparkSpec {
       "sampling_plan", // wraps domain_reweight's 1-row sides
       "bm25_search", // 1-row (nd, avgdl) corpus side
       "bm25_chunks", // same 1-row corpus side, chunk-keyed
-      "search_hybrid_rrf") // lexical leg wraps bm25's 1-row corpus side
+      "search_hybrid_rrf", // lexical leg wraps bm25's 1-row corpus side
+      "split_drift") // 1-row train-total side
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !bruteAnchors(name) && !oneRowBounds(name)) {
       val p = plan(name)

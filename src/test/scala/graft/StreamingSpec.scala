@@ -565,6 +565,59 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming CUSUM with batch-moment baselines is bit-identical to events_cusum") {
+    import graft.streaming.CusumMonitor
+    val dir = Files.createTempDirectory("graft-cusum-s").toString
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+    // frozen baselines = each key's own moments via the batch op's exact
+    // fold order (ordered sum, ordered sum of squares) — under this
+    // baseline the streaming fold must reproduce the batch op verbatim
+    val baseline = ev.collect()
+      .map(r => (r.getLong(0).toString, r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .groupBy(_._1).map { case (k, rows) =>
+        val vs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+        val mu = vs.foldLeft(0.0)(_ + _) / vs.length
+        val m2 = vs.foldLeft(0.0)((a, x) => a + x * x) / vs.length
+        k -> ((mu, math.sqrt(math.max(0.0, m2 - mu * mu))))
+      }
+    val split = ev.agg(expr("percentile_approx(us, 0.5)")).collect()(0).getLong(0)
+    ev.filter(col("us") <= split).drop("us").write.parquet(s"$dir/b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = spark.readStream
+        .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
+      val q = CusumMonitor.cusum(feed, "user_id", "ts", "event_id", "value",
+          baseline)
+        .writeStream.format("memory").queryName("scusum").outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        ev.filter(col("us") > split).drop("us")
+          .coalesce(1).write.parquet(s"$dir/b2")
+        q.processAllAvailable()
+        val streamed = spark.table("scusum").collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))))
+          .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+        val batch = SparkEntry.queries("events_cusum")(spark, sf0001).collect()
+          .map(r => r.getLong(0).toString -> ((r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4)))).toMap
+        assert(streamed.keySet == batch.keySet)
+        def bits(x: Double) = java.lang.Double.doubleToRawLongBits(x)
+        streamed.foreach { case (k, (n, al, sp, sm)) =>
+          val (bn, bal, bsp, bsm) = batch(k)
+          assert(n == bn && al == bal, s"key $k: ($n,$al) vs ($bn,$bal)")
+          assert(bits(sp) == bits(bsp) && bits(sm) == bits(bsm),
+            s"key $k: streaming ($sp,$sm) != batch ($bsp,$bsm)")
+        }
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming Holt-Winters state is bit-identical to the batch events_hw fold") {
     import graft.streaming.HwMonitor
     val dir = Files.createTempDirectory("graft-hw-s").toString

@@ -1126,9 +1126,13 @@ object CorpusOps {
        |  FROM $bp, (SELECT CAST(sum(r0) AS BIGINT) AS r0s FROM r$i), nn),""".stripMargin
   }
 
-  private def qualityClassifierSql: String = {
+  /** Shared mirror chain of the classifier fit + final scoring (tk → f →
+    * unrolled GD rounds → fin(doc_id, y, n_toks, z)) — the ONE replay of
+    * the training loop; the classifier output and the calibration audit
+    * both build on it. */
+  private def qcCtes: String = {
     val rounds = (1 to QcIters).map(qcRoundSql).mkString("\n")
-    s"""WITH tk AS MATERIALIZED (
+    s"""tk AS MATERIALIZED (
        |  SELECT doc_id, CASE WHEN source = '$TargetSrc' THEN 1 ELSE 0 END AS y,
        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
        |  FROM documents),
@@ -1149,13 +1153,77 @@ object CorpusOps {
        |  FROM (SELECT f.doc_id, y, n_toks,
        |          CAST(sum(w.w * f.cnt) AS BIGINT) AS zs
        |        FROM f JOIN w$QcIters w USING (b) GROUP BY 1, 2, 3)
-       |  CROSS JOIN b$QcIters)
+       |  CROSS JOIN b$QcIters)""".stripMargin
+  }
+
+  private def qualityClassifierSql: String =
+    s"""WITH $qcCtes
        |SELECT d.doc_id, d.source, fin.y, round(z, 6) AS score,
        |  round(1 / (1 + exp(-z)), 6) AS prob,
        |  CASE WHEN round(1 / (1 + exp(-z)), 6) > 0.5 THEN 1 ELSE 0 END AS pred
        |FROM documents d JOIN fin USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- classifier calibration audit (reliability diagram) ----
+  // The MLOps gate on the quality classifier before its scores steer
+  // curation: per equal-width confidence bin, predicted-probability mass
+  // vs realized label rate — a mis-calibrated classifier silently skews
+  // every downstream quota/threshold. Determinism: probabilities become
+  // exact micro-integers FIRST (they are already round-6, so ×1e6 +
+  // round is lossless), making the per-bin sums exact BIGINT arithmetic;
+  // the acc/conf ppm ratios then scale in DOUBLE with identical IEEE ops
+  // (the tokenizer_fertility overflow rule). Bins are RANGE-ADAPTIVE —
+  // ten equal slices of [0, max observed probability] — because a
+  // low-base-rate classifier concentrates all mass in a narrow band and
+  // fixed [0,1) deciles would collapse to one bin (measured: 1 bin on
+  // this corpus); ten equal slices of the OBSERVED [min, max] via exact
+  // integer arithmetic off a 1-row broadcast spread the diagram across
+  // the band the classifier actually uses. Scale shape: one scoring
+  // pass + a ≤10-key aggregate.
+  private def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val (w, bias) = qcFit(s, dir)
+    val scored = qcScored(qcFeatures(s, dir), w, bias)
+      .select(col("y"),
+        expr("CAST(round(p * 1000000.0) AS BIGINT)").as("p_micro"))
+    val bounds = scored.groupBy().agg(max(col("p_micro")).as("mx"),
+      min(col("p_micro")).as("mn"))
+    scored.crossJoin(broadcast(bounds)) // 1-row bounds side
+      .withColumn("bin",
+        expr("CAST(least(((p_micro - mn) * 10) div (mx - mn + 1), 9) AS INT)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"),
+        sum(col("p_micro")).as("conf_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("CAST(floor(CAST(n_pos AS DOUBLE) * 1000000.0 / n) AS BIGINT)")
+          .as("acc_ppm"),
+        expr("CAST(floor(CAST(conf_sum AS DOUBLE) / n) AS BIGINT)")
+          .as("conf_ppm"))
+      .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
+      .orderBy("bin")
   }
+
+  private def qualityCalibrationSql: String =
+    s"""WITH $qcCtes,
+       |cal AS (
+       |  SELECT y, CAST(round(round(1 / (1 + exp(-z)), 6) * 1000000.0)
+       |    AS BIGINT) AS p_micro
+       |  FROM fin),
+       |mxx AS (SELECT CAST(max(p_micro) AS BIGINT) AS mx,
+       |               CAST(min(p_micro) AS BIGINT) AS mn FROM cal),
+       |bins AS (
+       |  SELECT CAST(least(((p_micro - mn) * 10) // (mx - mn + 1), 9) AS INT)
+       |    AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS n_pos,
+       |    CAST(sum(p_micro) AS BIGINT) AS conf_sum
+       |  FROM cal CROSS JOIN mxx GROUP BY 1)
+       |SELECT bin, n, n_pos,
+       |  CAST(floor(CAST(n_pos AS DOUBLE) * 1000000.0 / n) AS BIGINT)
+       |    AS acc_ppm,
+       |  CAST(floor(CAST(conf_sum AS DOUBLE) / n) AS BIGINT) AS conf_ppm,
+       |  abs(CAST(floor(CAST(n_pos AS DOUBLE) * 1000000.0 / n) AS BIGINT)
+       |    - CAST(floor(CAST(conf_sum AS DOUBLE) / n) AS BIGINT)) AS gap_ppm
+       |FROM bins ORDER BY bin""".stripMargin
 
   // ---- BPE vocabulary (post-merge symbol frequencies) ----
   // The artifact shipped with a trained tokenizer: the symbol vocabulary
@@ -1495,6 +1563,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_classifier" -> (qualityClassifier _),
+    "quality_calibration" -> (qualityCalibration _),
     "domain_reweight" -> (domainReweight _),
     "sampling_plan" -> (samplingPlan _),
     "importance_weights" -> (importanceWeights _),
@@ -1522,6 +1591,7 @@ object CorpusOps {
 
   val oracle: Map[String, String] = Map(
     "quality_classifier" -> qualityClassifierSql,
+    "quality_calibration" -> qualityCalibrationSql,
     "domain_reweight" -> domainReweightSql,
     "sampling_plan" -> samplingPlanSql,
     "importance_weights" -> importanceWeightsSql,

@@ -88,6 +88,34 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("quality_calibration matches an in-memory reliability recomputation") {
+    val probs = SparkEntry.queries("quality_classifier")(spark, sf0001)
+      .collect().map(r => (r.getAs[Int]("y"), r.getAs[Double]("prob")))
+    val micro = probs.map { case (y, p) => (y, math.round(p * 1e6)) }
+    val (mn, mx) = (micro.map(_._2).min, micro.map(_._2).max)
+    val expect = micro.groupBy { case (_, pm) =>
+        math.min((pm - mn) * 10 / (mx - mn + 1), 9L).toInt }
+      .map { case (b, rs) =>
+        val n = rs.length.toLong
+        val pos = rs.map(_._1.toLong).sum
+        val conf = rs.map(_._2).sum
+        b -> ((n, pos, math.floor(pos.toDouble * 1e6 / n).toLong,
+          math.floor(conf.toDouble / n).toLong))
+      }
+    val got = SparkEntry.queries("quality_calibration")(spark, sf0001)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (b, (n, pos, acc, conf, gap)) =>
+      val (en, epos, eacc, econf) = expect(b)
+      assert((n, pos, acc, conf) == ((en, epos, eacc, econf)),
+        s"bin $b drifted: got ($n,$pos,$acc,$conf) vs ($en,$epos,$eacc,$econf)")
+      assert(gap == math.abs(acc - conf))
+    }
+    // bin mass conserves the corpus
+    assert(got.values.map(_._1).sum == probs.length.toLong)
+  }
+
   test("tokenizer_fertility reconciles with bpe_encode doc totals") {
     val fert = SparkEntry.queries("tokenizer_fertility")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getString(1)) ->

@@ -102,7 +102,8 @@ class PlanSpec extends SparkSpec {
       "bm25_search", // 1-row (nd, avgdl) corpus side
       "bm25_chunks", // same 1-row corpus side, chunk-keyed
       "search_hybrid_rrf", // lexical leg wraps bm25's 1-row corpus side
-      "split_drift") // 1-row train-total side
+      "split_drift", // 1-row train-total side
+      "quality_calibration") // 1-row observed-max bounds side
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !bruteAnchors(name) && !oneRowBounds(name)) {
       val p = plan(name)

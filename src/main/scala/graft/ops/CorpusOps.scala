@@ -130,28 +130,42 @@ object CorpusOps {
   // scaled from train's shares) in the LmScale fixed-point discipline —
   // ln differs by ulps across engines, so each stratum's contribution
   // rounds to an integer ×1e4 and the SUM is exact BIGINT arithmetic;
-  // plus the count of novel strata (present here, absent in train — the
-  // red flag G cannot see) and the max per-stratum share deviation in
-  // ppm. Scale shape: one groupBy over strata (tiny), a broadcast join
-  // back to train's counts, and a 1-row totals side.
+  // plus the counts G cannot see: novel strata (present here, absent in
+  // train) AND missing strata (present in train, absent here — a val
+  // split that silently dropped a whole train stratum is the worst
+  // drift, and an O = 0 row contributes nothing to G). The stratum
+  // universe is therefore split-strata ∪ train-strata; max share
+  // deviation covers both directions. Scale shape: ONE corpus scan into
+  // a schema-bounded strata frame (≤ splits·sources·langs rows — the
+  // bounded driver-side allowance, like the kmeans centroid fit); all
+  // tail arithmetic runs on that literal frame in-engine, so the
+  // fixed-point ln stays the engines' own.
   private def splitDrift(s: SparkSession, dir: String): DataFrame = {
-    val strata = t(s, dir, "documents")
+    val strataRows = t(s, dir, "documents")
       .select(col("source"), col("lang"),
         (gf.fingerprint(col("text")) % 100).as("bucket"))
       .withColumn("split", when(col("bucket") < 80, "train")
         .when(col("bucket") < 90, "val").otherwise("test"))
       .groupBy("split", "source", "lang").agg(count(lit(1)).as("o"))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    import s.implicits._
+    val strata = strataRows.toSeq.toDF("split", "source", "lang", "o")
     val train = strata.filter(col("split") === "train")
       .select(col("source"), col("lang"), col("o").as("t"))
     val totals = strata.groupBy("split").agg(sum(col("o")).as("n_split"))
-    // 1-row train-total side (the documented bounds/totals broadcast)
     val ntr = totals.filter(col("split") === "train")
       .select(col("n_split").as("n_train"))
-    strata.filter(col("split") =!= "train")
-      .join(broadcast(train), Seq("source", "lang"), "left")
+    val obs = strata.filter(col("split") =!= "train")
+      .select(col("split"), col("source"), col("lang"), col("o"))
+    // universe = observed strata ∪ (each split × train strata): a train
+    // stratum with no rows in the split must surface as o = 0
+    val trainExp = obs.select("split").distinct().crossJoin(broadcast(train))
+    obs.join(trainExp, Seq("split", "source", "lang"), "full_outer")
+      .select(col("split"), coalesce(col("o"), lit(0L)).as("o"), col("t"))
       .join(broadcast(totals), "split")
       .crossJoin(broadcast(ntr))
-      .withColumn("contrib_fp", when(col("t").isNotNull, expr(
+      .withColumn("contrib_fp", when(col("t").isNotNull && col("o") > 0, expr(
         """CAST(round(20000.0 * o * ln((CAST(o AS DOUBLE) * n_train)
              / (CAST(n_split AS DOUBLE) * t))) AS BIGINT)"""))
         .otherwise(lit(0L)))
@@ -163,6 +177,7 @@ object CorpusOps {
       .agg(max(col("n_split")).as("n_split"),
         count(lit(1)).as("n_strata"),
         sum(when(col("t").isNull, 1L).otherwise(0L)).as("novel_strata"),
+        sum(when(col("o") === 0L, 1L).otherwise(0L)).as("missing_strata"),
         sum(col("contrib_fp")).as("g_fp"),
         max(col("dev_ppm")).as("max_dev_ppm"))
       .orderBy("split")
@@ -173,34 +188,49 @@ object CorpusOps {
        |  SELECT source, lang,
        |    ${TextOps.fingerprintFoldSql("text")} % 100 AS bucket
        |  FROM documents),
-       |st AS (
+       |-- MATERIALIZED: referenced by tr, tot, obs
+       |st AS MATERIALIZED (
        |  SELECT CASE WHEN bucket < 80 THEN 'train'
        |              WHEN bucket < 90 THEN 'val'
        |              ELSE 'test' END AS split,
        |    source, lang, count(*) AS o
        |  FROM b GROUP BY 1, 2, 3),
-       |tr AS (SELECT source, lang, o AS t FROM st WHERE split = 'train'),
-       |tot AS (SELECT split, CAST(sum(o) AS BIGINT) AS n_split
-       |        FROM st GROUP BY split),
+       |tr AS MATERIALIZED (
+       |  SELECT source, lang, o AS t FROM st WHERE split = 'train'),
+       |tot AS MATERIALIZED (
+       |  SELECT split, CAST(sum(o) AS BIGINT) AS n_split
+       |  FROM st GROUP BY split),
        |ntr AS (SELECT n_split AS n_train FROM tot WHERE split = 'train'),
+       |obs AS (SELECT split, source, lang, o FROM st WHERE split <> 'train'),
+       |-- universe = observed strata FULL OUTER (each split x train strata):
+       |-- a train stratum with no rows in the split must surface as o = 0
+       |texp AS (
+       |  SELECT sp.split, tr.source, tr.lang, tr.t
+       |  FROM (SELECT DISTINCT split FROM obs) sp CROSS JOIN tr),
+       |u AS (
+       |  SELECT COALESCE(obs.split, texp.split) AS split,
+       |    COALESCE(obs.o, 0) AS o, texp.t
+       |  FROM obs FULL OUTER JOIN texp
+       |    ON obs.split = texp.split AND obs.source = texp.source
+       |    AND obs.lang = texp.lang),
        |j AS (
-       |  SELECT st.split, st.o, tr.t, tot.n_split, ntr.n_train,
-       |    CASE WHEN tr.t IS NOT NULL THEN
-       |      CAST(round(20000.0 * st.o * ln((CAST(st.o AS DOUBLE) * ntr.n_train)
-       |        / (CAST(tot.n_split AS DOUBLE) * tr.t))) AS BIGINT)
+       |  SELECT u.split, u.o, u.t, tot.n_split, ntr.n_train,
+       |    CASE WHEN u.t IS NOT NULL AND u.o > 0 THEN
+       |      CAST(round(20000.0 * u.o * ln((CAST(u.o AS DOUBLE) * ntr.n_train)
+       |        / (CAST(tot.n_split AS DOUBLE) * u.t))) AS BIGINT)
        |    ELSE 0 END AS contrib_fp,
-       |    CAST(floor(abs(CAST(st.o AS DOUBLE) / tot.n_split
-       |      - CAST(COALESCE(tr.t, 0) AS DOUBLE) / ntr.n_train) * 1000000.0)
+       |    CAST(floor(abs(CAST(u.o AS DOUBLE) / tot.n_split
+       |      - CAST(COALESCE(u.t, 0) AS DOUBLE) / ntr.n_train) * 1000000.0)
        |      AS BIGINT) AS dev_ppm
-       |  FROM st
-       |  LEFT JOIN tr USING (source, lang)
+       |  FROM u
        |  JOIN tot USING (split)
-       |  CROSS JOIN ntr
-       |  WHERE st.split <> 'train')
+       |  CROSS JOIN ntr)
        |SELECT split, max(n_split) AS n_split,
        |  CAST(count(*) AS BIGINT) AS n_strata,
        |  CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
        |    AS novel_strata,
+       |  CAST(sum(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS missing_strata,
        |  CAST(sum(contrib_fp) AS BIGINT) AS g_fp,
        |  max(dev_ppm) AS max_dev_ppm
        |FROM j GROUP BY split ORDER BY split""".stripMargin
@@ -1204,7 +1234,9 @@ object CorpusOps {
 
   private def qualityCalibrationSql: String =
     s"""WITH $qcCtes,
-       |cal AS (
+       |-- MATERIALIZED: referenced by mxx and bins — a plain CTE would
+       |-- inline the whole fin scoring join per reference
+       |cal AS MATERIALIZED (
        |  SELECT y, CAST(round(round(1 / (1 + exp(-z)), 6) * 1000000.0)
        |    AS BIGINT) AS p_micro
        |  FROM fin),

@@ -607,10 +607,16 @@ object TimeSeriesOps {
   // K = H = 0 with both sums pinned at 0 and `>` never firing: no
   // alarms, no 0/0. Scale shape: one per-key ordered aggregate, O(1)
   // state per step, no joins.
+  /** CUSUM gains, shared with [[graft.streaming.CusumMonitor]] (the
+    * HoltA/B twin discipline — a retune here must reach the streaming
+    * twin or the bit-identity contract silently breaks). Dyadic. */
+  private[graft] val CusumK = 0.5 // allowance, in sigmas
+  private[graft] val CusumH = 4.0 // decision interval, in sigmas
+
   private def cusum(s: SparkSession, dir: String): DataFrame = {
-    val sp = "greatest(CAST(0.0 AS DOUBLE), element_at(acc, 1) + (v - mu - (0.5 * sd)))"
-    val sm = "greatest(CAST(0.0 AS DOUBLE), element_at(acc, 2) + (mu - (0.5 * sd) - v))"
-    val alarm = s"($sp > (4.0 * sd) OR $sm > (4.0 * sd))"
+    val sp = s"greatest(CAST(0.0 AS DOUBLE), element_at(acc, 1) + (v - mu - ($CusumK * sd)))"
+    val sm = s"greatest(CAST(0.0 AS DOUBLE), element_at(acc, 2) + (mu - ($CusumK * sd) - v))"
+    val alarm = s"($sp > ($CusumH * sd) OR $sm > ($CusumH * sd))"
     t(s, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("value"))
@@ -645,9 +651,9 @@ object TimeSeriesOps {
   // lists — the holtSql discipline; every arithmetic term textually
   // mirrors the Spark lambda so the IEEE sequences agree.
   private val cusumSql = {
-    val sp = "greatest(CAST(0.0 AS DOUBLE), acc[1] + (x[1] - mu - (0.5 * sd)))"
-    val sm = "greatest(CAST(0.0 AS DOUBLE), acc[2] + (mu - (0.5 * sd) - x[1]))"
-    val alarm = s"($sp > (4.0 * sd) OR $sm > (4.0 * sd))"
+    val sp = s"greatest(CAST(0.0 AS DOUBLE), acc[1] + (x[1] - mu - ($CusumK * sd)))"
+    val sm = s"greatest(CAST(0.0 AS DOUBLE), acc[2] + (mu - ($CusumK * sd) - x[1]))"
+    val alarm = s"($sp > ($CusumH * sd) OR $sm > ($CusumH * sd))"
     s"""WITH o AS (
        |  SELECT user_id, count(*) AS n_events,
        |    list(value ORDER BY ts, event_id) AS vs

@@ -20,8 +20,12 @@ case class CusumState(n: Long, sp: Double, sm: Double, alarms: Long)
   * (μ, σ) — i.e. the baseline window IS the series — the streaming
   * (n_alarms, s_plus, s_minus) after batch k is BIT-IDENTICAL to
   * `events_cusum` over the union of batches 1..k. StreamingSpec pins
-  * exactly that. σ = 0 keys degrade alarm-free (K = H = 0, strict `>`
-  * never fires), matching the batch op.
+  * exactly that. σ = 0 keys (a constant baseline window) degrade
+  * alarm-free like the batch op; keys with NO baseline at all are
+  * counted but never scored — a frozen-baseline monitor cannot
+  * meaningfully standardize an unseen key (the naive μ = σ = 0 default
+  * would alarm on every nonzero arrival), so new keys surface via
+  * n_events with zero sums/alarms until a baseline refit includes them.
   */
 class CusumProcessor(params: Map[String, (Double, Double)])
     extends StatefulProcessor[String, (String, Long, Long, Double),
@@ -36,21 +40,27 @@ class CusumProcessor(params: Map[String, (Double, Double)])
   override def handleInputRows(key: String,
       rows: Iterator[(String, Long, Long, Double)],
       timers: TimerValues): Iterator[(String, Long, Long, Double, Double)] = {
-    val (mu, sd) = params.getOrElse(key, (0.0, 0.0))
-    val k = 0.5 * sd
-    val h = 4.0 * sd
     val sorted = rows.toArray.sortBy(r => (r._2, r._3))
     if (sorted.isEmpty) Iterator.empty
     else {
       var st = if (state.exists()) state.get() else CusumState(0L, 0.0, 0.0, 0L)
-      for ((_, _, _, v) <- sorted) {
-        // the batch lambda's op sequence, one step per arrival
-        val sp = math.max(0.0, st.sp + (v - mu - k))
-        val sm = math.max(0.0, st.sm + (mu - k - v))
-        val alarm = sp > h || sm > h
-        st = CusumState(st.n + 1,
-          if (alarm) 0.0 else sp, if (alarm) 0.0 else sm,
-          st.alarms + (if (alarm) 1L else 0L))
+      params.get(key) match {
+        case Some((mu, sd)) =>
+          // the batch lambda's op sequence, one step per arrival; gains
+          // are the shared batch constants, not copies
+          val k = graft.ops.TimeSeriesOps.CusumK * sd
+          val h = graft.ops.TimeSeriesOps.CusumH * sd
+          for ((_, _, _, v) <- sorted) {
+            val sp = math.max(0.0, st.sp + (v - mu - k))
+            val sm = math.max(0.0, st.sm + (mu - k - v))
+            val alarm = sp > h || sm > h
+            st = CusumState(st.n + 1,
+              if (alarm) 0.0 else sp, if (alarm) 0.0 else sm,
+              st.alarms + (if (alarm) 1L else 0L))
+          }
+        case None =>
+          // no baseline: count only (see the class doc) — never score
+          st = st.copy(n = st.n + sorted.length)
       }
       state.update(st)
       Iterator.single((key, st.n, st.alarms, st.sp, st.sm))

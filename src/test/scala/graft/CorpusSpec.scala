@@ -68,21 +68,29 @@ class CorpusSpec extends SparkSpec {
         java.math.RoundingMode.HALF_UP).longValueExact()
     val got = SparkEntry.queries("split_drift")(spark, sf0001).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))).toMap
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
     assert(got.keySet == Set("test", "val"))
     Seq("test", "val").foreach { sp =>
-      val mine = strata.collect { case ((s, src, l), c) if s == sp =>
-        (src, l) -> c }
-      val n = mine.map(_._2).sum
-      val g = mine.map { case (k, o) => train.get(k).map(t =>
-        halfUp(20000.0 * o * math.log(o.toDouble * nTrain / (n.toDouble * t))))
-        .getOrElse(0L) }.sum
-      val novel = mine.count { case (k, _) => !train.contains(k) }
-      val maxDev = mine.map { case (k, o) => math.floor(math.abs(
-        o.toDouble / n - train.getOrElse(k, 0L).toDouble / nTrain) * 1e6).toLong }.max
-      val (gn, gStrata, gNovel, gg, gDev) = got(sp)
-      assert((gn, gStrata.toInt, gNovel.toInt) == ((n, mine.size, novel)),
-        s"$sp counts drifted")
+      val obs = strata.collect { case ((s, src, l), c) if s == sp =>
+        (src, l) -> c }.toMap
+      // universe = observed ∪ train strata (train-only strata are the
+      // missing direction the one-sided version was blind to)
+      val universe = obs.keySet ++ train.keySet
+      val n = obs.values.sum
+      val g = universe.toSeq.map { k =>
+        val o = obs.getOrElse(k, 0L)
+        train.get(k).filter(_ => o > 0).map(t =>
+          halfUp(20000.0 * o * math.log(o.toDouble * nTrain / (n.toDouble * t))))
+          .getOrElse(0L)
+      }.sum
+      val novel = universe.count(k => obs.contains(k) && !train.contains(k))
+      val missing = universe.count(k => !obs.contains(k))
+      val maxDev = universe.toSeq.map { k =>
+        math.floor(math.abs(obs.getOrElse(k, 0L).toDouble / n
+          - train.getOrElse(k, 0L).toDouble / nTrain) * 1e6).toLong }.max
+      val (gn, gStrata, gNovel, gMissing, gg, gDev) = got(sp)
+      assert((gn, gStrata.toInt, gNovel.toInt, gMissing.toInt) ==
+        ((n, universe.size, novel, missing)), s"$sp counts drifted")
       assert(gg == g, s"$sp G: engine $gg vs recomputed $g")
       assert(gDev == maxDev, s"$sp max_dev: engine $gDev vs $maxDev")
     }

@@ -226,6 +226,84 @@ object Flagship {
       |    + (c.lat - p.lat) * (c.lat - p.lat)) <= 0.15
       |ORDER BY c_custkey, p_partkey""".stripMargin
 
+  // ---- spatial k-nearest-neighbor join ----
+  // The other canonical transit query next to the radius join: each
+  // query point's K nearest candidates ("which stops serve this
+  // vehicle"). Candidates come from a 3×3 neighborhood of a coarse grid
+  // cell — but unlike the geohash variant the cell key derives from the
+  // INTEGER tenth-degree coordinates directly ((key % 3600) div 50 ≈ 5°
+  // cells), so no float ever enters the join key and the candidate set
+  // is bit-reproducible in any engine. Coverage contract: every
+  // candidate within one cell width (5°) of the query is found, so the
+  // top-K is exact whenever the true K-th neighbor is closer than 5° —
+  // the spec measures that recall against brute instead of assuming it;
+  // a sparser corpus returns fewer than K (data-driven, like
+  // simsearch_range). Each (query, part) pair meets exactly once (one
+  // (dx, dy) per pair), so no dedup pass. Scale shape: candidates grow
+  // with per-cell occupancy; the per-query rank window runs on the ≤3×3
+  // cells' members only, partitioned by query — never global. At real
+  // scale the cell width follows density, the same tuning axis as the
+  // IVF probe count.
+  private val SpatialKnnK = 3
+
+  def spatialKnn(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "customer").filter(col("c_custkey") < 200)
+      .select(col("c_custkey"),
+        lonOf(col("c_custkey")).as("qlon"), latOf(col("c_custkey")).as("qlat"),
+        expr("(c_custkey % 3600) div 50").as("cx0"),
+        expr("(c_custkey % 1700) div 50").as("cy0"))
+      .withColumn("dx", explode(typedLit(Seq(-1L, 0L, 1L))))
+      .withColumn("dy", explode(typedLit(Seq(-1L, 0L, 1L))))
+      .select(col("c_custkey"), col("qlon"), col("qlat"),
+        (col("cx0") + col("dx")).as("cx"), (col("cy0") + col("dy")).as("cy"))
+    val p = t(s, dir, "part").select(col("p_partkey"),
+      lonOf(col("p_partkey")).as("plon"), latOf(col("p_partkey")).as("plat"),
+      expr("(p_partkey % 3600) div 50").as("cx"),
+      expr("(p_partkey % 1700) div 50").as("cy"))
+    val w = Window.partitionBy("c_custkey")
+      .orderBy(col("dist"), col("p_partkey"))
+    q.join(p, Seq("cx", "cy"))
+      .select(col("c_custkey"), col("p_partkey"),
+        sqrt((col("qlon") - col("plon")) * (col("qlon") - col("plon"))
+          + (col("qlat") - col("plat")) * (col("qlat") - col("plat")))
+          .as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SpatialKnnK)
+      .orderBy("c_custkey", "rank")
+  }
+
+  val spatialKnnSql: String =
+    s"""WITH q AS (
+      |  SELECT c_custkey,
+      |    (c_custkey % 3600) / 10.0 - 180.0 AS qlon,
+      |    (c_custkey % 1700) / 10.0 - 85.0 AS qlat,
+      |    (c_custkey % 3600) // 50 AS cx0,
+      |    (c_custkey % 1700) // 50 AS cy0
+      |  FROM customer WHERE c_custkey < 200),
+      |qx AS (
+      |  SELECT q.c_custkey, q.qlon, q.qlat,
+      |    q.cx0 + dx.d AS cx, q.cy0 + dy.d AS cy
+      |  FROM q, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)),
+      |p AS (
+      |  SELECT p_partkey,
+      |    (p_partkey % 3600) / 10.0 - 180.0 AS plon,
+      |    (p_partkey % 1700) / 10.0 - 85.0 AS plat,
+      |    (p_partkey % 3600) // 50 AS cx,
+      |    (p_partkey % 1700) // 50 AS cy
+      |  FROM part),
+      |cand AS (
+      |  SELECT qx.c_custkey, p.p_partkey,
+      |    sqrt((qlon - plon) * (qlon - plon)
+      |      + (qlat - plat) * (qlat - plat)) AS dist
+      |  FROM qx JOIN p USING (cx, cy)),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |    ORDER BY dist, p_partkey) AS rank
+      |  FROM cand)
+      |SELECT c_custkey, p_partkey, dist, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= $SpatialKnnK
+      |ORDER BY c_custkey, rank""".stripMargin
+
   // F3/F4/F6: ingest-shaped geo enrichment — geohash + WKB hex. Exact
   // oracle (upgraded from rows-only): the geohash mirror replays the
   // kernel's 35-step lat/lon bisection in a recursive CTE — every
@@ -283,6 +361,7 @@ object Flagship {
     "reliability" -> (reliability _),
     "spatial_join" -> (spatialJoin _),
     "spatial_join_geohash" -> (spatialJoinGeohash _),
+    "spatial_knn" -> (spatialKnn _),
     "spatial_join_auto" -> (spatialJoinAuto _),
     "geo_enrich" -> (geoEnrich _))
 
@@ -291,6 +370,7 @@ object Flagship {
     "reliability" -> reliabilitySql,
     "spatial_join" -> spatialJoinSql,
     "spatial_join_geohash" -> spatialJoinGeohashSql,
+    "spatial_knn" -> spatialKnnSql,
     "spatial_join_auto" -> spatialJoinGeohashSql,
     "geo_enrich" -> geoEnrichSql)
 }

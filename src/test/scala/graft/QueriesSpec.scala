@@ -138,6 +138,35 @@ class QueriesSpec extends SparkSpec {
     assert(r.filter(col("dist") > 0.15).count() == 0)
   }
 
+  test("spatial_knn matches the brute-force nearest neighbors whenever they sit inside the coverage radius") {
+    val got = q("spatial_knn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(got.nonEmpty)
+    val parts = Tables(spark, sf0001, "part").select("p_partkey").collect()
+      .map(_.getLong(0))
+    def lon(k: Long) = (k % 3600) / 10.0 - 180.0
+    def lat(k: Long) = (k % 1700) / 10.0 - 85.0
+    def d(a: Long, b: Long) = math.sqrt(
+      (lon(a) - lon(b)) * (lon(a) - lon(b))
+        + (lat(a) - lat(b)) * (lat(a) - lat(b)))
+    got.foreach { case (cust, rows) =>
+      // ranks are 1..n ordered by (dist, partkey)
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rows.length))
+      assert(sorted.map(r => (r._3, r._2)).toSeq ==
+        sorted.map(r => (r._3, r._2)).sortBy(identity).toSeq)
+      // exactness inside the coverage contract: every returned neighbor
+      // closer than 5 degrees must be a true global nearest in order
+      val brute = parts.map(p => (d(cust, p), p)).sorted.take(rows.length)
+      sorted.zip(brute).foreach { case ((_, gp, gd, rk), (bd, bp)) =>
+        if (bd < 5.0)
+          assert(gp == bp && math.abs(gd - bd) < 1e-12,
+            s"query $cust rank $rk: got ($gp, $gd) vs brute ($bp, $bd)")
+      }
+    }
+  }
+
   test("geohash-bucketed spatial join equals the brute-force pair set") {
     import org.apache.spark.sql.functions.{sqrt => fsqrt}
     val got = q("spatial_join_geohash")

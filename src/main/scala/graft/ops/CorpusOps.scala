@@ -139,7 +139,11 @@ object CorpusOps {
   // a schema-bounded strata frame (≤ splits·sources·langs rows — the
   // bounded driver-side allowance, like the kmeans centroid fit); all
   // tail arithmetic runs on that literal frame in-engine, so the
-  // fixed-point ln stays the engines' own.
+  // fixed-point ln stays the engines' own. Like the other bounded fits
+  // (kmFit, pcaModel, bpeFit) the collected scan runs at build time and
+  // sits OUTSIDE the recorded plan — PLANS.md shows the tail over a
+  // LocalTableScan; the scan's own shape is the plain sample_split
+  // aggregate documented there.
   private def splitDrift(s: SparkSession, dir: String): DataFrame = {
     val strataRows = t(s, dir, "documents")
       .select(col("source"), col("lang"),
@@ -159,10 +163,17 @@ object CorpusOps {
     val obs = strata.filter(col("split") =!= "train")
       .select(col("split"), col("source"), col("lang"), col("o"))
     // universe = observed strata ∪ (each split × train strata): a train
-    // stratum with no rows in the split must surface as o = 0
-    val trainExp = obs.select("split").distinct().crossJoin(broadcast(train))
-    obs.join(trainExp, Seq("split", "source", "lang"), "full_outer")
-      .select(col("split"), coalesce(col("o"), lit(0L)).as("o"), col("t"))
+    // stratum with no rows in the split must surface as o = 0. The join
+    // is NULL-SAFE (<=>): a NULL source/lang stratum must match itself
+    // across the two sides or it double-counts as novel AND missing
+    val trainExp = obs.select(col("split").as("tsplit")).distinct()
+      .crossJoin(broadcast(train.withColumnRenamed("source", "tsource")
+        .withColumnRenamed("lang", "tlang")))
+    obs.join(trainExp,
+        col("split") <=> col("tsplit") && col("source") <=> col("tsource")
+          && col("lang") <=> col("tlang"), "full_outer")
+      .select(coalesce(col("split"), col("tsplit")).as("split"),
+        coalesce(col("o"), lit(0L)).as("o"), col("t"))
       .join(broadcast(totals), "split")
       .crossJoin(broadcast(ntr))
       .withColumn("contrib_fp", when(col("t").isNotNull && col("o") > 0, expr(
@@ -211,8 +222,9 @@ object CorpusOps {
        |  SELECT COALESCE(obs.split, texp.split) AS split,
        |    COALESCE(obs.o, 0) AS o, texp.t
        |  FROM obs FULL OUTER JOIN texp
-       |    ON obs.split = texp.split AND obs.source = texp.source
-       |    AND obs.lang = texp.lang),
+       |    ON obs.split IS NOT DISTINCT FROM texp.split
+       |    AND obs.source IS NOT DISTINCT FROM texp.source
+       |    AND obs.lang IS NOT DISTINCT FROM texp.lang),
        |j AS (
        |  SELECT u.split, u.o, u.t, tot.n_split, ntr.n_train,
        |    CASE WHEN u.t IS NOT NULL AND u.o > 0 THEN

@@ -245,21 +245,25 @@ object Flagship {
   // scale the cell width follows density, the same tuning axis as the
   // IVF probe count.
   private val SpatialKnnK = 3
+  /** Cell width in tenth-degrees (50 ≈ 5°) — the density tuning axis;
+    * interpolated into BOTH engines' cell keys so a retune cannot
+    * desync the candidate sets (the CusumK/H discipline). */
+  private val SpatialKnnCell = 50
 
   def spatialKnn(s: SparkSession, dir: String): DataFrame = {
     val q = t(s, dir, "customer").filter(col("c_custkey") < 200)
       .select(col("c_custkey"),
         lonOf(col("c_custkey")).as("qlon"), latOf(col("c_custkey")).as("qlat"),
-        expr("(c_custkey % 3600) div 50").as("cx0"),
-        expr("(c_custkey % 1700) div 50").as("cy0"))
+        expr(s"(c_custkey % 3600) div $SpatialKnnCell").as("cx0"),
+        expr(s"(c_custkey % 1700) div $SpatialKnnCell").as("cy0"))
       .withColumn("dx", explode(typedLit(Seq(-1L, 0L, 1L))))
       .withColumn("dy", explode(typedLit(Seq(-1L, 0L, 1L))))
       .select(col("c_custkey"), col("qlon"), col("qlat"),
         (col("cx0") + col("dx")).as("cx"), (col("cy0") + col("dy")).as("cy"))
     val p = t(s, dir, "part").select(col("p_partkey"),
       lonOf(col("p_partkey")).as("plon"), latOf(col("p_partkey")).as("plat"),
-      expr("(p_partkey % 3600) div 50").as("cx"),
-      expr("(p_partkey % 1700) div 50").as("cy"))
+      expr(s"(p_partkey % 3600) div $SpatialKnnCell").as("cx"),
+      expr(s"(p_partkey % 1700) div $SpatialKnnCell").as("cy"))
     val w = Window.partitionBy("c_custkey")
       .orderBy(col("dist"), col("p_partkey"))
     q.join(p, Seq("cx", "cy"))
@@ -277,8 +281,8 @@ object Flagship {
       |  SELECT c_custkey,
       |    (c_custkey % 3600) / 10.0 - 180.0 AS qlon,
       |    (c_custkey % 1700) / 10.0 - 85.0 AS qlat,
-      |    (c_custkey % 3600) // 50 AS cx0,
-      |    (c_custkey % 1700) // 50 AS cy0
+      |    (c_custkey % 3600) // $SpatialKnnCell AS cx0,
+      |    (c_custkey % 1700) // $SpatialKnnCell AS cy0
       |  FROM customer WHERE c_custkey < 200),
       |qx AS (
       |  SELECT q.c_custkey, q.qlon, q.qlat,
@@ -288,8 +292,8 @@ object Flagship {
       |  SELECT p_partkey,
       |    (p_partkey % 3600) / 10.0 - 180.0 AS plon,
       |    (p_partkey % 1700) / 10.0 - 85.0 AS plat,
-      |    (p_partkey % 3600) // 50 AS cx,
-      |    (p_partkey % 1700) // 50 AS cy
+      |    (p_partkey % 3600) // $SpatialKnnCell AS cx,
+      |    (p_partkey % 1700) // $SpatialKnnCell AS cy
       |  FROM part),
       |cand AS (
       |  SELECT qx.c_custkey, p.p_partkey,

@@ -583,6 +583,12 @@ class StreamingSpec extends SparkSpec {
         val m2 = vs.foldLeft(0.0)((a, x) => a + x * x) / vs.length
         k -> ((mu, math.sqrt(math.max(0.0, m2 - mu * mu))))
       }
+    // one key is withheld from the baseline map: the monitor must COUNT
+    // its events but never score them (a frozen-baseline monitor cannot
+    // standardize an unseen key — the naive mu = sd = 0 default would
+    // alarm on every nonzero arrival)
+    val unbaselined = baseline.keys.min
+    val served = baseline - unbaselined
     val split = ev.agg(expr("percentile_approx(us, 0.5)")).collect()(0).getLong(0)
     ev.filter(col("us") <= split).drop("us").write.parquet(s"$dir/b1")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -591,7 +597,7 @@ class StreamingSpec extends SparkSpec {
       val feed = spark.readStream
         .schema(spark.read.parquet(s"$dir/b1").schema).parquet(s"$dir/*")
       val q = CusumMonitor.cusum(feed, "user_id", "ts", "event_id", "value",
-          baseline)
+          served)
         .writeStream.format("memory").queryName("scusum").outputMode("update")
         .start()
       try {
@@ -610,9 +616,16 @@ class StreamingSpec extends SparkSpec {
         def bits(x: Double) = java.lang.Double.doubleToRawLongBits(x)
         streamed.foreach { case (k, (n, al, sp, sm)) =>
           val (bn, bal, bsp, bsm) = batch(k)
-          assert(n == bn && al == bal, s"key $k: ($n,$al) vs ($bn,$bal)")
-          assert(bits(sp) == bits(bsp) && bits(sm) == bits(bsm),
-            s"key $k: streaming ($sp,$sm) != batch ($bsp,$bsm)")
+          assert(n == bn, s"key $k: count $n vs $bn")
+          if (k == unbaselined) {
+            // counted, never scored
+            assert(al == 0L && sp == 0.0 && sm == 0.0,
+              s"unbaselined key scored: ($al,$sp,$sm)")
+          } else {
+            assert(al == bal, s"key $k: alarms $al vs $bal")
+            assert(bits(sp) == bits(bsp) && bits(sm) == bits(bsm),
+              s"key $k: streaming ($sp,$sm) != batch ($bsp,$bsm)")
+          }
         }
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

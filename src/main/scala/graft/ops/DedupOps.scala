@@ -1237,6 +1237,96 @@ object DedupOps {
       |    FILTER (WHERE keep), ' '), '')) AS kept_fp
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- dedup method census ----
+  // The method-selection analysis run before committing a dedup budget:
+  // which detectors flag which documents, and how much they agree. A doc
+  // is FLAGGED by a method when it appears in that method's duplicate
+  // output (pair membership for the pair detectors at their own
+  // thresholds; membership in a ≥2-copy hash group for exact). The
+  // census emits the per-method-pair overlap matrix (sizes, |∩|,
+  // Jaccard ppm — diagonal rows double as the per-method totals).
+  // Composition discipline: each leg IS the corresponding catalog query
+  // (one definition); flagged ids come via explode so every leg
+  // evaluates ONCE, and the pair matrix comes from per-doc method SETS
+  // (one shuffle on doc_id, pairs exploded from the ≤5-element sorted
+  // set) — no self-join on shared union lineage (the round-8
+  // DeduplicateRelations lesson). `embedding` covers the embedded
+  // subset of the id space by construction.
+  private def dedupCensus(s: SparkSession, dir: String): DataFrame = {
+    def members(df: DataFrame): DataFrame =
+      df.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .distinct()
+    val h = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val dupHashes = h.groupBy("h").agg(count(lit(1)).as("nh"))
+      .filter(col("nh") >= 2)
+    val exactF = h.join(broadcast(dupHashes), "h").select("doc_id")
+    val sets: Seq[(String, DataFrame)] = Seq(
+      "embedding" -> members(embeddingCosineAnn(s, dir)),
+      "exact" -> exactF,
+      "minhash" -> members(minhashLsh(s, dir)),
+      "ngram" -> members(ngramJaccard(s, dir)
+        .filter(col("jaccard") >= ResolveJaccard)),
+      "simhash" -> members(simhashPairs(s, dir)))
+    val flagged = sets.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("doc_id")) }.reduce(_ unionAll _)
+    val sizes = flagged.groupBy("method").agg(count(lit(1)).as("nm"))
+    flagged.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("method"))).as("ms"))
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+             transform(slice(ms, i + 1, size(ms) - i),
+               y -> struct(x AS m1, y AS m2))))""")).as("p"))
+      .groupBy(col("p.m1").as("m1"), col("p.m2").as("m2"))
+      .agg(count(lit(1)).as("both"))
+      .join(broadcast(sizes.select(col("method").as("m1"),
+        col("nm").as("n1"))), "m1")
+      .join(broadcast(sizes.select(col("method").as("m2"),
+        col("nm").as("n2"))), "m2")
+      .select(col("m1"), col("m2"), col("n1"), col("n2"), col("both"),
+        expr("""CAST(floor(CAST(both AS DOUBLE) * 1000000.0
+                / (n1 + n2 - both)) AS BIGINT)""").as("jaccard_ppm"))
+      .orderBy("m1", "m2")
+  }
+
+  private def dedupCensusSql: String = {
+    val legs = Seq(
+      "embedding" -> embeddingAnnSql,
+      "minhash" -> minhashLshSql,
+      "simhash" -> simhashSql).map { case (m, q) =>
+        s"""SELECT '$m' AS method, unnest([a_id, b_id]) AS doc_id FROM (
+           |$q
+           |)""".stripMargin
+      } ++ Seq(
+      s"""SELECT 'ngram' AS method, unnest([a_id, b_id]) AS doc_id FROM (
+         |$ngramJaccardSql
+         |) WHERE jaccard >= $ResolveJaccard""".stripMargin,
+      s"""SELECT 'exact' AS method, d.doc_id
+         |FROM documents d JOIN (
+         |$exactSql
+         |) e ON md5(d.text) = e.text_hash
+         |WHERE e.n_copies >= 2""".stripMargin)
+    s"""WITH fl AS MATERIALIZED (
+       |  SELECT DISTINCT method, doc_id FROM (
+       |${legs.mkString("\nUNION ALL\n")}
+       |)),
+       |sz AS (SELECT method, CAST(count(*) AS BIGINT) AS nm
+       |       FROM fl GROUP BY method),
+       |pr AS (
+       |  SELECT f1.method AS m1, f2.method AS m2,
+       |    CAST(count(*) AS BIGINT) AS both
+       |  FROM fl f1 JOIN fl f2
+       |    ON f1.doc_id = f2.doc_id AND f1.method <= f2.method
+       |  GROUP BY 1, 2)
+       |SELECT pr.m1, pr.m2, s1.nm AS n1, s2.nm AS n2, pr.both,
+       |  CAST(floor(CAST(pr.both AS DOUBLE) * 1000000.0
+       |    / (s1.nm + s2.nm - pr.both)) AS BIGINT) AS jaccard_ppm
+       |FROM pr
+       |JOIN sz s1 ON s1.method = pr.m1
+       |JOIN sz s2 ON s2.method = pr.m2
+       |ORDER BY m1, m2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_paragraph" -> (paragraphDedup _),
     "boilerplate_strip" -> (boilerplateStrip _),
@@ -1253,6 +1343,7 @@ object DedupOps {
     "dedup_resolve" -> (resolve _),
     "dedup_keep_best" -> (keepBest _),
     "decontaminate" -> (decontaminate _),
+    "dedup_census" -> (dedupCensus _),
     "corpus_pipeline" -> (corpusPipeline _))
 
   // def, not val: the simhash/minhash mirrors embed the persisted-frame
@@ -1273,5 +1364,6 @@ object DedupOps {
     "dedup_resolve" -> resolveSql,
     "dedup_keep_best" -> keepBestSql,
     "decontaminate" -> decontaminateSql,
+    "dedup_census" -> dedupCensusSql,
     "corpus_pipeline" -> corpusPipelineSql)
 }

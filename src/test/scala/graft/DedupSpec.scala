@@ -390,6 +390,47 @@ class DedupSpec extends SparkSpec {
     assert(r(1L) == ((0L, md5Hex(F))))
   }
 
+  test("dedup_census matrix matches the flagged sets rebuilt from its own legs") {
+    import org.apache.spark.sql.functions._
+    def pairMembers(name: String, thresh: Option[(String, Double)] = None): Set[Long] = {
+      val df0 = SparkEntry.queries(name)(spark, sf0001)
+      val df = thresh.map { case (c, v) => df0.filter(col(c) >= v) }.getOrElse(df0)
+      df.select("a_id", "b_id").collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dupH = docs.groupBy(_._2).filter(_._2.length >= 2).keySet
+    val sets = Map(
+      "embedding" -> pairMembers("dedup_embedding"),
+      "exact" -> docs.filter(d => dupH(d._2)).map(_._1).toSet,
+      "minhash" -> pairMembers("dedup_minhash_lsh"),
+      "ngram" -> pairMembers("dedup_ngram_jaccard", Some(("jaccard", 0.5))),
+      "simhash" -> pairMembers("dedup_simhash"))
+    val got = SparkEntry.queries("dedup_census")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val nonEmpty = sets.filter(_._2.nonEmpty).keys.toSeq.sorted
+    // every non-empty method pair appears with the exact set arithmetic
+    for (i <- nonEmpty.indices; j <- i until nonEmpty.length) {
+      val (m1, m2) = (nonEmpty(i), nonEmpty(j))
+      val inter = (sets(m1) & sets(m2)).size.toLong
+      if (inter > 0) {
+        val (n1, n2, both, jac) = got((m1, m2))
+        assert((n1, n2, both) ==
+          ((sets(m1).size.toLong, sets(m2).size.toLong, inter)),
+          s"($m1,$m2): got ($n1,$n2,$both)")
+        assert(jac == math.floor(inter.toDouble * 1e6 / (n1 + n2 - inter)).toLong)
+      } else assert(!got.contains((m1, m2)), s"spurious row ($m1,$m2)")
+    }
+    // diagonals are the totals
+    nonEmpty.foreach { m =>
+      val (n1, n2, both, jac) = got((m, m))
+      assert(n1 == n2 && both == n1 && jac == 1000000L, s"diagonal $m broken")
+    }
+  }
+
   test("freeLocalCheckpoint releases RDD-layer blocks Dataset.unpersist cannot") {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.functions.col

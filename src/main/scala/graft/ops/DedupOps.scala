@@ -327,7 +327,7 @@ object DedupOps {
   // truncated per round with localCheckpoint, the standard Spark iterative-
   // algorithm pattern. The fixpoint (component-min label) is unique, so
   // the DuckDB recursive-CTE oracle matches exactly.
-  private val ResolveJaccard = 0.5
+  private[graft] val ResolveJaccard = 0.5
 
   private def pairSources(s: SparkSession, dir: String): DataFrame = {
     val jac = ngramJaccard(s, dir)
@@ -1256,11 +1256,15 @@ object DedupOps {
     def members(df: DataFrame): DataFrame =
       df.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .distinct()
-    val h = t(s, dir, "documents")
-      .select(col("doc_id"), md5(col("text")).as("h"))
-    val dupHashes = h.groupBy("h").agg(count(lit(1)).as("nh"))
-      .filter(col("nh") >= 2)
-    val exactF = h.join(broadcast(dupHashes), "h").select("doc_id")
+    // the ONE md5 grouping definition — the same aggregate `exact`
+    // publishes, consumed here for group membership: hashes with ≥2
+    // copies join back to docs on the hash key (plain equi-join; the
+    // dup-hash side is O(duplicate docs) and must NOT be force-broadcast)
+    val dupHashes = exact(s, dir).filter(col("n_copies") >= 2)
+      .select(col("text_hash"))
+    val exactF = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(dupHashes, "text_hash").select("doc_id")
     val sets: Seq[(String, DataFrame)] = Seq(
       "embedding" -> members(embeddingCosineAnn(s, dir)),
       "exact" -> exactF,
@@ -1270,8 +1274,10 @@ object DedupOps {
       "simhash" -> members(simhashPairs(s, dir)))
     val flagged = sets.map { case (m, df) =>
       df.select(lit(m).as("method"), col("doc_id")) }.reduce(_ unionAll _)
-    val sizes = flagged.groupBy("method").agg(count(lit(1)).as("nm"))
-    flagged.groupBy("doc_id")
+    // flagged is consumed exactly ONCE: the diagonal rows (m, m) of the
+    // pair matrix ARE the per-method totals, so sizes come from the
+    // ≤25-row matrix itself instead of a second pass over the legs
+    val pairCounts = flagged.groupBy("doc_id")
       .agg(array_sort(collect_set(col("method"))).as("ms"))
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
@@ -1279,9 +1285,13 @@ object DedupOps {
                y -> struct(x AS m1, y AS m2))))""")).as("p"))
       .groupBy(col("p.m1").as("m1"), col("p.m2").as("m2"))
       .agg(count(lit(1)).as("both"))
-      .join(broadcast(sizes.select(col("method").as("m1"),
+      .localCheckpoint()
+    val diag = pairCounts.filter(col("m1") === col("m2"))
+      .select(col("m1").as("method"), col("both").as("nm"))
+    pairCounts
+      .join(broadcast(diag.select(col("method").as("m1"),
         col("nm").as("n1"))), "m1")
-      .join(broadcast(sizes.select(col("method").as("m2"),
+      .join(broadcast(diag.select(col("method").as("m2"),
         col("nm").as("n2"))), "m2")
       .select(col("m1"), col("m2"), col("n1"), col("n2"), col("both"),
         expr("""CAST(floor(CAST(both AS DOUBLE) * 1000000.0

@@ -406,7 +406,8 @@ class DedupSpec extends SparkSpec {
       "embedding" -> pairMembers("dedup_embedding"),
       "exact" -> docs.filter(d => dupH(d._2)).map(_._1).toSet,
       "minhash" -> pairMembers("dedup_minhash_lsh"),
-      "ngram" -> pairMembers("dedup_ngram_jaccard", Some(("jaccard", 0.5))),
+      "ngram" -> pairMembers("dedup_ngram_jaccard",
+        Some(("jaccard", graft.ops.DedupOps.ResolveJaccard))),
       "simhash" -> pairMembers("dedup_simhash"))
     val got = SparkEntry.queries("dedup_census")(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -332,4 +332,32 @@ object PropertySpec extends Properties("graft.kernels") {
       val sel = winnowSelect(toks)
       sel.nonEmpty && sel.subsetOf(grams)
     }
+
+  // The Hilbert index is, at EVERY order, a bijection onto [0, 4^bits)
+  // whose consecutive indices are grid-adjacent — the invariant pair the
+  // layout ops rely on. Exhaustive per sampled order (≤ 2^12 cells), so
+  // the property covers the rotation logic at all recursion depths, not
+  // just the order-3 case the unit test pins.
+  property("hilbert is a bijection with unit-step adjacency at every order") =
+    forAll(Gen.chooseNum(1, 6)) { bits =>
+      val n = 1 << bits
+      val byD = (for { x <- 0 until n; y <- 0 until n }
+        yield GeohashOps.hilbert(x, y, bits) -> ((x, y))).toMap
+      byD.keySet == (0L until n.toLong * n).toSet &&
+        (0L until n.toLong * n - 1).forall { d =>
+          val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+          math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+        }
+    }
+
+  // High input bits are ignored (the zorder contract): shifting garbage
+  // above the consumed range never changes the index.
+  property("hilbert reads only the low `bits` bits of each input") =
+    forAll(Gen.chooseNum(0, 255), Gen.chooseNum(0, 255),
+      Gen.chooseNum(1, 8), Gen.chooseNum(1, 1 << 10)) { (x, y, bits, junk) =>
+      GeohashOps.hilbert(x + (junk << bits), y, bits) ==
+        GeohashOps.hilbert(x, y, bits) &&
+      GeohashOps.hilbert(x, y + (junk << bits), bits) ==
+        GeohashOps.hilbert(x, y, bits)
+    }
 }

@@ -64,14 +64,20 @@ case class IvfCellsBc(child: Expression,
 object IvfCellsBc {
   /** Per-JVM memo of the [[UnsafeArrayData]] wrap, keyed by broadcast
     * id: the matrix copy happens once per executor, not once per task
-    * closure. LRU-bounded (models are themselves LRU-bounded to 8 on
-    * the driver; 16 matrix wraps ≈ a couple of models' worth of slack)
-    * so unpersisted broadcasts' wraps age out instead of pinning the
+    * closure. Sized FROM the driver-side model LRU: at full occupancy
+    * every cached model may hold two live matrix broadcasts (two-level
+    * quantizers), so capacity must cover 2 × models or a miss evicts a
+    * LIVE broadcast's wrap and re-copies the up-to-~51 MB matrix per
+    * miss under this one global lock; +8 is slack for wraps created
+    * while their model is mid-insertion or freshly evicted. Bounded so
+    * unpersisted broadcasts' wraps still age out instead of pinning the
     * executor heap for the JVM lifetime. */
+  private val WrapMax = 2 * graft.ops.SimilarityOps.ModelCacheMax + 8
+
   private val wrapCache =
     new java.util.LinkedHashMap[Long, ArrayData](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[Long, ArrayData]) =
-        size() > 16
+        size() > WrapMax
     }
 
   private def wrapped(bc: Broadcast[Array[Double]]): ArrayData =

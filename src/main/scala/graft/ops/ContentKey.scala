@@ -165,6 +165,26 @@ private[graft] object ContentKey {
     } finally ch.close()
   }
 
+  /** The standard onEvict for DataFrame-valued caches: free the
+    * checkpoint's RDD blocks ([[org.apache.spark.sql.GraftSqlBridge
+    * .freeLocalCheckpoint]] — `Dataset.unpersist` is a no-op for
+    * localCheckpoint blocks) and say so LOUDLY. An evicted checkpoint is
+    * UNRECOVERABLE (truncated lineage); the safety invariant every such
+    * cache documents — no consumer holds a lazy frame across more than
+    * `capacity` distinct-dataset builds — is unchecked at compile time,
+    * so this line is the runtime guard: a violation surfaces as this
+    * message directly above the consumer's missing-block failure,
+    * instead of an unattributable block-fetch error. In the shipped
+    * harnesses (one dataset dir at a time) an eviction firing AT ALL is
+    * already noteworthy. */
+  def freeOnEvict(tag: String): org.apache.spark.sql.DataFrame => Unit =
+    df => {
+      System.err.println(s"[graft] $tag: evicting a checkpointed frame " +
+        "(unrecoverable) — a consumer still holding it lazily will fail " +
+        "at action time")
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(df)
+    }
+
   /** Bounded LRU for in-memory derived models (quantizer samples,
     * codebooks, bloom filters) and session-scoped DataFrames:
     * content-keyed entries for regenerated datasets would otherwise
@@ -187,9 +207,16 @@ private[graft] object ContentKey {
     }
     private val m = new java.util.LinkedHashMap[String, Cell](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[String, Cell]) = {
-        val evict = size() > max
-        // only completed cells carry a value; an in-flight cell being
-        // evicted (pathological max=0-ish pressure) just loses its slot
+        // Never evict an in-flight cell: the computer would complete into
+        // an orphan no future getter can reach, so onEvict could never
+        // fire on its value — for DataFrame caches that leaks the
+        // localCheckpoint blocks for the context lifetime. The map may
+        // transiently exceed `max` (bounded by concurrent computes) until
+        // the straggler completes; completed cells evict normally. This
+        // is also the only removal path besides a failed compute removing
+        // its own cell, so a successful compute's cell is always still
+        // mapped — the value is never orphaned.
+        val evict = size() > max && e.getValue.v.isDefined
         if (evict) e.getValue.v.foreach(onEvict)
         evict
       }

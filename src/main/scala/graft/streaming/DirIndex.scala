@@ -132,7 +132,21 @@ private[streaming] object DirIndex {
     // replay; everything below it is checkpoint-committed
     val run = bs.zipWithIndex
       .takeWhile { case (b, i) => b == start + i && b < bs.max }.map(_._1)
-    if (run.isEmpty) return 0
+    if (run.isEmpty) {
+      // Distinguish permanently-blocked from nothing-to-do: appends
+      // commit serially, so committed appends STARTING above the
+      // watermark successor mean b<start> is torn/abandoned (e.g. a dead
+      // stream's half-written batch) — absorption is blocked for good
+      // and the index silently degrades to one-dir-per-trigger unless
+      // reported. stderr, not an exception: adoption still serves every
+      // committed row; only merge hygiene is stalled.
+      if (bs.nonEmpty && bs.min > start)
+        System.err.println(
+          s"[graft] DirIndex.compact($indexDir): committed appends start " +
+            s"at b${bs.min} but the watermark expects b$start — the gap " +
+            "blocks absorption permanently; remove or repair the torn batch")
+      return 0
+    }
     val absorbed = dirs.filter { d =>
       val n = new Path(d).getName
       (wm.isEmpty && n == SeedDir) || compactId(n).exists(wm.contains) ||

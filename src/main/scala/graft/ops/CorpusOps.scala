@@ -1059,8 +1059,7 @@ object CorpusOps {
   // onEvict frees the checkpoint's RDD-layer blocks (see labelsCache's
   // note in DedupOps — Dataset.unpersist is a no-op for checkpoints).
   private val qcFeatsCache =
-    new ContentKey.Lru[DataFrame](8,
-      (df: DataFrame) => GraftSqlBridge.freeLocalCheckpoint(df))
+    new ContentKey.Lru[DataFrame](8, ContentKey.freeOnEvict("qcFeatsCache"))
 
   /** Per-doc hashed-bucket counts: (doc_id, y, n_toks, b, cnt). */
   private def qcFeatures(s: SparkSession, dir: String): DataFrame = {

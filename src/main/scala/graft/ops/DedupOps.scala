@@ -61,7 +61,6 @@ object DedupOps {
         col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
       .filter(col("inter") >= 2)
       .select("a_id", "b_id", "inter", "jaccard")
-      .orderBy("a_id", "b_id")
   }
 
   private val ngramJaccardSql =
@@ -132,7 +131,6 @@ object DedupOps {
           .as("est_sim"))
       .distinct()
       .filter(col("est_sim") >= 0.2)
-      .orderBy("a_id", "b_id")
   }
 
   private def minhashLshSql: String =
@@ -184,7 +182,6 @@ object DedupOps {
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 16)
-      .orderBy("a_id", "b_id")
   }
 
   private def simhashSql: String =
@@ -294,7 +291,6 @@ object DedupOps {
         (vdot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
-      .orderBy("a_id", "b_id")
   }
 
   private val dedupCellsPath = new java.util.concurrent.atomic.AtomicReference(
@@ -317,6 +313,45 @@ object DedupOps {
        |  >= 0.35
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- shared pair-detector result cache ----
+  // `dedup_census` composes FIVE of the catalog's dedup legs per call
+  // (3.56 s at sf0.1 — round 8's slowest catalog query), and
+  // `dedup_resolve`/`dedup_keep_best` rebuild the ngram leg inside
+  // [[pairSources]]. Cache each heavy detector's RESULT frame —
+  // O(candidate pairs), the family's own output scale — keyed by
+  // (context, source-table content, leg); the legs' own catalog entries
+  // and every composer read ONE build. Same ownership contract as
+  // labelsCache: values are checkpointed and freed on eviction.
+  private val pairCache =
+    new ContentKey.Lru[DataFrame](16, ContentKey.freeOnEvict("pairCache"))
+
+  private def cachedPairs(s: SparkSession, dir: String, table: String,
+      leg: String, rePoint: String => Unit)(compute: => DataFrame): DataFrame = {
+    val df = pairCache.get(
+      s"${ContentKey.ofScoped(s, Seq(s"$dir/$table.parquet"))}/$leg")(
+      compute.localCheckpoint())
+    // a HIT skips the compute path's persistForOracle call, but the leg's
+    // mirror still reads the persisted frame — re-point its path ref at
+    // THIS dir's deterministic location on every get (hit and miss alike)
+    rePoint(dir)
+    df
+  }
+
+  private def ngramJaccardC(s: SparkSession, dir: String): DataFrame =
+    cachedPairs(s, dir, "documents", "ngram", _ => ())(ngramJaccard(s, dir))
+  private def minhashLshC(s: SparkSession, dir: String): DataFrame =
+    cachedPairs(s, dir, "documents", "minhash",
+      d => minhashOraclePath.set(ContentKey.oraclePath(d, "minhash")))(
+      minhashLsh(s, dir))
+  private def simhashPairsC(s: SparkSession, dir: String): DataFrame =
+    cachedPairs(s, dir, "documents", "simhash",
+      d => simhashOraclePath.set(ContentKey.oraclePath(d, "simhash")))(
+      simhashPairs(s, dir))
+  private def embeddingCosineAnnC(s: SparkSession, dir: String): DataFrame =
+    cachedPairs(s, dir, "embeddings", "emb_ann",
+      d => dedupCellsPath.set(ContentKey.oraclePath(d, "dedup_cells")))(
+      embeddingCosineAnn(s, dir))
+
   // End-to-end dedup keep-set: the pair generators above emit candidate
   // PAIRS; a training pipeline needs the canonical keep-set. Union the
   // exact-hash pairs with the high-Jaccard pairs, then resolve connected
@@ -330,7 +365,7 @@ object DedupOps {
   private[graft] val ResolveJaccard = 0.5
 
   private def pairSources(s: SparkSession, dir: String): DataFrame = {
-    val jac = ngramJaccard(s, dir)
+    val jac = ngramJaccardC(s, dir)
       .filter(col("jaccard") >= ResolveJaccard)
       .select(col("a_id"), col("b_id"))
     // separate scans → no ambiguous-self-join misfire (Spark 4.1 gotcha)
@@ -445,8 +480,7 @@ object DedupOps {
   // driver run queries sequentially). A future concurrent multi-dataset
   // harness must either widen the capacity or defer eviction.
   private val labelsCache =
-    new ContentKey.Lru[DataFrame](8,
-      (df: DataFrame) => GraftSqlBridge.freeLocalCheckpoint(df))
+    new ContentKey.Lru[DataFrame](8, ContentKey.freeOnEvict("labelsCache"))
 
   private def resolvedLabels(s: SparkSession, dir: String): DataFrame = {
     val key = ContentKey.ofScoped(s, Seq(s"$dir/documents.parquet"))
@@ -1266,12 +1300,12 @@ object DedupOps {
       .select(col("doc_id"), md5(col("text")).as("text_hash"))
       .join(dupHashes, "text_hash").select("doc_id")
     val sets: Seq[(String, DataFrame)] = Seq(
-      "embedding" -> members(embeddingCosineAnn(s, dir)),
+      "embedding" -> members(embeddingCosineAnnC(s, dir)),
       "exact" -> exactF,
-      "minhash" -> members(minhashLsh(s, dir)),
-      "ngram" -> members(ngramJaccard(s, dir)
+      "minhash" -> members(minhashLshC(s, dir)),
+      "ngram" -> members(ngramJaccardC(s, dir)
         .filter(col("jaccard") >= ResolveJaccard)),
-      "simhash" -> members(simhashPairs(s, dir)))
+      "simhash" -> members(simhashPairsC(s, dir)))
     val flagged = sets.map { case (m, df) =>
       df.select(lit(m).as("method"), col("doc_id")) }.reduce(_ unionAll _)
     // flagged is consumed exactly ONCE: the diagonal rows (m, m) of the
@@ -1345,11 +1379,14 @@ object DedupOps {
     "dedup_substring" -> (substringSpans _),
     "dedup_substring_rewrite" -> (substringRewrite _),
     "source_overlap" -> (sourceOverlap _),
-    "dedup_ngram_jaccard" -> (ngramJaccard _),
-    "dedup_minhash_lsh" -> (minhashLsh _),
-    "dedup_simhash" -> (simhashPairs _),
+    // the cached legs re-apply their presentation sort per read: a
+    // checkpointed frame replays stored partitions, and the contract on
+    // these queries' output is the explicit ORDER BY of their mirrors
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardC(s, d).orderBy("a_id", "b_id")),
+    "dedup_minhash_lsh" -> ((s, d) => minhashLshC(s, d).orderBy("a_id", "b_id")),
+    "dedup_simhash" -> ((s, d) => simhashPairsC(s, d).orderBy("a_id", "b_id")),
     "dedup_embedding_exact" -> (embeddingCosine _),
-    "dedup_embedding" -> (embeddingCosineAnn _),
+    "dedup_embedding" -> ((s, d) => embeddingCosineAnnC(s, d).orderBy("a_id", "b_id")),
     "dedup_resolve" -> (resolve _),
     "dedup_keep_best" -> (keepBest _),
     "decontaminate" -> (decontaminate _),

@@ -300,8 +300,36 @@ object LinkOps {
       .select("src", "dst").distinct()
   }
 
-  private def prAdjacency(s: SparkSession, dir: String): DataFrame =
-    coPurchaseEdges(s, dir).groupBy("src")
+  // ---- shared co-purchase graph cache ----
+  // kcore, triangle_count and pagerank all start from the SAME lineitem
+  // self-join — the round-8 verdict named it kcore's remaining floor and
+  // the family's shared pre-work. Cache the distinct directed edge list
+  // once per (context, lineitem content), plus the undirected (u < v)
+  // half-frame kcore's static peel and triangle's orientation both
+  // consume (kcore previously re-checkpointed it per call and never
+  // freed it — the cache now owns that copy). labelsCache ownership
+  // contract: checkpointed values, freed on eviction.
+  private val graphCache =
+    new ContentKey.Lru[DataFrame](4, ContentKey.freeOnEvict("graphCache"))
+
+  private def graphKey(s: SparkSession, dir: String, leg: String): String =
+    s"${ContentKey.ofScoped(s, Seq(s"$dir/lineitem.parquet"))}/$leg"
+
+  private def coPurchaseEdgesC(s: SparkSession, dir: String): DataFrame =
+    graphCache.get(graphKey(s, dir, "edges"))(
+      coPurchaseEdges(s, dir).localCheckpoint())
+
+  /** Undirected (u < v) half-frame over the cached directed edges. */
+  private def coPurchaseUndC(s: SparkSession, dir: String): DataFrame =
+    graphCache.get(graphKey(s, dir, "und"))(
+      coPurchaseEdgesC(s, dir).filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v")).localCheckpoint())
+
+  /** Adjacency over an explicit edge frame: [[pagerank]] passes the
+    * cached edges; [[pagerankStepProbe]] passes the raw builder so
+    * PlanSpec pins the full un-checkpointed join regime. */
+  private def prAdjacencyFrom(edges: DataFrame): DataFrame =
+    edges.groupBy("src")
       .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("dsts"))
 
   /** One PageRank iteration: contributions from adjacency ⋈ ranks (the
@@ -326,7 +354,7 @@ object LinkOps {
   private[graft] def pagerankStepProbe(s: SparkSession, dir: String): DataFrame = {
     val parts = t(s, dir, "part").select(col("p_partkey").as("id"))
     val nV = parts.count()
-    prUpdate(s, prAdjacency(s, dir), parts,
+    prUpdate(s, prAdjacencyFrom(coPurchaseEdges(s, dir)), parts,
       parts.select(col("id"), (lit(1.0) / lit(nV.toDouble)).as("pr")), nV)
   }
 
@@ -335,8 +363,9 @@ object LinkOps {
     // the dedup_resolve discipline): |V| rows carrying outdeg + neighbor
     // array instead of |E| edge rows — ~100× fewer stored rows, and every
     // iteration re-reads these blocks instead of replaying the lineitem
-    // self-join + distinct
-    val adj = prAdjacency(s, dir).localCheckpoint()
+    // self-join + distinct (which itself comes from the shared graph
+    // cache, so the family builds it once per dataset)
+    val adj = prAdjacencyFrom(coPurchaseEdgesC(s, dir)).localCheckpoint()
     val parts = t(s, dir, "part").select(col("p_partkey").as("id"))
       .localCheckpoint()
     // |V| as a loop constant (a scalar count action, the dedup_resolve
@@ -389,8 +418,7 @@ object LinkOps {
   // are integers: zero float-parity risk; transitivity is one final
   // division of two exact BIGINTs, identical in both engines.
   private def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val und = coPurchaseEdges(s, dir).filter(col("src") < col("dst"))
-      .select(col("src").as("u"), col("dst").as("v"))
+    val und = coPurchaseUndC(s, dir)
     val deg = und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
@@ -509,8 +537,10 @@ object LinkOps {
     // and the 8-round SQL unroll contract are unchanged; only the
     // per-round cost drops from O(|E|) joins + a 2|E| degree shuffle to
     // O(|E|) semi-join scans with tiny broadcast sides and a |V| update.
-    val und = coPurchaseEdges(s, dir).filter(col("src") < col("dst"))
-      .select(col("src").as("u"), col("dst").as("v")).localCheckpoint()
+    // the static peel input comes from the shared graph cache (already
+    // checkpointed, cache-owned — do NOT free here; the returned `sub`
+    // reads these blocks lazily)
+    val und = coPurchaseUndC(s, dir)
     def degrees(edges: DataFrame): DataFrame = edges
       .select(col("u").as("id")).unionAll(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))

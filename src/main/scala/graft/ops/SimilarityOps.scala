@@ -112,7 +112,9 @@ object SimilarityOps {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   // Brute-force cosine top-k: queries × all candidates, ranked per query.
-  private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+  // private[graft]: PlanSpec pins the intentional nested-loop shape on
+  // this builder — the catalog entry serves the shared-leg cache.
+  private[graft] def bruteTopK(s: SparkSession, dir: String): DataFrame = {
     ExactAnchorGuard.check(s, dir, "embeddings",
       "simsearch_topk", "simsearch_lsh/simsearch_ivf")
     val e = normed(s, dir)
@@ -318,8 +320,15 @@ object SimilarityOps {
   private[graft] val MineFlatMax = 256
   private[graft] val MineSpill = 2
 
+  /** Capacity of the broadcast-holding model cache. Shared with
+    * [[graft.expr.IvfCellsBc]], which sizes its per-executor matrix-wrap
+    * memo from it: at full model-cache occupancy every live model may
+    * hold two matrix broadcasts, and a wrap cache smaller than that
+    * churns the up-to-~51 MB copies under one global lock. */
+  private[graft] val ModelCacheMax = 8
+
   private val miningCache =
-    new ContentKey.Lru[MiningModel](8, m => dropModelBroadcasts(m))
+    new ContentKey.Lru[MiningModel](ModelCacheMax, m => dropModelBroadcasts(m))
 
   /** Session conf: max cells a DRIVER-SAMPLE fit may target. Above it the
     * fit goes hierarchical-distributed ([[fitMiningDistributed]]); the
@@ -803,7 +812,7 @@ object SimilarityOps {
   private val MmrL = "0.7"
   private val MmrD = "0.3"
 
-  private def mmrTopK(s: SparkSession, dir: String): DataFrame = {
+  private def mmrSelect(s: SparkSession, dir: String): DataFrame = {
     val e = normed(s, dir)
     val cand = ivfCandidates(s, dir)
     val q = e.filter(col("vec_id") < NQueries)
@@ -882,7 +891,11 @@ object SimilarityOps {
       sel = next
       r += 1
     }
-    sel.orderBy("q_id", "step")
+    // the final round's checkpoint is returned UNFREED and UNORDERED: it
+    // becomes the shared-leg cache's value (freed on eviction — closing
+    // the round-8 advice about this frame); [[queries]] applies the
+    // presentation sort per read
+    sel
   }
 
   /** DuckDB mirror: rebuilds relevance, the top-C cut, and the pairwise
@@ -1723,8 +1736,7 @@ object SimilarityOps {
   // holding a LAZY frame over the core must execute it before that many
   // other datasets build cores.
   private val coreCache =
-    new ContentKey.Lru[DataFrame](4,
-      (df: DataFrame) => GraftSqlBridge.freeLocalCheckpoint(df))
+    new ContentKey.Lru[DataFrame](4, ContentKey.freeOnEvict("coreCache"))
 
   private def knnCore(s: SparkSession, dir: String): DataFrame = {
     val key = ContentKey.ofScoped(s, Seq(dir))
@@ -1801,8 +1813,7 @@ object SimilarityOps {
   // onEvict unpersists: localCheckpoint blocks survive the reference drop
   // otherwise, pinning executor storage for the context lifetime.
   private val compCache =
-    new ContentKey.Lru[DataFrame](4,
-      (df: DataFrame) => GraftSqlBridge.freeLocalCheckpoint(df))
+    new ContentKey.Lru[DataFrame](4, ContentKey.freeOnEvict("compCache"))
 
   /** Mirror unroll depth for the knn-component closure: pointer jumping
     * covers diameter 2^n, so 12 rounds reach any component the data can
@@ -2099,6 +2110,59 @@ object SimilarityOps {
        |FROM embeddings e, m
        |ORDER BY vec_id, comp""".stripMargin
 
+  // ---- shared ANN-leg result cache ----
+  // `ann_recall_report` composes SIX of the catalog's ANN queries (the
+  // brute anchor + five index families); without sharing, every report
+  // call re-runs every index build (3.18 s at sf0.1 — the round-8
+  // verdict's top cache candidate) and every leg's own catalog entry
+  // pays its build again per call. Cache each leg's RESULT frame —
+  // |Q|·[[TopK]] ≈ 40 rows, the cheapest frame in the family; the
+  // builds are the cost — keyed by (context, dataset content, leg):
+  // the knn-core economics one level up. Contract: `compute` returns an
+  // ALREADY localCheckpoint()ed frame — the cache owns it and frees it
+  // on eviction (the labelsCache invariant); capacity covers two
+  // datasets' worth of the whole family plus slack.
+  private val legCache =
+    new ContentKey.Lru[DataFrame](24, ContentKey.freeOnEvict("legCache"))
+
+  private def cachedLeg(s: SparkSession, dir: String, leg: String,
+      subs: Seq[String])(compute: => DataFrame): DataFrame = {
+    val df = legCache.get(
+      s"${ContentKey.ofScoped(s, Seq(dir))}/$leg")(compute)
+    // a HIT skips the compute path's persistO calls; the mirrors still
+    // read the persisted frames, so re-point the registry on every get
+    reRegisterO(dir, subs: _*)
+    df
+  }
+
+  private val IvfSubs = Seq("ivf_idx", "ivf_probe")
+
+  private def bruteTopKC(s: SparkSession, dir: String): DataFrame = {
+    // the anchor guard fires per ACCESS, not per build: refusing the
+    // brute anchor above the row guard (naming the scale twin) is
+    // policy, and a cache hit must not bypass policy
+    ExactAnchorGuard.check(s, dir, "embeddings",
+      "simsearch_topk", "simsearch_lsh/simsearch_ivf")
+    cachedLeg(s, dir, "brute", Nil)(bruteTopK(s, dir).localCheckpoint())
+  }
+  private def lshTopKC(s: SparkSession, dir: String): DataFrame =
+    cachedLeg(s, dir, "lsh", Seq("lsh_idx", "lsh_probe"))(
+      lshTopK(s, dir).localCheckpoint())
+  private def ivfTopKC(s: SparkSession, dir: String): DataFrame =
+    cachedLeg(s, dir, "ivf", IvfSubs)(ivfTopK(s, dir).localCheckpoint())
+  private def ivfPqTopKC(s: SparkSession, dir: String): DataFrame =
+    cachedLeg(s, dir, "ivfpq", Seq("pq_idx", "pq_book") ++ IvfSubs)(
+      ivfPqTopK(s, dir).localCheckpoint())
+  private def ivfRqTopKC(s: SparkSession, dir: String): DataFrame =
+    cachedLeg(s, dir, "ivfrq", Seq("rq_idx", "rq_book", "rq_cmat") ++ IvfSubs)(
+      ivfRqTopK(s, dir).localCheckpoint())
+  private def ivfOpqTopKC(s: SparkSession, dir: String): DataFrame =
+    cachedLeg(s, dir, "ivfopq", Seq("opq_idx", "opq_book", "opq_rot") ++ IvfSubs)(
+      ivfOpqTopK(s, dir).localCheckpoint())
+  private def mmrTopKC(s: SparkSession, dir: String): DataFrame =
+    cachedLeg(s, dir, "mmr", Seq("mmr_rel", "mmr_psim") ++ IvfSubs)(
+      mmrSelect(s, dir)) // final greedy round is already checkpointed
+
   // ---- index-quality report: recall of every ANN variant vs the anchor ----
   // The vector-store QA dashboard, computed in-engine: for each index
   // family, what fraction of the true top-K does it return? Production
@@ -2110,16 +2174,17 @@ object SimilarityOps {
   // The anchor keeps its ExactAnchorGuard: past the guard this report is
   // exactly the operation you run on a SAMPLE, never the full corpus.
   private def annRecallReport(s: SparkSession, dir: String): DataFrame = {
-    // checkpoint the anchor: it feeds BOTH the hit join and the
-    // denominator, and re-running the corpus-wide exact scan twice is
-    // the report's whole cost; the frame is NQueries·TopK rows (the
-    // mirror's `brute AS MATERIALIZED` is the same move)
-    val brute = bruteTopK(s, dir).select(col("q_id"), col("c_id"))
-      .localCheckpoint()
+    // anchor and legs come from the shared leg cache: one build per
+    // (context, dataset), shared with the legs' own catalog entries.
+    // The checkpointed anchor feeds BOTH the hit join and the
+    // denominator without re-running the corpus-wide exact scan (the
+    // mirror's `brute AS MATERIALIZED` is the same move); the cache
+    // owns the checkpoints and frees them on eviction
+    val brute = bruteTopKC(s, dir).select(col("q_id"), col("c_id"))
     val legs = Seq(
-      "ivf" -> ivfTopK(s, dir), "ivfopq" -> ivfOpqTopK(s, dir),
-      "ivfpq" -> ivfPqTopK(s, dir), "ivfrq" -> ivfRqTopK(s, dir),
-      "lsh" -> lshTopK(s, dir))
+      "ivf" -> ivfTopKC(s, dir), "ivfopq" -> ivfOpqTopKC(s, dir),
+      "ivfpq" -> ivfPqTopKC(s, dir), "ivfrq" -> ivfRqTopKC(s, dir),
+      "lsh" -> lshTopKC(s, dir))
       .map { case (n, df) =>
         df.select(lit(n).as("index_type"), col("q_id"), col("c_id")) }
       .reduce(_ unionAll _)
@@ -2161,17 +2226,20 @@ object SimilarityOps {
        |GROUP BY l.index_type ORDER BY l.index_type""".stripMargin
   }
 
+  // the cached legs re-apply their presentation sort per read: a
+  // checkpointed frame replays stored partitions, and the contract on
+  // these queries' output is the explicit ORDER BY of their mirrors
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "simsearch_topk" -> (bruteTopK _),
-    "simsearch_lsh" -> (lshTopK _),
-    "simsearch_ivf" -> (ivfTopK _),
+    "simsearch_topk" -> ((s, d) => bruteTopKC(s, d).orderBy("q_id", "rank")),
+    "simsearch_lsh" -> ((s, d) => lshTopKC(s, d).orderBy("q_id", "rank")),
+    "simsearch_ivf" -> ((s, d) => ivfTopKC(s, d).orderBy("q_id", "rank")),
     "simsearch_range" -> (ivfRange _),
     "simsearch_ivf_filtered" -> (ivfFilteredTopK _),
     "simsearch_ivf_delta" -> (ivfDeltaTopK _),
-    "simsearch_mmr" -> (mmrTopK _),
-    "simsearch_ivfpq" -> (ivfPqTopK _),
-    "simsearch_ivfrq" -> (ivfRqTopK _),
-    "simsearch_ivfopq" -> (ivfOpqTopK _),
+    "simsearch_mmr" -> ((s, d) => mmrTopKC(s, d).orderBy("q_id", "step")),
+    "simsearch_ivfpq" -> ((s, d) => ivfPqTopKC(s, d).orderBy("q_id", "rank")),
+    "simsearch_ivfrq" -> ((s, d) => ivfRqTopKC(s, d).orderBy("q_id", "rank")),
+    "simsearch_ivfopq" -> ((s, d) => ivfOpqTopKC(s, d).orderBy("q_id", "rank")),
     "hard_negatives" -> (hardNegatives _),
     "knn_graph" -> (knnGraph _),
     "knn_mutual" -> (knnMutual _),

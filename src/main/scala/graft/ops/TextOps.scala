@@ -520,6 +520,34 @@ object TextOps {
       .select(col("doc_id"), col("m").as("n_grams"), col("wm").as("print"))
       .distinct()
 
+  // ---- shared winnowing frame cache ----
+  // The prints frame feeds FOUR catalog queries (text_winnow,
+  // winnow_pairs, winnow_resolve, winnow_spans), the pair frame three;
+  // round 8 measured winnow_resolve as the one closure-family member
+  // whose steady state never improved (sf1 min 10.4 s) precisely
+  // because every call rebuilt prints + pairs from the raw corpus.
+  // Cache both (and the spans' selected-occurrence frame) keyed by
+  // (context, documents content) — checkpointed, freed on eviction,
+  // the labelsCache ownership contract. Sizes are the family's own
+  // working set: prints ≈ 2/(W+1) of grams, pairs/occ smaller.
+  private val winnowCache =
+    new ContentKey.Lru[DataFrame](8, ContentKey.freeOnEvict("winnowCache"))
+
+  private def winnowKey(s: SparkSession, dir: String, leg: String): String =
+    s"${ContentKey.ofScoped(s, Seq(s"$dir/documents.parquet"))}/$leg"
+
+  private def winnowPrintsC(s: SparkSession, dir: String): DataFrame =
+    winnowCache.get(winnowKey(s, dir, "prints"))(
+      winnowPrints(s, dir).localCheckpoint())
+
+  private def winnowPairsCoreC(s: SparkSession, dir: String): DataFrame =
+    winnowCache.get(winnowKey(s, dir, "pairs"))(
+      winnowPairsCore(s, dir).localCheckpoint())
+
+  private def winnowSelOccC(s: SparkSession, dir: String): DataFrame =
+    winnowCache.get(winnowKey(s, dir, "occ"))(
+      winnowSelOcc(s, dir).localCheckpoint())
+
   private def winnowCte: String = {
     val sh = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
     s"""wt AS (
@@ -542,7 +570,7 @@ object TextOps {
   }
 
   private def winnow(s: SparkSession, dir: String): DataFrame = {
-    val sel = winnowPrints(s, dir)
+    val sel = winnowPrintsC(s, dir)
       .groupBy("doc_id")
       .agg(max(col("n_grams")).as("n_grams"),
         count(lit(1)).as("n_sel"),
@@ -588,7 +616,7 @@ object TextOps {
   // split discipline)
   private def winnowPairsCore(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped = winnowPrints(s, dir)
+    val capped = winnowPrintsC(s, dir)
       .select(col("doc_id"), col("print"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("print")))
       .filter(col("df") <= WinnowDfCap)
@@ -602,7 +630,7 @@ object TextOps {
   }
 
   private def winnowPairs(s: SparkSession, dir: String): DataFrame =
-    winnowPairsCore(s, dir).orderBy("a_id", "b_id")
+    winnowPairsCoreC(s, dir).orderBy("a_id", "b_id")
 
   private val winnowPairsSql =
     s"""WITH ${winnowCte},
@@ -623,7 +651,7 @@ object TextOps {
   // MinHash misses). Same pointer-jumping closure; keeper = min id;
   // docs without overlaps stay their own keepers.
   private def winnowResolve(s: SparkSession, dir: String): DataFrame = {
-    val p = winnowPairsCore(s, dir).select(col("a_id"), col("b_id"))
+    val p = winnowPairsCoreC(s, dir).select(col("a_id"), col("b_id"))
     val edges = p.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(p.select(col("b_id").as("u"), col("a_id").as("v")))
     val (labels, _) = DedupOps.propagateMin(edges)
@@ -685,7 +713,7 @@ object TextOps {
 
   private def winnowSpans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped = winnowPrints(s, dir)
+    val capped = winnowPrintsC(s, dir)
       .select(col("doc_id"), col("print"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("print")))
       .filter(col("df") <= WinnowDfCap)
@@ -699,7 +727,7 @@ object TextOps {
         count(lit(1)).over(Window.partitionBy("a_id", "b_id")))
       .filter(col("n_shared") >= 2)
       .select(col("a_id"), col("b_id"), col("print"))
-    val occ = winnowSelOcc(s, dir)
+    val occ = winnowSelOccC(s, dir)
     // positions of the pair's shared prints on each side; (pair, side,
     // pos) is already unique — one hash per gram position
     val pts = shared

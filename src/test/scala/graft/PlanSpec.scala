@@ -388,8 +388,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("brute-force baselines are (intentionally) nested-loop joins") {
-    for (q <- Seq("simsearch_topk", "dedup_embedding_exact")) {
-      val p = plan(q)
+    // simsearch_topk's catalog entry serves the shared ANN-leg cache (a
+    // checkpoint scan), so its brute shape is pinned on the builder —
+    // the same builder-probe move as the co-purchase edge test
+    val probes = Seq(
+      "simsearch_topk" ->
+        graft.ops.SimilarityOps.bruteTopK(spark, sf0001),
+      "dedup_embedding_exact" ->
+        SparkEntry.queries("dedup_embedding_exact")(spark, sf0001))
+    for ((q, df) <- probes) {
+      val p = df.queryExecution.executedPlan.toString
       assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
         s"$q no longer brute-force — update SCALE.md if intentional")
     }

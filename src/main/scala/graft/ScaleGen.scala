@@ -159,6 +159,13 @@ object ScaleGen {
     // optional 4th arg: percent of lineitem.l_orderkey / events.user_id
     // rows remapped to one global hot key (skew-robustness benches)
     val skewPct = if (args.length > 3) args(3).toInt else 0
+    // optional 5th arg: comma-separated table subset — e.g. the flagship-
+    // at-reference-scale dir needs events at R=213, past the embeddings
+    // rotation cap (2d replicas) and with no use for a 213× document
+    // corpus; generating only the flagship's star keeps that run honest
+    // and cheap. Default: every table.
+    val only = if (args.length > 4) args(4).split(",").toSet
+      else Tables.all.toSet
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -166,7 +173,7 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.all.foreach { name =>
+    Tables.all.filter(only).foreach { name =>
       val t0 = System.nanoTime()
       val df = scaleTable(spark, srcDir, name, replicas, skewPct)
       // R part files per table, not one: the driver's single-file-per-table

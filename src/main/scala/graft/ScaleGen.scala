@@ -63,8 +63,16 @@ object ScaleGen {
       lit(hot)).otherwise(col(c) + rc * lit(base)).as(c)
 
   def scaleTable(spark: SparkSession, dir: String, name: String,
-      replicas: Int, skewPct: Int = 0): DataFrame = {
-    val src = Tables(spark, dir, name)
+      replicas: Int, skewPct: Int = 0, flagship: Boolean = false): DataFrame = {
+    val src0 = Tables(spark, dir, name)
+    // The driver ships ONE parquet file per table, i.e. one input split —
+    // without an explicit repartition the R× explode below runs as a
+    // single task (observed: 20+ min single-threaded for lineitem at
+    // R=100 while 31 cores idled). Fan the source out first; the explode
+    // then parallelizes across the session's cores. maxOf scans the raw
+    // single-split table (cheap footer-bounded agg, no shuffle needed).
+    val fanout = spark.sparkContext.defaultParallelism
+    val src = if (replicas > 1) src0.repartition(fanout) else src0
     // replicate via explode of a literal range: one scan, R output rows
     // per input row, no join
     val r = explode(typedLit((0 until replicas).map(_.toLong))).as("_r")
@@ -105,6 +113,22 @@ object ScaleGen {
             skewOrOffset("l_orderkey", rc, okMin, skewPct, ok)
           case "l_partkey" => offsetCol("l_partkey", rc, pk)
           case "l_suppkey" => offsetCol("l_suppkey", rc, sk)
+          case c => col(c)
+        }: _*)
+      case "events" if flagship =>
+        // flagship-at-reference-scale shape: the positions FACT grows R×
+        // while every dim (orders/customer/lineitem) stays fixed — a feed
+        // polled R× longer over the SAME schedule. user_id is left alone
+        // (replicas must still hit the same o_custkey dims), event_id is
+        // offset for uniqueness, and ts is jittered +r seconds so the
+        // replicated pings are distinct observations the closest-ping
+        // window actually has to compare (identical ts would make the R
+        // copies tie-break trivia instead of work).
+        val ek = maxOf(src, "event_id")
+        rep(src.columns.map {
+          case "event_id" => offsetCol("event_id", rc, ek)
+          case "ts" => (col("ts") + make_dt_interval(
+            lit(0), lit(0), lit(0), rc.cast("double"))).as("ts")
           case c => col(c)
         }: _*)
       case "events" =>
@@ -166,6 +190,9 @@ object ScaleGen {
     // and cheap. Default: every table.
     val only = if (args.length > 4) args(4).split(",").toSet
       else Tables.all.toSet
+    // optional 6th arg "flagship": events scale fact-only (dims fixed,
+    // user_id preserved, ts jittered) — see the events-flagship case
+    val flagship = args.length > 5 && args(5) == "flagship"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -175,7 +202,7 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     Tables.all.filter(only).foreach { name =>
       val t0 = System.nanoTime()
-      val df = scaleTable(spark, srcDir, name, replicas, skewPct)
+      val df = scaleTable(spark, srcDir, name, replicas, skewPct, flagship)
       // R part files per table, not one: the driver's single-file-per-table
       // convention would make every narrow pre-scan stage single-threaded
       // at R× the work (observed: a 475 s one-task partial aggregate). A

@@ -30,6 +30,8 @@ object Debug {
       val df =
         if (n == "ivf_inline") // bisect twin: round-5 inline candidate shape
           graft.ops.SimilarityOps.ivfTopKAssign(spark, dir, None)
+        else if (n == "hn_probe_stages") // mining-pipeline cardinality probe
+          graft.ops.SimilarityOps.hnStageProbe(spark, dir)
         else SparkEntry.queries(n)(spark, dir)
       df.write.mode("overwrite").format("noop").save()
       println(f"[debug] $n ${(System.nanoTime() - t0) / 1e9}%.1fs")

@@ -1631,6 +1631,25 @@ object SimilarityOps {
     * The exclusion predicate is the only variation point: cross-label
     * for negative mining (same id ⇒ same label ⇒ excluded), cross-id
     * for the neighbor graph. Output: (a_id, c_id, cos_sim, rank ≤ k). */
+  /** Diagnostic stage probe for the mining pipeline (graft.Debug
+    * `hn_probe_stages`): row counts of the candidate frame before and
+    * after distinct — the two cardinalities that decide whether mined
+    * top-K wall time is assignment- or shuffle-bound at a given SF. */
+  private[graft] def hnStageProbe(s: SparkSession, dir: String): DataFrame = {
+    val model = fitMiningModel(s, dir)
+    val emb = t(s, dir, "embeddings")
+    val idx = emb.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      explode(miningCells(s, model, col("embedding"), MineAssign)).as("cell"))
+    val pr = emb.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+      explode(miningCells(s, model, col("embedding"), MineProbe)).as("cell"))
+    val joined = pr.join(idx, "cell").filter(col("a_label") =!= col("c_label"))
+    val raw = joined.count()
+    val dist = joined.select("a_id", "c_id").distinct().count()
+    println(s"[hn_probe] raw_pairs=$raw distinct_pairs=$dist")
+    import s.implicits._
+    Seq(("raw_pairs", raw), ("distinct_pairs", dist)).toDF("stage", "rows")
+  }
+
   private def minedTopK(s: SparkSession, dir: String,
       exclude: Column, k: Int): DataFrame = {
     val model = fitMiningModel(s, dir)
@@ -1650,26 +1669,40 @@ object SimilarityOps {
       col("norm").as("c_norm"))
     val w = Window.partitionBy("a_id")
       .orderBy(col("cos_sim").desc, col("c_id"))
+    // Cell-LOCAL scoring — the sf10 decade finding. Candidate count is
+    // exactly linear (92 distinct pairs/anchor at sf1 AND sf10, measured
+    // by hnStageProbe), but the old plan deduped first and then joined
+    // both embedding sides onto the O(candidates) stream: at sf10 that
+    // second join shuffled 184M rows × ~300 B of attached embedding —
+    // ~55 GB for one exchange, and hard_negatives measured 25.7× at 10×
+    // data on shuffle bytes alone. Embeddings must ride the O(N) cell
+    // frames instead (one id-equi-join each, ∝ corpus size), so the
+    // candidate stream carries only (a_id, c_id, cos_sim) scalars —
+    // 24 B/row, ~4.5 GB where 55 GB stood. Multi-cell duplicate pairs
+    // (~1.5 %) are now scored then max-merged; identical inputs give the
+    // identical double, so the result — and the DuckDB mirror, which
+    // still reads the UNCHANGED persisted 3-column hn_idx/hn_probe
+    // frames — is byte-identical to the dedup-first plan.
+    val idxE = idx.join(c, "c_id")
+    val prE = pr.join(a, "a_id")
     // Explicit pre-join spread of the probe side: when the index side
-    // broadcasts (any bench SF), the join inherits the probe scan's
-    // partitioning — a handful of narrow input splits fanning out to
-    // millions of candidate rows inside too few tasks. Hashing on
-    // (cell, a_id) costs one narrow exchange of 3-column rows and gives
-    // the fanout + partial-distinct full parallelism; the explicit
-    // partition count keeps AQE from coalescing the small pre-fanout
-    // bytes back into one task. In the non-broadcast regime (index >
-    // threshold) the join re-shuffles by cell anyway and this exchange
-    // stays narrow.
-    pr.repartition(s.sessionState.conf.numShufflePartitions,
+    // broadcasts, the join would inherit the probe scan's partitioning —
+    // a handful of narrow input splits fanning out to millions of
+    // candidate rows inside too few tasks. Hashing on (cell, a_id)
+    // gives the fanout full parallelism; the explicit partition count
+    // keeps AQE from coalescing the small pre-fanout bytes into one
+    // task. The post-score exchange hashes on a_id ALONE: hash(a_id)
+    // satisfies the (a_id, c_id) dedup-agg's clustering requirement AND
+    // the top-k window's, so one 24-byte-row shuffle serves both.
+    prE.repartition(s.sessionState.conf.numShufflePartitions,
         col("cell"), col("a_id"))
-      .join(idx, "cell")
+      .join(idxE, "cell")
       .filter(exclude)
-      .select("a_id", "c_id").distinct() // union over probed cells
-      .join(a, "a_id")
-      .join(c, "c_id")
       .select(col("a_id"), col("c_id"),
         (vdot(col("a_emb"), col("c_emb")) / (col("a_norm") * col("c_norm")))
           .as("cos_sim"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("a_id"))
+      .groupBy("a_id", "c_id").agg(max(col("cos_sim")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -22,10 +22,16 @@ object Bench {
     // INTENTIONAL exact-anchor pass at a scale the guard would refuse
     // (the sf10 ann_recall_report measurement). Non-spark.* keys can't
     // arrive via system properties, so the harness needs its own door.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
+    // Limitation: comma is the entry separator, so values cannot contain
+    // commas. A token without '=' is a typo — fail loudly rather than
+    // throwing a bare MatchError or silently dropping the conf.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' has no '=' " +
+            "(expected k=v[,k=v...]; values cannot contain commas)")
+        }
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -69,8 +69,11 @@ object ScaleGen {
     // without an explicit repartition the R× explode below runs as a
     // single task (observed: 20+ min single-threaded for lineitem at
     // R=100 while 31 cores idled). Fan the source out first; the explode
-    // then parallelizes across the session's cores. maxOf scans the raw
-    // single-split table (cheap footer-bounded agg, no shuffle needed).
+    // then parallelizes across the session's cores. Key-base scans
+    // (maxOf/min below) deliberately read `src0`, the raw single-split
+    // table — a footer-cheap agg with no shuffle; running them on the
+    // fanned-out `src` would execute the whole-table repartition exchange
+    // once per key base (round-9 advice).
     val fanout = spark.sparkContext.defaultParallelism
     val src = if (replicas > 1) src0.repartition(fanout) else src0
     // replicate via explode of a literal range: one scan, R output rows
@@ -83,19 +86,19 @@ object ScaleGen {
     name match {
       case "region" | "nation" => src
       case "customer" =>
-        val ck = maxOf(src, "c_custkey")
+        val ck = maxOf(src0, "c_custkey")
         rep(offsetCol("c_custkey", rc, ck) +:
           src.columns.filterNot(_ == "c_custkey").map(col): _*)
       case "supplier" =>
-        val sk = maxOf(src, "s_suppkey")
+        val sk = maxOf(src0, "s_suppkey")
         rep(offsetCol("s_suppkey", rc, sk) +:
           src.columns.filterNot(_ == "s_suppkey").map(col): _*)
       case "part" =>
-        val pk = maxOf(src, "p_partkey")
+        val pk = maxOf(src0, "p_partkey")
         rep(offsetCol("p_partkey", rc, pk) +:
           src.columns.filterNot(_ == "p_partkey").map(col): _*)
       case "orders" =>
-        val ok = maxOf(src, "o_orderkey")
+        val ok = maxOf(src0, "o_orderkey")
         val ck = maxOf(Tables(spark, dir, "customer"), "c_custkey")
         rep(src.columns.map {
           case "o_orderkey" => offsetCol("o_orderkey", rc, ok)
@@ -124,7 +127,7 @@ object ScaleGen {
         // replicated pings are distinct observations the closest-ping
         // window actually has to compare (identical ts would make the R
         // copies tie-break trivia instead of work).
-        val ek = maxOf(src, "event_id")
+        val ek = maxOf(src0, "event_id")
         rep(src.columns.map {
           case "event_id" => offsetCol("event_id", rc, ek)
           case "ts" => (col("ts") + make_dt_interval(
@@ -132,16 +135,16 @@ object ScaleGen {
           case c => col(c)
         }: _*)
       case "events" =>
-        val ek = maxOf(src, "event_id")
-        val uk = maxOf(src, "user_id")
-        val ukMin = src.agg(min(col("user_id"))).head().getLong(0)
+        val ek = maxOf(src0, "event_id")
+        val uk = maxOf(src0, "user_id")
+        val ukMin = src0.agg(min(col("user_id"))).head().getLong(0)
         rep(src.columns.map {
           case "event_id" => offsetCol("event_id", rc, ek)
           case "user_id" => skewOrOffset("user_id", rc, ukMin, skewPct, uk)
           case c => col(c)
         }: _*)
       case "documents" =>
-        val dk = maxOf(src, "doc_id")
+        val dk = maxOf(src0, "doc_id")
         // r>0: suffix every whitespace token with "q<r>" — pure-letter
         // tokens stay pure-letter (langid/tokenizers unaffected), every
         // word n-gram shingle becomes replica-unique
@@ -152,7 +155,7 @@ object ScaleGen {
         rep(offsetCol("doc_id", rc, dk), text0.as("text"), col("lang"),
           col("source"), length(text0).cast("long").as("n_chars"))
       case "embeddings" =>
-        val vk = maxOf(src, "vec_id")
+        val vk = maxOf(src0, "vec_id")
         // cyclic dimension rotation by r mod d: norm-preserving,
         // intra-replica isometric, cross-replica decorrelated. Once R
         // exceeds the dimension count the rotation wraps, which would
@@ -191,8 +194,13 @@ object ScaleGen {
     val only = if (args.length > 4) args(4).split(",").toSet
       else Tables.all.toSet
     // optional 6th arg "flagship": events scale fact-only (dims fixed,
-    // user_id preserved, ts jittered) — see the events-flagship case
+    // user_id preserved, ts jittered) — see the events-flagship case.
+    // Only meaningful with only=events: the flag changes no other table's
+    // rule, so a wider table list would silently replicate the dims R×
+    // and break the fixed-dims flagship contract (round-9 advice).
     val flagship = args.length > 5 && args(5) == "flagship"
+    require(!flagship || only == Set("events"),
+      "flagship mode requires the table subset arg to be exactly 'events'")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -33,9 +33,27 @@ object GraftSqlBridge {
       // over the checkpoint, so free EVERY LogicalRDD leaf in the plan —
       // the ownership contract extends to all of them
       d.queryExecution.logical.foreach {
-        case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+        case l: execution.LogicalRDD =>
+          squelchUnpersistWarn(l.rdd.getClass)
+          l.rdd.unpersist(blocking = false)
         case _ => ()
       }
     case _ => ()
+  }
+
+  // RDD.unpersist WARNs "lineage ... truncated and cannot be recomputed"
+  // on every locally-checkpointed RDD it releases. Here that is the
+  // ownership contract working as designed, and a Verify/Bench run emits
+  // dozens of them — burying real warnings (round-9 verdict). Raise the
+  // emitting class's logger (Spark logs under the concrete RDD class,
+  // e.g. org.apache.spark.rdd.MapPartitionsRDD) to ERROR, once per class.
+  // Scoped to exactly the loggers this free path triggers; everything
+  // else in org.apache.spark.rdd keeps its level.
+  private val squelched = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def squelchUnpersistWarn(cls: Class[_]): Unit = {
+    val name = cls.getName.stripSuffix("$")
+    if (squelched.add(name))
+      org.apache.logging.log4j.core.config.Configurator
+        .setLevel(name, org.apache.logging.log4j.Level.ERROR)
   }
 }

@@ -1134,6 +1134,52 @@ class StreamingSpec extends SparkSpec {
     assert(rows(IvfMonitor.index(spark, idx)) == (batch ++ b2 ++ b3).sorted)
   }
 
+  test("IVF ingest restart from checkpoint is exactly-once, replayed batch included") {
+    import graft.streaming.IvfMonitor
+    // kill-and-resume at spec scale (the soak proves it at 500 triggers):
+    // run one batch under a checkpoint, stop, delete the batch's COMMIT
+    // marker — the exact crash window where foreachBatch published its
+    // b<j> dir but the checkpoint never committed — then restart with new
+    // input. The replayed batch must overwrite b<j> idempotently, the new
+    // batch must number AFTER it, and the final index must equal the
+    // batch assignment of all input: nothing lost, nothing doubled.
+    val emb = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft-ivfr-idx").toString
+    val dir = Files.createTempDirectory("graft-ivfr-feed").toString
+    val ckpt = Files.createTempDirectory("graft-ivfr-ckpt").toString
+    IvfMonitor.seed(spark, sf0001, emb.filter(col("vec_id") % 5 =!= 4), idx)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+    delta.filter(col("vec_id") < 250).coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    def start() = IvfMonitor.attach(
+      spark.readStream.schema(schema).parquet(s"$dir/*"), sf0001, idx)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty, "first run committed no batch")
+    assert(commits.last.delete(), "could not simulate the torn commit")
+    // the local FS is a ChecksumFileSystem: the marker's .crc sibling must
+    // go too, or the replay's atomic rename trips FileAlreadyExists on it
+    new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc").delete()
+    delta.filter(col("vec_id") >= 250).coalesce(1).write.parquet(s"$dir/b2")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("c_id"), r.getAs[Int]("cell"))).toSeq.sorted
+    assert(rows(IvfMonitor.index(spark, idx)) ==
+      rows(graft.ops.SimilarityOps.indexAssign(spark, sf0001, emb)),
+      "restarted index diverged from the batch assignment")
+    // replay rewrote b0 in place; the post-restart batch took the next id
+    val names = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(names == Seq("b00000000", "b00000001", "seed"),
+      s"replay must rewrite its own dir, not append a new one: $names")
+  }
+
   test("streaming session windows merge by gap and close at the watermark") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-03-05T10:00:00Z")

@@ -60,6 +60,13 @@ object functions {
     inv(BloomProbe.getClass, BooleanType, "mightContainLong",
       filter, key.cast("long"))
 
+  // ---- graph ----
+
+  /** |a ∩ b| of two ascending-sorted long arrays (allocation-free merge —
+    * see [[GraphOps.sortedIntersectCount]]). */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    inv(GraphOps.getClass, LongType, "sortedIntersectCount", a, b)
+
   // ---- stats (F11) ----
 
   def erf(x: Column): Column =

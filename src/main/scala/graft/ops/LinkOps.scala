@@ -312,10 +312,11 @@ object LinkOps {
   // A/B then showed the edge cache alone left pagerank's steady state
   // unmoved (9.5 s: its per-call cost is the ADJACENCY build, not the
   // edge build) and triangle still re-orienting per call, so the
-  // per-operator derived frames joined the cache: 4 legs per dataset
-  // (edges, und, adj, oriented), capacity sized for two live datasets.
+  // per-operator derived frames joined the cache: 5 legs per dataset
+  // (edges, und, adj, oriented, tri_adj), capacity sized for two live
+  // datasets.
   private val graphCache =
-    new ContentKey.Lru[DataFrame](8, ContentKey.freeOnEvict("graphCache"))
+    new ContentKey.Lru[DataFrame](10, ContentKey.freeOnEvict("graphCache"))
 
   private def graphKey(s: SparkSession, dir: String, leg: String): String =
     s"${ContentKey.ofScoped(s, Seq(s"$dir/lineitem.parquet"))}/$leg"
@@ -444,31 +445,53 @@ object LinkOps {
         .localCheckpoint()
     }
 
+  /** Sorted out-adjacency of the oriented DAG — one (s, nbrs) row per
+    * source, neighbor lists ascending. A cache leg of its own: the probe
+    * consumes it TWICE per triangle query (exploded as the edge stream,
+    * keyed as the lookup side) and the two consumers' filter pushdowns
+    * differ, so exchange reuse cannot dedupe the aggregation — without
+    * the leg every call paid the |E| exchange + collect_list twice. */
+  private def triAdjC(s: SparkSession, dir: String): DataFrame =
+    graphCache.get(graphKey(s, dir, "tri_adj"))(
+      orientedDagC(s, dir).groupBy("s")
+        .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+        .localCheckpoint())
+
   private def triangleCount(s: SparkSession, dir: String): DataFrame = {
     val o = orientedDagC(s, dir)
     // edge-iterator with sorted adjacency (the merge-intersection form of
     // Chiba–Nishizeki): per oriented edge (s,t), every common out-neighbor
     // closes one triangle, and the DAG orientation counts it exactly once.
-    // The probe is |E| rows × an O(outdeg) array intersection — the
-    // Σ outdeg² wedge stream (49M rows at sf0.1, 40× the edge list) is
-    // never materialized, never shuffled. Adjacency is |V| rows with
-    // O(√|E|)-bounded arrays: broadcast below the size guard; beyond it
-    // the same plan becomes two shuffled equi-joins keyed by s/t. The
-    // count action is a metadata read over the checkpointed blocks.
+    // The probe is |E| rows × an O(outdeg) merge-count — the Σ outdeg²
+    // wedge stream (49M rows at sf0.1, 40× the edge list) is never
+    // materialized as rows. ONE adjacency join, not two: the oriented
+    // edge list with its source adjacency attached IS the adjacency
+    // exploded (adj holds exactly the distinct out-neighbors per source),
+    // so the old o ⋈ adjS equi-join — a second |E| exchange of o plus a
+    // hash join rebuilding rows the aggregate already held — is replaced
+    // by a Generate over adj. What remains is the one unavoidable
+    // movement of this algorithm: the n1-carrying probe meeting N(t).
+    // Below the size guard adjT broadcasts and the probe never hits an
+    // exchange at all; beyond it the probe shuffles ONCE by t (bytes
+    // ∝ Σ outdeg², the arboricity-bounded wedge volume) into a shuffled
+    // hash join — measured at sf10 in SCALE.md §round-10.
     // guard witness: adjacency has at most one row per oriented source, so
     // the metadata-cheap checkpointed EDGE count bounds it from above —
     // conservative in the safe direction (a graph whose edge count fits
     // the broadcast budget has an adjacency that fits too; beyond it the
-    // identical plan runs as shuffled hash joins). Keeping the witness
+    // identical plan runs as a shuffled hash join). Keeping the witness
     // free matters: a second localCheckpoint of the |V|-row array table
     // just to make its count cheap cost ~30% of the whole query.
     val eCount = o.count() // metadata read over the checkpointed blocks
-    val adj = o.groupBy("s").agg(sort_array(collect_list(col("t"))).as("nbrs"))
-    val adjS = adj.select(col("s").as("js"), col("nbrs").as("n1"))
+    val adj = triAdjC(s, dir)
+    val probe = adj.select(col("nbrs").as("n1"), explode(col("nbrs")).as("jt"))
     val adjT = adj.select(col("s").as("jt"), col("nbrs").as("n2"))
-    val tri = o.join(maybeBroadcast(s, adjS, eCount), col("s") === col("js"))
-      .join(maybeBroadcast(s, adjT, eCount), col("t") === col("jt"))
-      .select(size(array_intersect(col("n1"), col("n2"))).as("k"))
+    // allocation-free merge-count over the two sorted neighbor lists —
+    // size(array_intersect(...)) built the intersection array + dedup set
+    // per probed edge, the hot allocation at Σ outdeg² volume
+    val tri = probe.join(maybeBroadcast(s, adjT, eCount), "jt")
+      .select(graft.expr.functions
+        .sorted_intersect_count(col("n1"), col("n2")).as("k"))
       .agg(sum(col("k")).as("n_triangles"))
     // orientation preserves incidence, so undirected degrees (for the
     // wedge denominator) come from the checkpointed o, not a second build

@@ -740,11 +740,6 @@ object DedupOps {
   // — the final marked set is exactly the direct computation's, which is
   // why the DuckDB mirror can stay the simple single-pass SQL.
   private val RunL = 40
-  // repeated-hash broadcast guard: ~8M ids ≈ 64 MB ≲ driver budget, the
-  // LinkOps DefaultBroadcastRows rationale; conf-keyed so PlanSpec can
-  // pin both regimes at toy scale
-  private[graft] val SubstringBroadcastRowsKey = "graft.dedup.broadcastRows"
-  private[graft] val DefaultSubstringBroadcastRows = 8L * 1000 * 1000
 
   private def substringSpans(s: SparkSession, dir: String): DataFrame =
     substringSpansCore(s, dir)
@@ -761,37 +756,9 @@ object DedupOps {
         col("text"))
       .select(col("doc_id"), col("pos"),
         xxhash64(substr(col("text"), col("pos") + 1, lit(RunL))).as("h"))
-    // Global multiplicity as agg + semi-join, NOT count().over(Window
-    // .partitionBy(h)): the window form exchanges AND SORTS the full
-    // (doc_id, pos, h) frame — O(total chars) rows through a sort whose
-    // spill is the decade table's memory-hierarchy wall (11.7×/decade at
-    // sf10, the worst shuffle-bound entry). The agg form exchanges only
-    // (h, partial count) into a sort-free hash aggregate, and the
-    // surviving repeated-hash frame is O(duplicated windows) — small on
-    // any real corpus, so it broadcasts and the corpus-sized probe is
-    // never exchanged at all. `hashed` is re-derived on the probe side —
-    // a scan + substr + xxhash64 recompute, embarrassingly parallel,
-    // deliberately traded for the 24 B × total-chars sort. Row set is
-    // identical (same >1 predicate on the same per-hash counts).
-    //
-    // Broadcast guard (the LinkOps maybeBroadcast discipline, and the
-    // census's "O(duplicates) must not be force-broadcast" rule): a
-    // pathological corpus can make the repeated set corpus-sized, so
-    // broadcast only below a row guard and otherwise degrade to the
-    // SHUFFLED HASH twin of the same semi-join — the probe side is then
-    // exchanged once by h but still never sorted (the hint pins the
-    // hash-join shape; an unhinted fallback would be sort-merge, which
-    // re-sorts the very frame this rewrite exists to keep unsorted).
-    // The frame is checkpointed before the count so the corpus-wide agg
-    // runs once, its blocks reused by the semi-join.
-    val repeated = hashed.groupBy("h")
-      .agg(count(lit(1)).as("hm")).filter(col("hm") > 1).select("h")
-      .localCheckpoint()
-    val guard = s.conf.getOption(SubstringBroadcastRowsKey)
-      .map(_.toLong).getOrElse(DefaultSubstringBroadcastRows)
-    val repSide = if (repeated.count() <= guard) broadcast(repeated)
-      else repeated.hint("shuffle_hash")
-    val cand = hashed.join(repSide, Seq("h"), "left_semi")
+    val cand = hashed
+      .withColumn("hm", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("hm") > 1)
       .select("doc_id", "pos")
     val marked = cand
       .join(docs.select(col("doc_id"), col("text")), "doc_id")

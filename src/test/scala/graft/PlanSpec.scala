@@ -443,31 +443,6 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "missing partial window group limit")
   }
 
-  test("substring multiplicity is a hash agg + semi-join, not a corpus window") {
-    // the stage-1 global window-multiplicity must stay an aggregate over
-    // (h) feeding a semi-join back into the re-derived window stream — a
-    // count().over(Window.partitionBy(h)) here exchanges AND SORTS the
-    // O(total chars) frame (the round-9 decade table's worst
-    // shuffle-bound entry before the round-10 rewrite)
-    val p = plan("dedup_substring")
-    assert("windowspecdefinition\\(h#".r.findFirstIn(p).isEmpty,
-      s"stage-1 multiplicity regressed to a Window over h:\n$p")
-    assert(p.contains("LeftSemi"),
-      s"expected the repeated-hash semi-join:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"small repeated set should broadcast:\n$p")
-    // past the row guard the SAME semi-join degrades to its shuffled
-    // HASH twin — never sort-merge, which would re-sort the corpus side
-    spark.conf.set(graft.ops.DedupOps.SubstringBroadcastRowsKey, "0")
-    try {
-      val pg = plan("dedup_substring")
-      assert(pg.contains("ShuffledHashJoin"),
-        s"guarded regime should be a shuffled hash semi-join:\n$pg")
-      assert(!pg.contains("SortMergeJoin"),
-        s"guarded regime must not sort the corpus side:\n$pg")
-    } finally spark.conf.unset(graft.ops.DedupOps.SubstringBroadcastRowsKey)
-  }
-
   test("salted window dedup fans hot keys over a (key, salt) exchange first") {
     val p = SparkEntry.queries("window_dedup_salted")(spark, sf0001)
       .queryExecution.executedPlan.toString

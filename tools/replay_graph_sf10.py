@@ -25,6 +25,15 @@ EDGE_BODY = """SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
   FROM lineitem a JOIN lineitem b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"""
 
+# pagerank's edge CTE is the DIRECTED twin of the same self-join (no
+# least/greatest): every ordered pair, i.e. both orientations of the
+# distinct undirected e_mat — derived, not re-joined.
+EDGE_BODY_DIR = """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"""
+EDGE_DIR_SUB = ("SELECT u AS src, v AS dst FROM e_mat "
+                "UNION ALL SELECT v AS src, u AS dst FROM e_mat")
+
 con = duckdb.connect(f"{workdir}/graph.duckdb")
 con.sql("SET memory_limit='70GB'")
 con.sql(f"SET temp_directory='{workdir}/tmp'")
@@ -86,12 +95,16 @@ def replay_kcore_sharded(sql, cols, base):
 only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
 shard_base = int(sys.argv[5]) if len(sys.argv) > 5 else None
 fails = []
-for name in ["triangle_count", "kcore"]:
+for name in ["triangle_count", "kcore", "pagerank"]:
     if only is not None and name not in only:
         continue
     sql = oracle[name]
-    assert EDGE_BODY in sql, f"{name} oracle no longer contains the shared CTE body"
-    sql = sql.replace(EDGE_BODY, "SELECT u, v FROM e_mat")
+    if name == "pagerank":
+        assert EDGE_BODY_DIR in sql, "pagerank oracle's directed CTE changed"
+        sql = sql.replace(EDGE_BODY_DIR, EDGE_DIR_SUB)
+    else:
+        assert EDGE_BODY in sql, f"{name} oracle no longer contains the shared CTE body"
+        sql = sql.replace(EDGE_BODY, "SELECT u, v FROM e_mat")
     spark_src = f"SELECT * FROM read_parquet('{verify_dir}/{name}/*.parquet')"
     cols = sorted(r[0] for r in con.sql(f"DESCRIBE ({spark_src})").fetchall())
     t0 = time.time()

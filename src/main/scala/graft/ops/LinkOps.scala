@@ -553,6 +553,32 @@ object LinkOps {
   private[graft] val KcoreK = 80
   private[graft] val KcoreRounds = 8
   private val KcoreGuard = 32
+  // ---- driver-local endgame (round-11) ----
+  // After the first distributed round(s) the frontier collapses to a
+  // handful of ids, yet every remaining round still pays a fixed
+  // multi-stage job latency (measured: 5 rounds × ~0.4 s at sf0.1 for
+  // frontiers of 846/197/64/24/6). The endgame: once the AT-RISK MARGIN
+  // M = {survivors with degree < k + Δ} is small, collect M's degrees
+  // and every edge incident to M once, and run the remaining synchronous
+  // peel on the driver. Exactness certificate: any node outside M has
+  // degree ≥ k+Δ and all removals are ⊆ M, so it can only ever reach the
+  // frontier by losing ≥ Δ+1 edges to removed nodes — the sim counts
+  // every decrement it would apply to an out-of-M endpoint (it holds ALL
+  // edges incident to removed nodes, removals being ⊆ M) and aborts to
+  // the distributed loop if any exceeds Δ. Certified sim rounds are
+  // bit-identical to distributed rounds (same sync-peel rule over exact
+  // degrees), so the round count, the ≤ KcoreRounds contract and the SQL
+  // unroll parity are preserved. Size guards keep the driver safe at any
+  // scale: the margin-id cap and a collected-edge bound Σ_{m∈M} deg(m)
+  // (an upper bound on edges incident to M, both observed during the
+  // degree checkpoint's own job) must pass or the peel stays distributed.
+  // margin-id / collected-edge caps are session confs (BroadcastRowsKey
+  // discipline) so tests pin BOTH regimes — the endgame and the
+  // distributed peel it replaces
+  private[graft] val KcoreLocalDelta = 64
+  private[graft] val KcoreLocalMaxIdsKey = "graft.link.kcoreLocalMaxIds"
+  private[graft] val KcoreLocalMaxIds = 20000L
+  private[graft] val KcoreLocalMaxEdges = 3L * 1000 * 1000
 
   private[graft] def kcoreEdges(s: SparkSession, dir: String, k: Int,
       maxRounds: Int = KcoreGuard): (DataFrame, Int) = {
@@ -580,53 +606,170 @@ object LinkOps {
     def degrees(edges: DataFrame): DataFrame = edges
       .select(col("u").as("id")).unionAll(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
-    var deg = degrees(und).localCheckpoint() // survivors' in-subgraph degrees
-    var remNow = deg.filter(col("d") < k).select("id").localCheckpoint()
-    val remNow0 = remNow // round-0 checkpoint, superseded after round 1
-    var nRemNow = remNow.count()
-    var removedAll: DataFrame = null // cumulative, null while empty
-    var nRemovedAll = 0L
-    var prevDeg = deg
-    var prevRemAll: DataFrame = null
-    var rounds = 0
-    while (nRemNow > 0 && rounds < maxRounds) {
-      rounds += 1
-      removedAll =
-        (if (removedAll == null) remNow else removedAll.unionAll(remNow))
-          .localCheckpoint()
-      if (prevRemAll != null) GraftSqlBridge.freeLocalCheckpoint(prevRemAll)
-      prevRemAll = removedAll
-      nRemovedAll += nRemNow
-      // per-survivor degree loss from edges whose OTHER endpoint just left
-      val remU = maybeBroadcast(s, remNow.select(col("id").as("u")), nRemNow)
-      val remV = maybeBroadcast(s, remNow.select(col("id").as("v")), nRemNow)
-      val touched = und.join(remU, Seq("u"), "left_semi").select(col("v").as("id"))
-        .unionAll(und.join(remV, Seq("v"), "left_semi").select(col("u").as("id")))
-      val delta = touched
-        .join(maybeBroadcast(s, removedAll, nRemovedAll), Seq("id"), "left_anti")
-        .groupBy("id").agg(count(lit(1)).as("dl"))
-      val nextDeg = deg.join(remNow, Seq("id"), "left_anti")
-        .join(delta, Seq("id"), "left")
-        .select(col("id"), (col("d") - coalesce(col("dl"), lit(0L))).as("d"))
-        .localCheckpoint()
-      if (prevDeg != null) GraftSqlBridge.freeLocalCheckpoint(prevDeg)
-      prevDeg = nextDeg
-      deg = nextDeg
-      remNow = deg.filter(col("d") < k).select("id")
-      nRemNow = remNow.count()
-      // after round 1 the initial remNow checkpoint is fully consumed
-      // (into removedAll's checkpoint and round-1's nextDeg) — free it
-      if (rounds == 1) GraftSqlBridge.freeLocalCheckpoint(remNow0)
+    // ONE Spark job per round (round-10 verdict: the peel's cost at toy
+    // scale is per-round fixed job latency, not data volume — the old
+    // shape paid 3 jobs/round: removedAll checkpoint + nextDeg checkpoint
+    // + frontier count). The fusion: the frontier count rides the degree
+    // checkpoint's own materialization job as an observed metric, and the
+    // cumulative removed set stays a LAZY union of `d < k` filters over
+    // the retained per-round degree checkpoints (cheap local block scans
+    // when a join broadcast evaluates it) — checkpointed exactly once at
+    // loop exit, after which every degree checkpoint is freed.
+    val kMargin = (k + KcoreLocalDelta).toLong
+    // returns (checkpoint, frontier |d<k|, margin |d<k+Δ|, Σ d over margin)
+    def ckWithFrontier(df: DataFrame): (DataFrame, Long, Long, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs,
+        sum(when(col("d") < lit(k.toLong), 1L).otherwise(0L)).as("f"),
+        sum(when(col("d") < lit(kMargin), 1L).otherwise(0L)).as("m"),
+        sum(when(col("d") < lit(kMargin), col("d")).otherwise(0L)).as("ms"))
+        .localCheckpoint() // eager: materializing fires the observation
+      // getOrEmpty-poll instead of the blocking get: if a Spark version
+      // ever stopped routing checkpoint actions through the listener this
+      // degrades to one extra count job rather than a hang
+      var waitedMs = 0L
+      var metrics = GraftSqlBridge.observationGetOrEmpty(obs)
+      while (metrics.isEmpty && waitedMs < 5000) {
+        Thread.sleep(5); waitedMs += 5
+        metrics = GraftSqlBridge.observationGetOrEmpty(obs)
+      }
+      if (metrics.isEmpty) {
+        // listener fallback: pay one count job, disable the local endgame
+        (ck, ck.filter(col("d") < k).count(), Long.MaxValue, Long.MaxValue)
+      } else {
+        def metric(key: String): Long = metrics(key) match {
+          case null => 0L // empty frame → null sum
+          case v: Number => v.longValue()
+        }
+        (ck, metric("f"), metric("m"), metric("ms"))
+      }
     }
-    if (rounds == 0) GraftSqlBridge.freeLocalCheckpoint(remNow0)
-    // the degree frame served only the peel; the result depends on
-    // und + removedAll alone
-    GraftSqlBridge.freeLocalCheckpoint(prevDeg)
+    val dbg = sys.env.contains("GRAFT_KCORE_DEBUG")
+    def timed[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime; val r = f
+      if (dbg) println(f"[kcore] $tag ${(System.nanoTime - t0) / 1e6}%.0f ms")
+      r
+    }
+    import s.implicits._
+    val degCks = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var (deg, nRemNow, nMargin, marginDegSum) =
+      timed("deg0")(ckWithFrontier(degrees(und)))
+    degCks += deg
+    var remNow = deg.filter(col("d") < k).select("id") // lazy over the ck
+    val remFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var nRemovedAll = 0L
+    var rounds = 0
+    var anyDistributedRounds = false
+    var endgameDone = false
+    var endgameTried = false
+
+    // Driver-local endgame (see the constants' comment for the exactness
+    // certificate). Returns None — leaving all distributed state
+    // untouched — if the certificate fails; Some(removedIds, finalRounds)
+    // on success. Two collect jobs: the margin's (id, degree) pairs and
+    // every edge incident to a margin id (u-side semi ∪ v-side semi minus
+    // the u-side overlap, so an in-margin/in-margin edge lands once).
+    def localEndgame(): Option[(Array[Long], Int)] = {
+      val margin = deg.filter(col("d") < kMargin)
+        .select("id", "d").as[(Long, Long)].collect()
+      val degLoc = scala.collection.mutable.HashMap.from(margin)
+      val muDF = broadcast(margin.map(_._1).toSeq.toDF("u"))
+      val mvDF = broadcast(margin.map(_._1).toSeq.toDF("v"))
+      val incident = und.join(muDF, Seq("u"), "left_semi")
+        .unionAll(und.join(mvDF, Seq("v"), "left_semi")
+          .join(muDF, Seq("u"), "left_anti").select("u", "v"))
+      val edges = incident.as[(Long, Long)].collect()
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      for ((u, v) <- edges) {
+        if (degLoc.contains(u))
+          adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += v
+        if (degLoc.contains(v))
+          adj.getOrElseUpdate(v, scala.collection.mutable.ArrayBuffer.empty) += u
+      }
+      val removed = scala.collection.mutable.HashSet.empty[Long]
+      val cOut = scala.collection.mutable.HashMap.empty[Long, Long]
+      var frontier: Seq[Long] =
+        degLoc.iterator.collect { case (id, d) if d < k => id }.toVector
+      var r = rounds
+      while (frontier.nonEmpty && r < maxRounds) {
+        r += 1
+        removed ++= frontier
+        val loss = scala.collection.mutable.HashMap.empty[Long, Long]
+        for (f <- frontier; x <- adj.getOrElse(f, Nil))
+          if (!removed.contains(x)) {
+            if (degLoc.contains(x)) loss(x) = loss.getOrElse(x, 0L) + 1L
+            else {
+              val c = cOut.getOrElse(x, 0L) + 1L
+              // an out-of-margin node has lost > Δ edges: it COULD reach
+              // the true frontier, the sim's view is no longer certified
+              if (c > KcoreLocalDelta) return None
+              cOut(x) = c
+            }
+          }
+        frontier = loss.iterator.flatMap { case (x, l) =>
+          val nd = degLoc(x) - l
+          degLoc(x) = nd
+          if (nd < k) Some(x) else None
+        }.toVector
+      }
+      Some((removed.toArray, r))
+    }
+
+    while (nRemNow > 0 && rounds < maxRounds && !endgameDone) {
+      val localMaxIds = s.conf.getOption(KcoreLocalMaxIdsKey)
+        .map(_.toLong).getOrElse(KcoreLocalMaxIds)
+      if (!endgameTried && nMargin <= localMaxIds &&
+          marginDegSum <= KcoreLocalMaxEdges) {
+        endgameTried = true
+        timed(s"endgame (margin $nMargin)")(localEndgame()) match {
+          case Some((removedIds, finalRounds)) =>
+            rounds = finalRounds
+            if (removedIds.nonEmpty) {
+              remFrames += removedIds.toSeq.toDF("id")
+              nRemovedAll += removedIds.length
+            }
+            endgameDone = true
+          case None => () // certificate failed: continue distributed
+        }
+      }
+      if (!endgameDone) {
+        rounds += 1
+        anyDistributedRounds = true
+        remFrames += remNow
+        nRemovedAll += nRemNow
+        val removedAll = remFrames.reduce(_ unionAll _)
+        // per-survivor degree loss from edges whose OTHER endpoint just left
+        val remU = maybeBroadcast(s, remNow.select(col("id").as("u")), nRemNow)
+        val remV = maybeBroadcast(s, remNow.select(col("id").as("v")), nRemNow)
+        val touched = und.join(remU, Seq("u"), "left_semi").select(col("v").as("id"))
+          .unionAll(und.join(remV, Seq("v"), "left_semi").select(col("u").as("id")))
+        val delta = touched
+          .join(maybeBroadcast(s, removedAll, nRemovedAll), Seq("id"), "left_anti")
+          .groupBy("id").agg(count(lit(1)).as("dl"))
+        val (nextDeg, nNext, nM, mds) = timed(s"round $rounds (frontier $nRemNow)")(
+          ckWithFrontier(
+            deg.join(remNow, Seq("id"), "left_anti")
+              .join(delta, Seq("id"), "left")
+              .select(col("id"), (col("d") - coalesce(col("dl"), lit(0L))).as("d"))))
+        degCks += nextDeg
+        deg = nextDeg
+        remNow = deg.filter(col("d") < k).select("id")
+        nRemNow = nNext; nMargin = nM; marginDegSum = mds
+      }
+    }
     // one final restriction of the static edges by the cumulative removed
-    // set (the old version paid this filter EVERY round)
+    // set; checkpointing it here self-contains the result, so ALL degree
+    // checkpoints (the only thing the lazy removal filters referenced)
+    // are released before returning. A pure-endgame removal set is a
+    // LocalRelation already — nothing to checkpoint.
     val sub =
-      if (removedAll == null) und
+      if (remFrames.isEmpty) und
       else {
+        val unionAllRem = remFrames.reduce(_ unionAll _)
+        val removedAll =
+          if (anyDistributedRounds) unionAllRem.localCheckpoint()
+          else unionAllRem
         val remAllU = maybeBroadcast(s,
           removedAll.select(col("id").as("u")), nRemovedAll)
         val remAllV = maybeBroadcast(s,
@@ -635,6 +778,7 @@ object LinkOps {
           .join(remAllV, Seq("v"), "left_anti")
           .select("u", "v") // USING-joins move the key first; restore (u, v)
       }
+    degCks.foreach(GraftSqlBridge.freeLocalCheckpoint)
     (sub, rounds)
   }
 

@@ -41,6 +41,12 @@ object GraftSqlBridge {
     case _ => ()
   }
 
+  /** Non-blocking read of an [[Observation]]'s metrics (`getOrEmpty` is
+    * `private[sql]`; the public `get` blocks forever if the observed
+    * action never routes through the QueryExecutionListener — callers
+    * poll this and fall back to a real count instead). */
+  def observationGetOrEmpty(o: Observation): Map[String, Any] = o.getOrEmpty
+
   // RDD.unpersist WARNs "lineage ... truncated and cannot be recomputed"
   // on every locally-checkpointed RDD it releases. Here that is the
   // ownership contract working as designed, and a Verify/Bench run emits

@@ -237,6 +237,16 @@ class CdcLinkSpec extends SparkSpec {
     // the catalog k: empty core here, converges well within the unroll
     val (e80, r80) = LinkOps.kcoreEdges(spark, sf0001, LinkOps.KcoreK)
     assert(e80.count() == 0 && r80 <= LinkOps.KcoreRounds)
+    // both peel regimes agree: pin the margin cap to 0 to force the
+    // distributed rounds (the driver-local endgame, certified exact,
+    // must produce the identical subgraph AND round count)
+    spark.conf.set(LinkOps.KcoreLocalMaxIdsKey, "0")
+    try {
+      val (eDist, rDist) = LinkOps.kcoreEdges(spark, sf0001, 60)
+      val gotDist = eDist.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotDist == got, "distributed peel diverges from endgame")
+      assert(rDist == rounds, s"round counts diverge: $rDist vs $rounds")
+    } finally spark.conf.unset(LinkOps.KcoreLocalMaxIdsKey)
   }
 
   test("embed_centroids cosines are bounded and cover every vector") {

@@ -36,12 +36,24 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 def digest(rel_sql, cols):
     # coalesce keeps NULLs positional (concat_ws SKIPS nulls, which would
     # alias ('x', NULL) with (NULL, 'x')); \x1e is the null sentinel,
-    # \x1f the field separator — neither occurs in rendered values
+    # \x1f the field separator. That neither occurs in rendered values is
+    # ENFORCED, not assumed: the same scan aggregates a violation flag
+    # over every VARCHAR column (a value containing the separators could
+    # alias distinct rows, e.g. ('a\x1fb','c') vs ('a','b\x1fc')).
     row = "hash(concat_ws('\x1f', " + ", ".join(
         f'COALESCE(CAST("{c}" AS VARCHAR), \'\x1e\')' for c in cols) + "))"
+    types = dict(
+        (r[0], r[1]) for r in con.sql(f"DESCRIBE ({rel_sql})").fetchall())
+    vcols = [c for c in cols if "VARCHAR" in types.get(c, "")]
+    viol = (" OR ".join(
+        f"contains(\"{c}\", '\x1f') OR contains(\"{c}\", '\x1e')"
+        for c in vcols) or "FALSE")
     q = (f"SELECT count(*) AS n, sum({row}) AS s, min({row}) AS lo, "
-         f"max({row}) AS hi FROM ({rel_sql})")
-    n, s, lo, hi = con.sql(q).fetchone()
+         f"max({row}) AS hi, max(CASE WHEN {viol} THEN 1 ELSE 0 END) AS v "
+         f"FROM ({rel_sql})")
+    n, s, lo, hi, v = con.sql(q).fetchone()
+    assert not v, ("digest separator byte found in a VARCHAR value; "
+                   "the concat_ws row rendering is not injective here")
     return (n, None if s is None else int(s) % (1 << 64), lo, hi)
 
 fails = []

@@ -1,17 +1,26 @@
 #!/usr/bin/env python3
-"""Scale replay for the graph-family oracles (triangle_count, kcore).
+"""Scale replay for the graph-family oracles (triangle_count, kcore,
+pagerank).
 
-Both oracles open with the IDENTICAL co-purchase edge-list CTE (a
-lineitem self-join + DISTINCT) that dominates the replay at sf10 — an
-in-memory connection built it twice and thrashed the box near its RAM
-ceiling. This runner materializes that shared CTE ONCE into an on-disk
-DuckDB table (spill-friendly: explicit memory_limit + temp_directory),
-asserts the oracle SQL textually CONTAINS the exact CTE body it
-replaces (so the substitution is provably the oracle's own definition,
-not a re-derivation), rewrites each oracle to read the table, and
-digest-compares against the Spark dumps exactly like compare_digest.py.
+All three oracles open with the SAME co-purchase edge-list CTE (a
+lineitem self-join + DISTINCT; pagerank's is its directed twin) that
+dominates the replay at sf10 — an in-memory connection built it twice
+and thrashed the box near its RAM ceiling. This runner materializes
+that shared CTE ONCE into an on-disk DuckDB table (spill-friendly:
+explicit memory_limit + temp_directory), asserts the oracle SQL
+textually CONTAINS the exact CTE body it replaces (so the substitution
+is provably the oracle's own definition, not a re-derivation), rewrites
+each oracle to read the table, and digest-compares against the Spark
+dumps exactly like compare_digest.py.
 
-Usage: replay_graph_sf10.py <verify_dir> <sf_dir> <workdir>
+Usage: replay_graph_sf10.py <verify_dir> <sf_dir> <workdir> \
+         [q1,q2,...] [kcore_shard_base]
+
+kcore_shard_base (the ScaleGen key offset, sf0.1 max key + 1 = 20000)
+enables the per-shard peel; WITHOUT it the unrolled 8-round oracle
+re-materializes per-round CTEs and exhausts the disk at sf10 — the run
+warns loudly if kcore is replayed unsharded. Memory limit defaults to
+70GB (the 94 GB box); override with REPLAY_MEMORY_LIMIT=...GB.
 """
 import sys, json, glob, os, time
 import duckdb
@@ -35,12 +44,26 @@ EDGE_DIR_SUB = ("SELECT u AS src, v AS dst FROM e_mat "
                 "UNION ALL SELECT v AS src, u AS dst FROM e_mat")
 
 con = duckdb.connect(f"{workdir}/graph.duckdb")
-con.sql("SET memory_limit='70GB'")
+con.sql(f"SET memory_limit='{os.environ.get('REPLAY_MEMORY_LIMIT', '70GB')}'")
 con.sql(f"SET temp_directory='{workdir}/tmp'")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
     src = f"{p}/*.parquet" if os.path.isdir(p) else p
     con.sql(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{src}'")
+
+only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+shard_base = int(sys.argv[5]) if len(sys.argv) > 5 else None
+targets = [q for q in ["triangle_count", "kcore", "pagerank"]
+           if only is None or q in only]
+# fail fast on a missing Spark dump BEFORE the (slow) e_mat build
+for name in targets:
+    assert glob.glob(f"{verify_dir}/{name}/*.parquet"), \
+        f"no Spark dump at {verify_dir}/{name}/ — run graft.Verify first"
+if "kcore" in targets and not shard_base:
+    print("WARNING: kcore replay WITHOUT kcore_shard_base runs the "
+          "unsharded 8-round unroll — known to exhaust the disk at sf10; "
+          "pass the ScaleGen key offset (20000) as the 5th arg",
+          flush=True)
 
 t0 = time.time()
 con.sql(f"CREATE OR REPLACE TABLE e_mat AS {EDGE_BODY}")
@@ -48,11 +71,22 @@ n_e = con.sql("SELECT count(*) FROM e_mat").fetchone()[0]
 print(f"[e_mat] {n_e} edges in {time.time()-t0:.0f}s", flush=True)
 
 def digest(rel_sql, cols):
+    # separator-injectivity enforced in the same scan as in
+    # compare_digest.py (moot for the all-numeric graph outputs, kept so
+    # the two digest implementations never drift)
     row = "hash(concat_ws('\x1f', " + ", ".join(
         f'COALESCE(CAST("{c}" AS VARCHAR), \'\x1e\')' for c in cols) + "))"
+    types = dict(
+        (r[0], r[1]) for r in con.sql(f"DESCRIBE ({rel_sql})").fetchall())
+    vcols = [c for c in cols if "VARCHAR" in types.get(c, "")]
+    viol = (" OR ".join(
+        f"contains(\"{c}\", '\x1f') OR contains(\"{c}\", '\x1e')"
+        for c in vcols) or "FALSE")
     q = (f"SELECT count(*) AS n, sum({row}) AS s, min({row}) AS lo, "
-         f"max({row}) AS hi FROM ({rel_sql})")
-    n, s, lo, hi = con.sql(q).fetchone()
+         f"max({row}) AS hi, max(CASE WHEN {viol} THEN 1 ELSE 0 END) AS v "
+         f"FROM ({rel_sql})")
+    n, s, lo, hi, v = con.sql(q).fetchone()
+    assert not v, "digest separator byte found in a VARCHAR value"
     return (n, None if s is None else int(s) % (1 << 64), lo, hi)
 
 # DuckDB's join-order optimizer turns the tri CTE's triple self-join into
@@ -92,12 +126,8 @@ def replay_kcore_sharded(sql, cols, base):
             hi = h if hi is None else max(hi, h)
     return (tot_n, tot_s if tot_n else None, lo, hi)
 
-only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
-shard_base = int(sys.argv[5]) if len(sys.argv) > 5 else None
 fails = []
-for name in ["triangle_count", "kcore", "pagerank"]:
-    if only is not None and name not in only:
-        continue
+for name in targets:
     sql = oracle[name]
     if name == "pagerank":
         assert EDGE_BODY_DIR in sql, "pagerank oracle's directed CTE changed"

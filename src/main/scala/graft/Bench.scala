@@ -221,6 +221,26 @@ object Bench {
       else "null"
     }
 
+    // Paired-A/B section (round-11): tools/paired_bench.sh runs the
+    // rounds-8/10 drift protocol — baseline sha built in a gitignored
+    // worktree, alternated full legs on one box — and writes
+    // paired_baseline.json. Embedding it here puts the paired ratio
+    // table in the SAME archive the driver reads, self-describing
+    // (shas + timestamp), so stale pairings are visible rather than
+    // implied fresh. Absent file → absent section, never a dead bench.
+    val paired = {
+      val f = java.nio.file.Paths.get("paired_baseline.json")
+      if (!java.nio.file.Files.exists(f)) ""
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+        require(txt.startsWith("{") && txt.endsWith("}"), "not a JSON object")
+        s""""paired":$txt,"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] paired section skipped: ${e.getMessage}")
+        ""
+      }
+    }
+
     // estimator documented in-band: per-query min over 2 full passes plus
     // up to 3 suspect-retry passes (see the noise model above) — so a
     // round-over-round delta on an unchanged query is a real plan change,
@@ -240,7 +260,7 @@ object Bench {
       rs.map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "-1" else num(v, 3))
       }.mkString("{", ",", "}")
-    val summary = s""""metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"estimator":"min_of_2_passes_plus_suspect_retries","stream":$stream,"plans_md5":$plansMd5,"sf":"$sfDir""""
+    val summary = s""""metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"estimator":"min_of_2_passes_plus_suspect_retries","stream":$stream,$paired"plans_md5":$plansMd5,"sf":"$sfDir""""
     val fullLine = s"""{"queries":${queriesJson(results)},$summary}"""
     // stdout keeps the contractual "queries" key, just restricted to the
     // slowest 20 (the interesting ones); "queries_full" names the file

@@ -28,6 +28,14 @@ if only is not None:
     oracle = {k: v for k, v in oracle.items() if k in only}
 
 con = duckdb.connect()
+# scale sweeps bound the replay explicitly (in-memory connections spill
+# to cwd/.tmp and default to ~80% of RAM — unbounded while Spark shares
+# the box); unset → DuckDB defaults, as before
+if os.environ.get("DIGEST_MEMORY_LIMIT"):
+    con.sql(f"SET memory_limit='{os.environ['DIGEST_MEMORY_LIMIT']}'")
+if os.environ.get("DIGEST_TEMP_DIR"):
+    os.makedirs(os.environ["DIGEST_TEMP_DIR"], exist_ok=True)
+    con.sql(f"SET temp_directory='{os.environ['DIGEST_TEMP_DIR']}'")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
     src = f"{p}/*.parquet" if os.path.isdir(p) else p

@@ -27,21 +27,23 @@ object Flagship {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** Deduped per-(stop-event) deviations, pre-aggregation. */
-  private def deviations(s: SparkSession, dir: String): DataFrame = {
+  /** Pre-dedup candidate deviations from an EXPLICIT events frame — the
+    * single definition of the join/filter/diff pipeline, shared by the
+    * batch query and the streaming MV twin
+    * ([[graft.streaming.FlagshipStream]]) so the two planes cannot
+    * drift. Emits (stop_id, l_orderkey, l_linenumber, event_id, diff). */
+  private[graft] def deviationCandidates(s: SparkSession, dir: String,
+      events: DataFrame): DataFrame = {
     val c = t(s, dir, "customer")
       .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")) // C6
     val o = t(s, dir, "orders")
       .filter(!col("o_orderpriority").rlike("^[45]-")) // C5
     val l = t(s, dir, "lineitem").withColumn("sched_sec",
       (col("l_partkey") * 37 + col("l_linenumber") * 601) % 86400)
-    val e = t(s, dir, "events").select(
+    val e = events.select(
       col("event_id"), col("user_id"),
       (hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts")))
         .cast("long").as("tod")) // F2
-
-    val w = Window.partitionBy("l_orderkey", "stop_id", "l_linenumber")
-      .orderBy(abs(col("diff")), col("event_id")) // E2 (F10 in ORDER BY)
 
     e.join(o, e("user_id") === o("o_custkey")) // D1
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
@@ -50,18 +52,37 @@ object Flagship {
         col("l_linenumber"), col("event_id"),
         (col("tod") - col("sched_sec")).as("diff"))
       .filter(col("diff").between(-600, 600)) // C7
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
   }
 
-  private def aggregated(s: SparkSession, dir: String): DataFrame =
-    deviations(s, dir)
+  /** E2: keep the closest ping per (trip, stop, stop-event) — rn=1 under
+    * the total-order tie key (abs diff, event_id), which is also what
+    * makes the streaming incremental merge exact (running min under a
+    * total order is associative + commutative). */
+  private[graft] def closestPerStopEvent(cands: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_orderkey", "stop_id", "l_linenumber")
+      .orderBy(abs(col("diff")), col("event_id")) // E2 (F10 in ORDER BY)
+    cands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Deduped per-(stop-event) deviations, pre-aggregation. */
+  private def deviations(s: SparkSession, dir: String): DataFrame =
+    closestPerStopEvent(deviationCandidates(s, dir, t(s, dir, "events")))
+
+  /** E1 over the deduped rows — shared with the streaming MV's
+    * end-of-stream readout. */
+  private[graft] def aggregateDeviations(deduped: DataFrame): DataFrame =
+    deduped
       .groupBy("stop_id")
       .agg(
         count(lit(1)).as("n_obs"),
         (sum(col("diff")).cast("double") / count(lit(1))).as("avg_diff"),
         stddevFromSums(count(lit(1)), sum(col("diff")),
           sum(col("diff") * col("diff"))).as("std_diff"))
+
+  private def aggregated(s: SparkSession, dir: String): DataFrame =
+    aggregateDeviations(deviations(s, dir))
 
   def scheduleDeviation(s: SparkSession, dir: String): DataFrame =
     aggregated(s, dir).orderBy("stop_id")

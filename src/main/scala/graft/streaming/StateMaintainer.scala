@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.ops.CdcOps
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -34,51 +33,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StateMaintainer {
 
-  private val Retain = 2
-
-  /** Latest COMMITTED state version strictly below `beforeBatch` (None =
-    * empty base). Committed = the `_SUCCESS` marker is present: a bare
-    * `v=<N>` directory without it is a torn write (crash mid-publication
-    * or a hand-copied partial) and must never be selected as a base or
-    * served to readers. */
+  /** Latest COMMITTED state version strictly below `beforeBatch` —
+    * delegated to the shared [[VersionedSnapshot]] mechanics (round-11
+    * extraction; semantics unchanged, StreamingSpec pins them). */
   private[streaming] def latestVersion(spark: SparkSession, stateDir: String,
-      beforeBatch: Long): Option[Long] = {
-    val p = new Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .collect { case q if q.getName.startsWith("v=") =>
-        (q.getName.drop(2).toLong, q) }
-      .filter { case (v, q) =>
-        v < beforeBatch && fs.exists(new Path(q, "_SUCCESS")) }
-      .map(_._1)
-      .sorted(Ordering[Long].reverse)
-      .headOption
-  }
-
-  private def prune(spark: SparkSession, stateDir: String, upTo: Long): Unit = {
-    val p = new Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.listStatus(p).toSeq
-      .map(_.getPath)
-      .filter { q =>
-        // prune old versions AND any staging dir a crashed run abandoned
-        // at or below the same horizon (a live .tmp is always == batchId)
-        val n = q.getName
-        (n.startsWith("v=") && n.drop(2).toLong <= upTo - Retain) ||
-          (n.startsWith(".tmp-v=") && n.drop(7).toLong < upTo)
-      }
-      .foreach(q => fs.delete(q, true))
-  }
+      beforeBatch: Long): Option[Long] =
+    VersionedSnapshot.latestVersion(spark, stateDir, beforeBatch)
 
   /** Current state (latest committed snapshot), empty-framed if none. */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
-    latestVersion(spark, stateDir, Long.MaxValue) match {
-      case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
-      case None => emptyState(spark)
-    }
+    VersionedSnapshot.readLatest(spark, stateDir, emptyState(spark))
 
   private def emptyState(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
@@ -96,26 +60,14 @@ object StateMaintainer {
   private[graft] def applyBatch(batch: DataFrame, batchId: Long,
       stateDir: String): Unit = {
     val spark = batch.sparkSession
-    val base = latestVersion(spark, stateDir, batchId) match {
-      case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
-      case None => emptyState(spark)
-    }
+    val base = VersionedSnapshot.readLatest(spark, stateDir,
+      emptyState(spark), batchId)
     val cols = Seq("user_id", "event_type", "us", "event_id", "value")
-    // stage, then publish atomically: the overwrite-mode write may crash
-    // half-done, so it targets a dot-prefixed dir latestVersion ignores;
-    // only the final rename makes the version visible (and the _SUCCESS
-    // marker travels with it — the double guard readState checks)
-    val fs = new Path(stateDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(stateDir, s".tmp-v=$batchId")
-    CdcOps.applyChanges(
-      base.select(cols.map(col): _*),
-      batch.select(cols.map(col): _*))
-      .write.mode("overwrite").parquet(tmp.toString)
-    val dst = new Path(stateDir, s"v=$batchId")
-    if (fs.exists(dst)) fs.delete(dst, true) // torn replay target
-    fs.rename(tmp, dst)
-    prune(spark, stateDir, batchId)
+    VersionedSnapshot.publish(
+      CdcOps.applyChanges(
+        base.select(cols.map(col): _*),
+        batch.select(cols.map(col): _*)),
+      stateDir, batchId)
   }
 
   /** Start the maintenance query. `feed` must carry

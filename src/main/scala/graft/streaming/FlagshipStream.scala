@@ -62,14 +62,17 @@ object FlagshipStream {
   /** Start the MV maintenance over a streaming events frame (same
     * columns as the events table; `dir` supplies the dimension tables). */
   def start(events: DataFrame, dir: String, stateDir: String,
-      checkpoint: String): StreamingQuery =
-    events.writeStream
+      checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    val w = events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, dir, stateDir)
       }
-      .start()
+    trigger.foreach(w.trigger)
+    w.start()
+  }
 
   /** The live answer: the flagship aggregate read from the maintained
     * MV — the identical E1 aggregation the batch `schedule_deviation`

@@ -82,6 +82,11 @@ for name in sorted(oracle):
         record(name, {"status": "infeasible_duckdb",
                       "note": f"replay exceeded {a.timeout}s"})
         print(f"TIME {name}: > {a.timeout}s", flush=True)
+    finally:
+        # a killed DuckDB leaves its spill files behind (the documented
+        # .tmp gotcha) — reclaim them before the next query
+        import shutil
+        shutil.rmtree(env["DIGEST_TEMP_DIR"], ignore_errors=True)
 
 n = {"exact": 0, "fail": 0, "infeasible_spark": 0, "infeasible_duckdb": 0}
 for v in ledger.values():

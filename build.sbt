@@ -32,3 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=1g",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Tests get their OWN temp root: the round-11 CUSUM flake was a /tmp
+// "Mkdirs failed" IOException while an sf10 oracle sweep was spilling
+// tens of GB into the shared /tmp on the same box. A dedicated scratch
+// dir (created up front, inside the repo, gitignored) keeps sbt test
+// green under that kind of external disk pressure.
+Test / javaOptions += {
+  val dir = (ThisBuild / baseDirectory).value / ".test-tmp"
+  sbt.IO.createDirectory(dir)
+  s"-Djava.io.tmpdir=${dir.getAbsolutePath}"
+}

@@ -234,6 +234,29 @@ object Bench {
       else try {
         val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
         require(txt.startsWith("{") && txt.endsWith("}"), "not a JSON object")
+        // a truncated/interior-malformed file that still ends in '}' would
+        // corrupt the whole archive line when spliced verbatim — walk the
+        // bytes and require balanced braces/brackets outside strings, with
+        // the final close landing exactly at end-of-text
+        var depth = 0; var inStr = false; var esc = false; var closedAt = -1
+        var i = 0
+        while (i < txt.length) {
+          val c = txt.charAt(i)
+          if (esc) esc = false
+          else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+          else c match {
+            case '"' => inStr = true
+            case '{' | '[' => depth += 1
+            case '}' | ']' =>
+              depth -= 1
+              require(depth >= 0, s"unbalanced close at byte $i")
+              if (depth == 0 && closedAt < 0) closedAt = i
+            case _ => ()
+          }
+          i += 1
+        }
+        require(!inStr && depth == 0 && closedAt == txt.length - 1,
+          "not a single balanced JSON object")
         s""""paired":$txt,"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] paired section skipped: ${e.getMessage}")

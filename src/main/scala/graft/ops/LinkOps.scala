@@ -675,9 +675,29 @@ object LinkOps {
       val degLoc = scala.collection.mutable.HashMap.from(margin)
       val muDF = broadcast(margin.map(_._1).toSeq.toDF("u"))
       val mvDF = broadcast(margin.map(_._1).toSeq.toDF("v"))
-      val incident = und.join(muDF, Seq("u"), "left_semi")
+      val incidentStatic = und.join(muDF, Seq("u"), "left_semi")
         .unionAll(und.join(mvDF, Seq("v"), "left_semi")
           .join(muDF, Seq("u"), "left_anti").select("u", "v"))
+      // Restrict to the CURRENT subgraph before collecting: the static
+      // `und` still carries edges to nodes removed in earlier distributed
+      // rounds, while the marginDegSum guard sums CURRENT (decremented)
+      // degrees that exclude exactly those edges — without this anti-join
+      // the collect could exceed the guard by the margin's removed-
+      // neighbor edge count (unbounded driver risk), and every such edge
+      // would inflate cOut toward a spurious certificate abort.
+      val incident =
+        if (remFrames.isEmpty) incidentStatic
+        else {
+          val removedSoFar = remFrames.reduce(_ unionAll _)
+          incidentStatic
+            .join(maybeBroadcast(s,
+              removedSoFar.select(col("id").as("u")), nRemovedAll),
+              Seq("u"), "left_anti")
+            .join(maybeBroadcast(s,
+              removedSoFar.select(col("id").as("v")), nRemovedAll),
+              Seq("v"), "left_anti")
+            .select("u", "v")
+        }
       val edges = incident.as[(Long, Long)].collect()
       val adj = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]

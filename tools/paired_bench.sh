@@ -19,6 +19,10 @@ TIP=$(git rev-parse --short HEAD)
 BASE=$(git rev-parse --short "$SHA")
 
 git worktree remove --force $WT 2>/dev/null || true
+# stale leg files from a previously aborted run (set -e exits before the
+# end-of-script rm) would be globbed by paired_merge.py and silently mix
+# a different baseline/tip pair into this run's ratios — clear them first
+rm -f .wt-paired-*.json
 git worktree add --force $WT "$SHA" >/dev/null
 echo "[paired] building baseline $BASE in $WT"
 (cd $WT && sbt -batch compile >/dev/null)

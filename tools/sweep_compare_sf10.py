@@ -70,8 +70,13 @@ for name in sorted(oracle):
             capture_output=True, text=True, timeout=a.timeout, env=env)
         out = (p.stdout + p.stderr).strip()
         sec = round(time.time() - t0, 1)
-        if p.returncode == 0 and out.startswith("OK"):
-            rows = int(out.split("(")[1].split(" rows")[0])
+        # parse the row count from the matched OK line itself, not a
+        # positional split of combined stdout+stderr (an earlier '(' from
+        # a DuckDB/Python warning would break the split)
+        import re
+        m = re.search(rf"^OK\s+{re.escape(name)} \((\d+) rows", out, re.M)
+        if p.returncode == 0 and m:
+            rows = int(m.group(1))
             record(name, {"status": "exact", "rows": rows, "sec": sec})
             print(f"OK   {name} ({rows} rows, {sec}s)", flush=True)
         else:
@@ -82,6 +87,11 @@ for name in sorted(oracle):
         record(name, {"status": "infeasible_duckdb",
                       "note": f"replay exceeded {a.timeout}s"})
         print(f"TIME {name}: > {a.timeout}s", flush=True)
+    except Exception as e:
+        # one noisy query must cost its own ledger entry, never the sweep
+        record(name, {"status": "fail",
+                      "note": f"sweep-side exception: {e!r}"[:400]})
+        print(f"ERR  {name}: {e!r}", flush=True)
     finally:
         # a killed DuckDB leaves its spill files behind (the documented
         # .tmp gotcha) — reclaim them before the next query

@@ -34,6 +34,35 @@ object FlagshipStream {
   private[graft] val StateCols =
     Seq("stop_id", "l_orderkey", "l_linenumber", "event_id", "diff")
 
+  // Trigger-floor cut (round-11 verdict ask #6): applyBatch re-scanned
+  // the three dim tables from parquet every micro-batch — at the 21.3M
+  // flagship scale that re-read dominated the measured 7.1s trigger
+  // p50. The dims are STATIC for a query lifetime, so persist them once
+  // per (context, dir-content), projected to exactly the columns the
+  // shared pipeline consumes ([[Flagship.DimCols]]), and serve every
+  // trigger from the cached blocks. Content-scoped key (ofScoped): a
+  // regenerated dir or restarted context rebuilds; eviction unpersists.
+  private val dimCache =
+    new graft.ops.ContentKey.Lru[Map[String, DataFrame]](2,
+      _.values.foreach(_.unpersist(false)))
+
+  private def cachedDims(s: SparkSession, dir: String)
+      : (SparkSession, String, String) => DataFrame = {
+    val names = Flagship.DimCols.keys.toSeq.sorted
+    val key = graft.ops.ContentKey.ofScoped(s,
+      names.map(n => s"$dir/$n.parquet"))
+    val dims = dimCache.get(key) {
+      names.map { n =>
+        val df = graft.Tables(s, dir, n)
+          .select(Flagship.DimCols(n).map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize NOW: the build bills to stream start, not the first trigger
+        n -> df
+      }.toMap
+    }
+    (sess, d, n) => dims.getOrElse(n, graft.Tables(sess, d, n))
+  }
+
   private def emptyState(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -52,7 +81,8 @@ object FlagshipStream {
     val spark = batch.sparkSession
     val base = VersionedSnapshot.readLatest(spark, stateDir,
       emptyState(spark), batchId)
-    val cand = Flagship.deviationCandidates(spark, dir, batch)
+    val cand = Flagship
+      .deviationCandidates(spark, dir, batch, cachedDims(spark, dir))
       .select(StateCols.map(col): _*)
     val merged = Flagship.closestPerStopEvent(
       base.select(StateCols.map(col): _*).unionByName(cand))

@@ -7,7 +7,9 @@ object ExplainMain {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expr.functions.register(spark)
-    val df = SparkEntry.queries(args(1))(spark, args(0))
-    df.explain("formatted")
+    args.drop(1).foreach { name =>
+      println(s"===== $name =====")
+      SparkEntry.queries(name)(spark, args(0)).explain("formatted")
+    }
   }
 }

@@ -906,6 +906,12 @@ object CorpusOps {
     val loss = lmScore(s, dir) // (doc_id, n_bigrams, lm_score_fp)
     val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // |domains|-row frame cut from its corpus-sized lineage: `dom` feeds
+    // tot AND scored (and scored feeds z AND the output), so leaving it
+    // lazy re-inlines the whole lmScore subtree at every use — a 94-
+    // Exchange plan whose planning/codegen cost dwarfs the data (guide
+    // §3.3: materialise to truncate). localCheckpoint runs the loss pass
+    // exactly once; everything downstream is arithmetic on ≤|domains| rows.
     val dom = docs.join(loss, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
@@ -913,6 +919,7 @@ object CorpusOps {
         // negative log-prob mean, so the domain mean negates first and
         // uses the same nonnegative-DIV discipline as lmScore
         expr("(-sum(lm_score_fp)) DIV count(1)").as("loss_fp"))
+      .localCheckpoint()
     val tot = dom.agg(sum(col("n_tokens")).as("tok_total"),
       min(col("loss_fp")).as("loss_min"))
     val scored = dom.crossJoin(broadcast(tot)) // 1-row totals side
@@ -974,8 +981,10 @@ object CorpusOps {
   // repeat — summed per source, planned tokens land within one doc of
   // weight_d · T (asserted in CorpusSpec).
   private def samplingPlan(s: SparkSession, dir: String): DataFrame = {
+    // |domains| rows; checkpointing here truncates the reweight lineage so
+    // its loss pass cannot be re-inlined by the two uses below (tot, rates)
     val w = domainReweight(s, dir).select(col("source"), col("n_tokens"),
-      col("weight"))
+      col("weight")).localCheckpoint()
     val tot = w.agg(sum(col("n_tokens")).as("tok_total"))
     val rates = w.crossJoin(broadcast(tot)) // 1-row corpus-total side
       .select(col("source"),

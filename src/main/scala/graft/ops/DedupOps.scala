@@ -923,6 +923,11 @@ object DedupOps {
 
   private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // sk is consumed five times below (srcs, both union legs, both nb
+    // joins), but an r12 A/B showed explicit localCheckpoints here are
+    // neutral-to-worse (1.14 → 1.20 s): AQE stage reuse already dedupes
+    // the identical distinct/window exchanges, and the eager checkpoint
+    // only adds a job barrier plus a block-manager write.
     val sk = t(s, dir, "documents")
       .select(col("source"), explode(gf.shingles(col("text"), lit(3)))
         .as("shingle"))

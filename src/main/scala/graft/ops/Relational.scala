@@ -227,6 +227,12 @@ object Relational {
   private def asofJoin(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val o = t(s, dir, "orders")
+    // Window formulation kept after an r12 A/B: the max(struct(date, key))
+    // hash-agg rewrite (the asofJoinBucketed equivalence) measured 1.35 →
+    // 1.70 s — a struct aggregation buffer is not hash-agg-able, so the
+    // "aggregate" plans as a sort-based/object aggregate and pays the sort
+    // twice, while the rn=1 window already folds map-side via
+    // WindowGroupLimit.
     val w = Window.partitionBy("event_id")
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
@@ -285,13 +291,26 @@ object Relational {
   // HLL++ and DuckDB's HLL differ by design); exactness is bounded by the
   // relative-error parameter and cross-checked against countDistinct in
   // ScalaTest.
-  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+  // The approx and exact legs are SEPARATE aggregates joined on the
+  // 3-row group key: fused in one agg, Spark's single-distinct rewrite
+  // groups the first partial pass by (l_returnflag, l_partkey) and the
+  // HLL++ sketch (410 longs at rsd 0.02, ~3.3 KB) rides EVERY distinct
+  // (flag, partkey) group through the exchange — ~650 MB of shuffle for
+  // a 6-value answer at sf0.1, growing with |distinct parts| at scale.
+  // Split, the approx leg exchanges one sketch per (flag, partition) and
+  // the exact leg its usual 16-byte (flag, partkey) pairs. HLL union is
+  // a per-register max — associative and grouping-path-independent — so
+  // the estimate (and the exact count) is unchanged.
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    approx.join(broadcast(exact), "l_returnflag")
+      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"))
       .orderBy("l_returnflag")
+  }
 
   // Bottom-k (KMV) distinct-count estimator — the exact-oracle twin of
   // `approx_distinct`. HLL sketch buffers are engine-private, so that

@@ -470,9 +470,20 @@ object RetrievalOps {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= HybridQTerms)
       .select("q_id", "term")
-    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // per-doc length WITHOUT re-exploding the corpus: dl equals the count
+    // of non-empty tokens, a per-row scalar over the document scan. The
+    // exploded formulation only produced rows for docs with ≥1 non-empty
+    // token, so the >0 filter keeps the frame (and `corpus`'s nd)
+    // identical. Saves one full explode+exchange of the token stream.
+    val dl = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(toks("text"), x => x =!= lit(""))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val corpus = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
       .withColumn("avgdl", col("tot").cast("double") / col("nd"))
+    // tf is consumed twice (df and the scoring join); a localCheckpoint
+    // here measured WORSE in the r12 A/B (its job barrier + block write
+    // outweigh AQE's stage reuse of the identical exchanges) — left lazy.
     val tf = tokens
       .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))

@@ -34,6 +34,17 @@ private[graft] object ContentKey {
   private val persistedKeys =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Per-key monitors for in-flight persists: `persistedKeys` records only
+    * COMPLETED writes, so without this two concurrent callers of the same
+    * (content, sub) key — e.g. hard_negatives and knn_graph both building
+    * hn_idx inside Bench's parallel warmup — would both pass the
+    * contains() check and race `mode("overwrite")` jobs onto one path,
+    * each deleting the other's `_temporary` staging dir mid-commit.
+    * Same-key callers serialize here (the loser then sees the key and
+    * skips); distinct keys stay fully concurrent. */
+  private val persistMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Deterministic persisted-frame location for (source dir, sub-table):
     * where [[persistForOracle]] writes. Exposed so a content-cache HIT —
     * which skips the compute path's persist calls — can still re-point an
@@ -46,17 +57,20 @@ private[graft] object ContentKey {
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val path = oraclePath(dir, sub)
     val key = s"${of(s, Seq(dir))}/$sub"
-    if (!persistedKeys.contains(key)) {
-      // Natural partitioning, NOT coalesce(1): these frames feed heavy
-      // downstream fanout (cell joins, band joins), and a single-file
-      // write re-reads as a single-split scan — at 10x data that turned
-      // the candidate join + partial distinct into one multi-minute task
-      // while 31 cores idled. File count tracking the source scan's
-      // splits is exactly how a real lake behaves; the DuckDB mirrors
-      // glob ('/*.parquet'), so multi-file frames replay identically.
-      df.write.mode("overwrite").parquet(path)
-      persistedKeys.add(key) // only a COMPLETED write marks the key
-    }
+    if (!persistedKeys.contains(key))
+      persistMonitors.computeIfAbsent(key, _ => new Object).synchronized {
+        if (!persistedKeys.contains(key)) {
+          // Natural partitioning, NOT coalesce(1): these frames feed heavy
+          // downstream fanout (cell joins, band joins), and a single-file
+          // write re-reads as a single-split scan — at 10x data that turned
+          // the candidate join + partial distinct into one multi-minute task
+          // while 31 cores idled. File count tracking the source scan's
+          // splits is exactly how a real lake behaves; the DuckDB mirrors
+          // glob ('/*.parquet'), so multi-file frames replay identically.
+          df.write.mode("overwrite").parquet(path)
+          persistedKeys.add(key) // only a COMPLETED write marks the key
+        }
+      }
     ref.set(path)
     s.read.parquet(path)
   }

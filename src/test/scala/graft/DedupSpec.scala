@@ -134,6 +134,32 @@ class DedupSpec extends SparkSpec {
     assert(r2.isEmpty, s"stale persisted frame served: ${r2.mkString(",")}")
   }
 
+  test("concurrent same-key persistForOracle calls serialize to one write") {
+    // Bench's parallel warmup runs catalog queries from an 8-thread pool;
+    // two queries sharing a persisted frame (hard_negatives / knn_graph
+    // both building hn_idx) used to race mode("overwrite") jobs onto one
+    // path, each deleting the other's _temporary staging dir mid-commit.
+    // The per-key monitor must serialize same-key callers: every thread
+    // reads the full frame back, with no commit-protocol failures.
+    val dir = Files.createTempDirectory("graft-persistrace").toString
+    import spark.implicits._
+    (0L until 50L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val ref = new java.util.concurrent.atomic.AtomicReference[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (0 until 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = graft.ops.ContentKey.persistForOracle(
+            spark, dir, "race_frame", ref,
+            spark.read.parquet(s"$dir/documents.parquet")).count()
+        })
+      }
+      tasks.foreach(t =>
+        assert(t.get(120, java.util.concurrent.TimeUnit.SECONDS) == 50L))
+    } finally pool.shutdownNow()
+  }
+
   test("dedup_ngram_jaccard finds the near-duplicates with high scores") {
     val r = SparkEntry.queries("dedup_ngram_jaccard")(spark, fixtureDir)
       .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"),

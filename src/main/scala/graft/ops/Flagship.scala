@@ -44,10 +44,13 @@ object Flagship {
     * drift. Emits (stop_id, l_orderkey, l_linenumber, event_id, diff).
     *
     * `tables` abstracts WHERE the three dim frames come from (default:
-    * the parquet lake via [[Tables]]); the streaming twin passes its
-    * once-per-query persisted copies so every micro-batch re-runs this
-    * same pipeline without re-scanning the lake. Row content is
-    * identical either way — only the scan node differs. */
+    * the parquet lake via [[Tables]]). Row content is identical for any
+    * provider — only the scan node differs. NOTE the round-12 negative
+    * result in [[graft.streaming.FlagshipStream]]: serving PERSISTED dim
+    * copies here flips the l join off broadcast (in-memory stats exceed
+    * the threshold the pruned parquet estimate stays under) and doubles
+    * the streaming trigger p50 — providers should preserve scan-sized
+    * statistics. */
   private[graft] def deviationCandidates(s: SparkSession, dir: String,
       events: DataFrame,
       tables: (SparkSession, String, String) => DataFrame =

@@ -34,34 +34,21 @@ object FlagshipStream {
   private[graft] val StateCols =
     Seq("stop_id", "l_orderkey", "l_linenumber", "event_id", "diff")
 
-  // Trigger-floor cut (round-11 verdict ask #6): applyBatch re-scanned
-  // the three dim tables from parquet every micro-batch — at the 21.3M
-  // flagship scale that re-read dominated the measured 7.1s trigger
-  // p50. The dims are STATIC for a query lifetime, so persist them once
-  // per (context, dir-content), projected to exactly the columns the
-  // shared pipeline consumes ([[Flagship.DimCols]]), and serve every
-  // trigger from the cached blocks. Content-scoped key (ofScoped): a
-  // regenerated dir or restarted context rebuilds; eviction unpersists.
-  private val dimCache =
-    new graft.ops.ContentKey.Lru[Map[String, DataFrame]](2,
-      _.values.foreach(_.unpersist(false)))
-
-  private def cachedDims(s: SparkSession, dir: String)
-      : (SparkSession, String, String) => DataFrame = {
-    val names = Flagship.DimCols.keys.toSeq.sorted
-    val key = graft.ops.ContentKey.ofScoped(s,
-      names.map(n => s"$dir/$n.parquet"))
-    val dims = dimCache.get(key) {
-      names.map { n =>
-        val df = graft.Tables(s, dir, n)
-          .select(Flagship.DimCols(n).map(col): _*)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // materialize NOW: the build bills to stream start, not the first trigger
-        n -> df
-      }.toMap
-    }
-    (sess, d, n) => dims.getOrElse(n, graft.Tables(sess, d, n))
-  }
+  // NEGATIVE RESULT (round 12, adjudicating the round-11 ask-#6 commit
+  // that persisted the three dim tables across triggers): persisting the
+  // DimCols-projected dims (MEMORY_AND_DISK, materialized at stream
+  // start) DOUBLED the trigger p50 at the 21.3M flagship scale
+  // (6.86 s → 14.77 s, alternated legs on testdata-flagship). Cause, from
+  // the per-trigger plan (plans/r12/flagship_stream_trigger_*.txt): a
+  // persisted dim's size estimate is its in-memory stats, which for
+  // lineitem exceed the 10 MB auto-broadcast threshold that its pruned
+  // PARQUET estimate stayed under — the l join flips
+  // BroadcastHashJoin → SortMergeJoin, adding an exchange + sort of the
+  // whole candidate side EVERY trigger. The parquet re-scan the cache
+  // was meant to save is served from the OS page cache and was never
+  // the floor. Forcing broadcast(l) instead would pin a strategy the
+  // planner must stay free to drop at real scale, so the provider
+  // default (plain parquet scans via Tables) stands.
 
   private def emptyState(spark: SparkSession): DataFrame =
     spark.createDataFrame(
@@ -81,8 +68,7 @@ object FlagshipStream {
     val spark = batch.sparkSession
     val base = VersionedSnapshot.readLatest(spark, stateDir,
       emptyState(spark), batchId)
-    val cand = Flagship
-      .deviationCandidates(spark, dir, batch, cachedDims(spark, dir))
+    val cand = Flagship.deviationCandidates(spark, dir, batch)
       .select(StateCols.map(col): _*)
     val merged = Flagship.closestPerStopEvent(
       base.select(StateCols.map(col): _*).unionByName(cand))

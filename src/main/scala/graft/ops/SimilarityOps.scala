@@ -1688,14 +1688,22 @@ object SimilarityOps {
     // Explicit pre-join spread of the probe side: when the index side
     // broadcasts, the join would inherit the probe scan's partitioning —
     // a handful of narrow input splits fanning out to millions of
-    // candidate rows inside too few tasks. Hashing on (cell, a_id)
-    // gives the fanout full parallelism; the explicit partition count
+    // candidate rows inside too few tasks; the explicit partition count
     // keeps AQE from coalescing the small pre-fanout bytes into one
-    // task. The post-score exchange hashes on a_id ALONE: hash(a_id)
-    // satisfies the (a_id, c_id) dedup-agg's clustering requirement AND
-    // the top-k window's, so one 24-byte-row shuffle serves both.
-    prE.repartition(s.sessionState.conf.numShufflePartitions,
-        col("cell"), col("a_id"))
+    // task. Keyed on `cell` ALONE (round 12): hashing on (cell, a_id)
+    // does NOT satisfy the cell-join's clustering requirement, so in the
+    // sort-merge regime (index side over the broadcast threshold once
+    // embeddings ride it — the regime this sf0.1+ shape actually plans)
+    // EnsureRequirements stacked a SECOND full exchange of the
+    // embedding-laden probe side right on top (plan nodes (9)+(10) in
+    // plans/r12/hard_negatives_before.txt) — O(corpus)·~300 B of pure
+    // waste at every scale. hash(cell) is reused by the join directly,
+    // and intra-cell spread is not lost: cells are constant-occupancy by
+    // construction, so #cells >> #partitions spreads evenly. The
+    // post-score exchange hashes on a_id ALONE: hash(a_id) satisfies the
+    // (a_id, c_id) dedup-agg's clustering requirement AND the top-k
+    // window's, so one 24-byte-row shuffle serves both.
+    prE.repartition(s.sessionState.conf.numShufflePartitions, col("cell"))
       .join(idxE, "cell")
       .filter(exclude)
       .select(col("a_id"), col("c_id"),

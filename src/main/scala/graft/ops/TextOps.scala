@@ -244,22 +244,37 @@ object TextOps {
   // Shape: explode → two (doc_id, gram) hash aggs → per-doc max — every
   // shuffle keyed by the high-cardinality doc_id, so the plan scales with
   // corpus size. Ratios are int/int divisions rounded to 6 in both engines.
+  /** Max multiplicity in a gram array, computed per ROW: sort the array,
+    * take the longest equal-run. Identical integers to the former
+    * explode → groupBy(doc, gram) count → max chain (a value's
+    * multiplicity IS its run length once sorted), with zero shuffles:
+    * the per-doc top-gram statistic never needed cross-row work, and the
+    * exploded formulation shuffled every (doc, gram) pair and joined the
+    * result back — 2 exchanges + a join per gram size, ×2 (round 12,
+    * guide §2.4). Empty array folds to 0, matching the old left-join
+    * miss through coalesce(…, 0). */
+  private def maxRunCount(grams: Column): Column =
+    aggregate(array_sort(grams),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (a, x) => {
+        val run = when(a.getField("prev").isNotNull
+          && x === a.getField("prev"), a.getField("run") + 1L).otherwise(1L)
+        struct(x.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best"))
+
   private def repetition(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_uniq", size(array_distinct(col("toks"))))
-    def topCount(grams: DataFrame, name: String) = grams
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as(name))
-    val topUni = topCount(
-      base.select(col("doc_id"), explode(col("toks")).as("g")), "topu")
-    val topBi = topCount(
-      base.select(col("doc_id"), explode(when(col("n_tokens") >= 2,
+      .withColumn("topu", maxRunCount(col("toks")))
+      .withColumn("topb", maxRunCount(when(col("n_tokens") >= 2,
         expr("transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)))"))
-        .otherwise(array())).as("g")), "topb")
-    base.join(topUni, Seq("doc_id"), "left").join(topBi, Seq("doc_id"), "left")
+        .otherwise(array())))
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") > 0,
           round(col("n_uniq").cast("double") / col("n_tokens"), 6)).as("uniq_frac"),

@@ -112,6 +112,44 @@ object TextHashOps {
   /** MinHash signature: for seed i in [0,k), min over shingles of
     * mix64(shingleHash ^ seedMix(i)). Empty shingle set → all Long.MaxValue
     * (never collides with a real signature band). */
+  /** All `runL`-char sliding-window xxhash64 values of `text` in one pass
+    * over its UTF-8 bytes: element p equals Spark's
+    * `xxhash64(substr(text, p+1, runL))` bit-for-bit (same XXH64 kernel,
+    * same seed 42, same char-counted window — one UTF-8 walk builds the
+    * char→byte offset table, so multibyte text windows the exact byte
+    * ranges `UTF8String.substring` would). The point is the allocation
+    * profile, not the hash: the per-position `substr` materializes a
+    * fresh RunL-char UTF8String copy for EVERY position of EVERY document
+    * — O(runL·chars) bytes of garbage on the corpus-sized hot path of
+    * `dedup_substring` — while this kernel hashes in place over the
+    * document's own buffer. Empty array when the text is shorter than
+    * `runL` (the caller's `when(length >= runL, ...)` guard, folded in). */
+  def winHashes(text: UTF8String, runL: Int): ArrayData = {
+    val n = text.numChars()
+    if (n < runL) return new GenericArrayData(Array.emptyLongArray)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nb = text.numBytes()
+    val offs = new Array[Int](n + 1) // char index -> byte offset
+    var b = 0
+    var c = 0
+    while (b < nb) {
+      offs(c) = b
+      b += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + b))
+      c += 1
+    }
+    offs(n) = nb
+    val out = new Array[Long](n - runL + 1)
+    var p = 0
+    while (p <= n - runL) {
+      out(p) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        base, off + offs(p), offs(p + runL) - offs(p), 42L)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhash(text: UTF8String, k: Int, shingle: Int): ArrayData = {
     val hs = shingleHashes(text, shingle)
     val sig = new Array[Long](k)

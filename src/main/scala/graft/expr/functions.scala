@@ -102,6 +102,13 @@ object functions {
     inv(TextHashOps.getClass, ArrayType(StringType, containsNull = false),
       "bpeMergeStep", toks, a, b)
 
+  /** All `runL`-char sliding-window xxhash64 values of `text` (seed 42):
+    * element p == `xxhash64(substr(text, p+1, runL))` bit-for-bit, with no
+    * per-window UTF8String allocation (see [[TextHashOps.winHashes]]). */
+  def window_hashes(text: Column, runL: Column): Column =
+    inv(TextHashOps.getClass, ArrayType(LongType, containsNull = false),
+      "winHashes", text, runL.cast("int"))
+
   /** Distinct word n-gram shingles (single-pass kernel). */
   def shingles(text: Column, n: Column): Column =
     inv(TextHashOps.getClass, ArrayType(StringType, containsNull = false),

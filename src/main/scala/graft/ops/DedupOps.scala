@@ -748,14 +748,17 @@ object DedupOps {
   private def substringSpansCore(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
+    // One window_hashes kernel pass per document replaces the
+    // explode(sequence) + per-position substr + xxhash64 chain: identical
+    // (doc_id, pos, h) rows (the kernel is bit-equal to
+    // xxhash64(substr(text, pos+1, RunL)) per position — ExprSpec pins
+    // it), but the corpus-sized hot stage stops allocating a RunL-char
+    // UTF8String copy per position (r12: the window-stream derivation,
+    // not the multiplicity exchange, is this operator's measured wall).
     val hashed = docs
       .select(col("doc_id"),
-        explode(when(length(col("text")) >= RunL,
-            sequence(lit(0), length(col("text")) - RunL))
-          .otherwise(array().cast("array<int>"))).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(substr(col("text"), col("pos") + 1, lit(RunL))).as("h"))
+        posexplode(gf.window_hashes(col("text"), lit(RunL)))
+          .as(Seq("pos", "h")))
     val cand = hashed
       .withColumn("hm", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("hm") > 1)

@@ -479,6 +479,39 @@ class DedupSpec extends SparkSpec {
       "freeLocalCheckpoint left checkpoint blocks pinned")
   }
 
+  // r12: dedup_substring's hot stage derives (pos, h) via the
+  // window_hashes kernel; this pins the kernel bit-equal to the
+  // explode + substr + xxhash64 formulation it replaced, per position,
+  // including multibyte (2/3/4-byte UTF-8) text and the len < runL /
+  // len == runL boundaries.
+  test("window_hashes is bit-equal to xxhash64(substr) per position") {
+    import spark.implicits._
+    val runL = 7
+    val strs = Seq(
+      "", "short", "exactly", "abcdefgh",
+      "déjà vu naïve Σigma Δδ ünïcode",
+      "日本語のテキストです、" +
+        "これは長い文字列",
+      "mixed 𝕌𝕟𝕚 supplementary 🚀🚀 tail",
+      "aaaaaaaaaaaaaaaaaaaaaaa",
+      ("repeat " * 20).trim)
+    val df = strs.toDF("text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("text", "pos", "h").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val old = df.select(
+      explode(when(length(col("text")) >= runL,
+          sequence(lit(0), length(col("text")) - runL))
+        .otherwise(array().cast("array<int>"))).as("pos"), col("text"))
+      .select(col("text"), col("pos"),
+        xxhash64(substr(col("text"), col("pos") + 1, lit(runL))).as("h"))
+    val neu = df.select(col("text"),
+      posexplode(graft.expr.functions.window_hashes(col("text"), lit(runL)))
+        .as(Seq("pos", "h")))
+    assert(old.count() == neu.count())
+    assert(rows(old) == rows(neu))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString

@@ -36,8 +36,13 @@ git worktree remove --force $WT 2>/dev/null || true
 rm -f .wt-paired-*.json
 git worktree add --force $WT "$SHA" >/dev/null
 echo "[paired] building baseline $BASE in $WT"
-(cd $WT && sbt -batch compile >/dev/null)
-sbt -batch compile >/dev/null   # tip classes current
+# copyResources too: plain `compile` leaves META-INF/services out of the
+# worktree's classes dir, so the graft-feed V2 streaming source is
+# unregistered and every baseline STREAM leg dies DATA_SOURCE_NOT_FOUND
+# (degrading to an empty stream section — how r12's first PAIRED_STREAM
+# run silently lost its stream ratios)
+(cd $WT && sbt -batch "compile; Compile/copyResources" >/dev/null)
+sbt -batch "compile; Compile/copyResources" >/dev/null   # tip classes current
 
 run_leg() { # $1=side(base|tip) $2=leg-index $3=mode(batch|stream)
   local side=$1 leg=$2 mode=${3:-batch} out classes dir

@@ -150,6 +150,89 @@ object TextHashOps {
     new GenericArrayData(out)
   }
 
+  /** Word-pair key for [[gramStats]]: binary equality on both tokens, so
+    * the pair multiset matches the `concat_ws(' ', a, b)` string multiset
+    * exactly (tokens come from a split on ' ', so they are space-free and
+    * the joined form is injective) without materializing the string. */
+  private final class Gram2(val a: UTF8String, val b: UTF8String) {
+    override def hashCode: Int = a.hashCode * 31 + b.hashCode
+    override def equals(o: Any): Boolean = o match {
+      case g: Gram2 => a.equals(g.a) && b.equals(g.b)
+      case _ => false
+    }
+  }
+
+  /** `[distinct n-gram count, max n-gram multiplicity]` of a token array
+    * in ONE hash pass (n = 1 or 2). Exact integers — counts are by binary
+    * string equality, the same equality `groupBy(gram)` and
+    * `array_distinct` use — so `text_repetition`'s fractions are unchanged
+    * vs either prior formulation (the explode → (doc, gram) agg → join
+    * chain, or the per-row array_sort + run fold). The point is the work
+    * profile: O(tokens) with no sort, no per-element struct allocation,
+    * no bigram string materialization, and no distinct-array copy for a
+    * count that only needed the map's size. Fewer than n tokens → [0, 0]
+    * (matches the old empty-array fold / left-join miss). */
+  def gramStats(toks: ArrayData, n: Int): ArrayData = {
+    require(n == 1 || n == 2, s"gramStats supports n=1|2, got $n")
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array[Long](0L, 0L))
+    val m = new java.util.HashMap[AnyRef, java.lang.Long](
+      Math.min(len * 2, 1 << 16))
+    var best = 0L
+    var i = 0
+    val last = len - n
+    while (i <= last) {
+      val key: AnyRef =
+        if (n == 1) toks.getUTF8String(i)
+        else new Gram2(toks.getUTF8String(i), toks.getUTF8String(i + 1))
+      val prev = m.get(key)
+      val c = if (prev == null) 1L else prev.longValue + 1L
+      m.put(key, java.lang.Long.valueOf(c))
+      if (c > best) best = c
+      i += 1
+    }
+    new GenericArrayData(Array[Long](m.size.toLong, best))
+  }
+
+  /** `[n_tokens, distinct tokens, entropy_fp]` of a token array in one
+    * hash pass — the per-row form of `text_entropy`'s
+    * explode → (doc, tok) count → doc window → doc re-agg chain, exact
+    * to the bit: per distinct token, lp = round(ln(c/n)·scale) via
+    * `BigDecimal.valueOf(...).setScale(0, HALF_UP)` — the same rounding
+    * Spark's `round` applies to a double (at scale 0 the valueOf vs
+    * exact-binary constructor distinction cannot change the result: the
+    * shortest round-trip decimal and the exact expansion sit on the same
+    * side of every half-integer, and ties at exact .5 are representable
+    * either way) — and entropy_fp = (−Σ c·lp) / n in truncating long
+    * division, matching `DIV` on a nonnegative dividend. The caller
+    * filters empty token arrays (the explode formulation emitted no row
+    * for them). */
+  def entropyStats(toks: ArrayData, scale: Long): ArrayData = {
+    val len = toks.numElements()
+    if (len == 0) return new GenericArrayData(Array[Long](0L, 0L, 0L))
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](
+      Math.min(len * 2, 1 << 16))
+    var i = 0
+    while (i < len) {
+      val t = toks.getUTF8String(i)
+      val prev = m.get(t)
+      m.put(t, java.lang.Long.valueOf(if (prev == null) 1L else prev.longValue + 1L))
+      i += 1
+    }
+    val n = len.toLong
+    val nd = n.toDouble
+    var acc = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue
+      val lp = java.math.BigDecimal
+        .valueOf(Math.log(c.toDouble / nd) * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      acc += c * lp
+    }
+    new GenericArrayData(Array[Long](n, m.size.toLong, -acc / n))
+  }
+
   def minhash(text: UTF8String, k: Int, shingle: Int): ArrayData = {
     val hs = shingleHashes(text, shingle)
     val sig = new Array[Long](k)

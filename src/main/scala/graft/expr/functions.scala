@@ -109,6 +109,20 @@ object functions {
     inv(TextHashOps.getClass, ArrayType(LongType, containsNull = false),
       "winHashes", text, runL.cast("int"))
 
+  /** `[distinct n-gram count, max n-gram multiplicity]` over a token
+    * array in one hash pass (word n-grams, n = 1 or 2) — see
+    * [[TextHashOps.gramStats]] for the exactness argument. */
+  def gram_stats(toks: Column, n: Column): Column =
+    inv(TextHashOps.getClass, ArrayType(LongType, containsNull = false),
+      "gramStats", toks, n.cast("int"))
+
+  /** `[n_tokens, distinct tokens, entropy_fp]` over a token array in one
+    * hash pass — see [[TextHashOps.entropyStats]] for the bit-exactness
+    * argument vs the explode/window formulation. */
+  def entropy_stats(toks: Column, scale: Column): Column =
+    inv(TextHashOps.getClass, ArrayType(LongType, containsNull = false),
+      "entropyStats", toks, scale.cast("long"))
+
   /** Distinct word n-gram shingles (single-pass kernel). */
   def shingles(text: Column, n: Column): Column =
     inv(TextHashOps.getClass, ArrayType(StringType, containsNull = false),

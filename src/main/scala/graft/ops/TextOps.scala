@@ -244,42 +244,32 @@ object TextOps {
   // Shape: explode → two (doc_id, gram) hash aggs → per-doc max — every
   // shuffle keyed by the high-cardinality doc_id, so the plan scales with
   // corpus size. Ratios are int/int divisions rounded to 6 in both engines.
-  /** Max multiplicity in a gram array, computed per ROW: sort the array,
-    * take the longest equal-run. Identical integers to the former
-    * explode → groupBy(doc, gram) count → max chain (a value's
-    * multiplicity IS its run length once sorted), with zero shuffles:
-    * the per-doc top-gram statistic never needed cross-row work, and the
-    * exploded formulation shuffled every (doc, gram) pair and joined the
-    * result back — 2 exchanges + a join per gram size, ×2 (round 12,
-    * guide §2.4). Empty array folds to 0, matching the old left-join
-    * miss through coalesce(…, 0). */
-  private def maxRunCount(grams: Column): Column =
-    aggregate(array_sort(grams),
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best")),
-      (a, x) => {
-        val run = when(a.getField("prev").isNotNull
-          && x === a.getField("prev"), a.getField("run") + 1L).otherwise(1L)
-        struct(x.as("prev"), run.as("run"),
-          greatest(a.getField("best"), run).as("best"))
-      },
-      a => a.getField("best"))
-
+  // Per-row formulation history (round 12, guide §1.2/§2.4): the original
+  // explode → two (doc_id, gram) hash aggs → join-back chain was replaced
+  // by a per-row array_sort + run fold (zero shuffles), but a three-scale
+  // paired A/B (sf0.1/sf1/sf10: 1.16×/1.05×/1.02×) showed the per-row
+  // sort + struct fold never actually beat the explode — the removed
+  // exchanges were cheaper than the added per-task CPU at every measured
+  // scale. The gramStats kernel keeps the zero-shuffle shape and removes
+  // the CPU: one hash pass per row for [distinct count, max multiplicity]
+  // (no sort, no per-element struct, no bigram strings, no distinct-array
+  // copy — array_distinct built a whole array for what was only a size).
+  // Identical integers to both prior forms; ratios are int/int divisions
+  // rounded to 6 in both engines.
   private def repetition(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_uniq", size(array_distinct(col("toks"))))
-      .withColumn("topu", maxRunCount(col("toks")))
-      .withColumn("topb", maxRunCount(when(col("n_tokens") >= 2,
-        expr("transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)))"))
-        .otherwise(array())))
+      .withColumn("u", gf.gram_stats(col("toks"), lit(1)))
+      .withColumn("topb", element_at(gf.gram_stats(col("toks"), lit(2)), 2))
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") > 0,
-          round(col("n_uniq").cast("double") / col("n_tokens"), 6)).as("uniq_frac"),
+          round(element_at(col("u"), 1).cast("double") / col("n_tokens"), 6))
+          .as("uniq_frac"),
         when(col("n_tokens") > 0,
-          round(coalesce(col("topu"), lit(0L)).cast("double") / col("n_tokens"), 6))
+          round(coalesce(element_at(col("u"), 2), lit(0L)).cast("double")
+            / col("n_tokens"), 6))
           .as("top_token_frac"),
         when(col("n_tokens") > 1,
           round(coalesce(col("topb"), lit(0L)).cast("double") / (col("n_tokens") - 1), 6))
@@ -336,31 +326,30 @@ object TextOps {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
-    // scalar stats WITHOUT the explode — carrying them through the bigram
-    // generate re-evaluates every array kernel once per exploded row
-    // (measured 4.9 s vs 1.4 s at sf0.1); join the two branches instead
-    val scalar = docs.select(col("doc_id"),
-      size(col("toks")).as("n_tokens"),
-      size(array_distinct(col("toks"))).as("n_uniq"),
-      size(filter(col("toks"), x => array_contains(stopArr, x)))
-        .as("stop_cnt"))
-    val topb = docs
-      .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
-        expr("transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)))"))
-        .otherwise(array(lit("")))).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("topb"))
+    // All gram statistics per ROW via the gramStats kernel (round 12) —
+    // the former bigram branch exploded the corpus into (doc, g) rows,
+    // aggregated twice and joined back (2 exchanges + a join) for a
+    // per-doc scalar; the kernel's hash pass yields the same exact
+    // integers with zero shuffles. greatest(·, 1) reproduces the old
+    // `otherwise(array(lit("")))` padding: a < 2-token doc exploded one
+    // '' gram and scored topb = 1, and the kernel returns 0 there.
     // /n_tokens ratios are NULL-guarded in BOTH engines: unguarded, an
     // empty-token doc would be NULL here (Spark Divide) but ±inf/NaN in
     // DuckDB's IEEE float division — a latent hash-parity break. The
     // bigram denominator is greatest(·,1), never zero, so only the two
     // direct ratios need the guard ('too_short' fires first regardless).
-    val stats = scalar.join(topb, Seq("doc_id"), "left")
+    val stats = docs
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        element_at(gf.gram_stats(col("toks"), lit(1)), 1).as("n_uniq"),
+        size(filter(col("toks"), x => array_contains(stopArr, x)))
+          .as("stop_cnt"),
+        greatest(element_at(gf.gram_stats(col("toks"), lit(2)), 2), lit(1L))
+          .as("topb"))
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") > 0,
           round(col("n_uniq").cast("double") / col("n_tokens"), 6))
           .as("uniq_frac"),
-        round(coalesce(col("topb"), lit(1L)).cast("double") /
+        round(col("topb").cast("double") /
           greatest(col("n_tokens") - 1, lit(1)), 6).as("top_bigram_frac"),
         when(col("n_tokens") > 0,
           round(col("stop_cnt").cast("double") / col("n_tokens"), 6))
@@ -429,30 +418,28 @@ object TextOps {
   // engine ulp drift cannot reach the output. entropy_fp is the entropy
   // in nats ×10⁶.
   //
-  // Plan shape: one (doc_id, tok) count aggregate, a doc_id-keyed window
-  // for the token total (per-key rows = distinct tokens per doc —
-  // bounded), one doc_id re-agg. Linear, three narrow exchanges, nothing
-  // driver-side.
+  // Plan shape (round 12): all three statistics are per-document
+  // functions of the document's own tokens, so they ride the
+  // entropyStats kernel — one hash pass per row, zero exchanges before
+  // the output sort. The former explode → (doc_id, tok) count →
+  // doc-keyed window → doc re-agg chain shuffled O(corpus tokens) rows
+  // three times for per-row scalars; the kernel reproduces its integers
+  // bit-exactly (same BigDecimal HALF_UP rounding of ln(c/n)·1e6, same
+  // truncating DIV on the nonnegative negated sum — see
+  // TextHashOps.entropyStats), and the empty-token filter reproduces the
+  // explode formulation's absent rows. EntropySpec-style pin lives in
+  // DedupSpec ("entropy_stats equals the explode/window formulation").
   private def entropy(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cnt = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select(col("doc_id"),
-        explode(filter(split(col("text"), " "), x => x =!= lit(""))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("doc_id")
-    cnt
-      .withColumn("n", sum(col("c")).over(w))
-      .withColumn("lp", round(log(col("c").cast("double") /
-        col("n").cast("double")) * CorpusOps.LmScale).cast("bigint"))
-      .groupBy("doc_id")
-      .agg(max(col("n")).as("n_tok"),
-        // cnt's rows are already distinct (doc_id, tok): plain count IS
-        // the distinct-token count, no expand needed
-        count(lit(1)).as("n_uniq"),
-        // c·lp sums are ≤ 0 and H = −Σ(c/n)·lp: negating BEFORE the DIV
-        // both applies the entropy sign and makes the dividend
-        // nonnegative, where Spark's truncate and DuckDB's floor agree
-        expr("(-sum(c * lp)) DIV max(n)").as("entropy_fp"))
+        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        gf.entropy_stats(col("toks"), lit(CorpusOps.LmScale)).as("e"))
+      .select(col("doc_id"),
+        element_at(col("e"), 1).as("n_tok"),
+        element_at(col("e"), 2).as("n_uniq"),
+        element_at(col("e"), 3).as("entropy_fp"))
       .orderBy("doc_id")
   }
 

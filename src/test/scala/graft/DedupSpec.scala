@@ -512,6 +512,88 @@ class DedupSpec extends SparkSpec {
     assert(rows(old) == rows(neu))
   }
 
+  // r12: text_repetition's gram statistics ride the gramStats kernel;
+  // this pins the kernel's [distinct, max multiplicity] per doc equal to
+  // the original explode → groupBy(doc, gram) → count formulation for
+  // unigrams AND bigrams on text with repeats, multibyte tokens, empty
+  // and single-token docs.
+  test("gram_stats equals the explode/groupBy gram counts per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      "", "solo", "a a", "a b a b a", "x x x x",
+      "déjà vu déjà vu naïve", "日本 語 日本 語 日本",
+      "the quick brown fox jumps over the lazy dog the quick brown fox",
+      ("spam ham " * 30).trim).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+    def oldStats(n: Int) = {
+      val grams =
+        if (n == 1) docs.select(col("doc_id"), explode(col("toks")).as("g"))
+        else docs.select(col("doc_id"), explode(when(size(col("toks")) >= 2,
+            expr("transform(slice(toks, 1, size(toks) - 1), " +
+              "(x, i) -> concat_ws(' ', x, element_at(toks, i + 2)))"))
+          .otherwise(array())).as("g"))
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("distinct"), max(col("c")).as("top"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    for (n <- Seq(1, 2)) {
+      val old = oldStats(n)
+      val neu = docs.select(col("doc_id"),
+        graft.expr.functions.gram_stats(col("toks"), lit(n)).as("s"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getSeq[Long](1).head, r.getSeq[Long](1).last)).toMap
+      for ((id, s) <- neu)
+        assert(s == old.getOrElse(id, (0L, 0L)), s"doc $id n=$n")
+    }
+  }
+
+  // r12: text_entropy rides the entropyStats kernel; pin its
+  // [n_tok, n_uniq, entropy_fp] per doc equal to the explode →
+  // (doc, tok) count → doc window → re-agg formulation it replaced,
+  // across a corpus wide enough to exercise many (c, n) rounding
+  // combinations (deterministic LCG), plus degenerate docs.
+  test("entropy_stats equals the explode/window entropy formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Vector("alpha", "beta", "gamma", "déjà", "日本", "z")
+    var seed = 12345L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound) + bound).toInt % bound
+    }
+    val gen = (0 until 200).map { i =>
+      val len = nextInt(40) + 1
+      (i.toLong, (0 until len).map(_ => vocab(nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = (gen ++ Seq((900L, "solo"), (901L, "x x x x x"), (902L, "")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+    val w = Window.partitionBy("doc_id")
+    val old = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("lp", round(log(col("c").cast("double") /
+        col("n").cast("double")) * graft.ops.CorpusOps.LmScale).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tok"), count(lit(1)).as("n_uniq"),
+        expr("(-sum(c * lp)) DIV max(n)").as("entropy_fp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val neu = docs.filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.expr.functions.entropy_stats(col("toks"),
+          lit(graft.ops.CorpusOps.LmScale)).as("e"))
+      .collect().map { r =>
+        val e = r.getSeq[Long](1); r.getLong(0) -> (e(0), e(1), e(2))
+      }.toMap
+    assert(neu == old) // the empty doc is absent from BOTH maps
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString

@@ -134,4 +134,37 @@ class ExprSpec extends AnyFunSuite {
     val c = TextHashOps.simhash64(u("totally unrelated content with other tokens entirely"), 2)
     assert(ham(a, b) < ham(a, c))
   }
+
+  // r12: text_repetition's per-row statistics ride the gramStats kernel;
+  // pin [distinct count, max multiplicity] for n = 1 and 2 against a
+  // plain-Scala brute force over the same token arrays, including
+  // multibyte tokens, heavy repetition, and the len < n boundaries.
+  test("gramStats matches brute-force n-gram multiset statistics") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def stats(toks: Seq[String], n: Int): (Long, Long) = {
+      val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) (0L, 0L)
+      else {
+        val counts = grams.groupBy(identity).map(_._2.length.toLong)
+        (counts.size.toLong, counts.max)
+      }
+    }
+    val docs = Seq(
+      Seq.empty[String],
+      Seq("solo"),
+      Seq("a", "a"),
+      Seq("a", "b", "a", "b", "a"),
+      Seq("x", "x", "x", "x"),
+      Seq("déjà", "vu", "déjà", "vu", "naïve"),
+      Seq("日本", "語", "日本", "語", "日本"),
+      "the quick brown fox jumps over the lazy dog the quick brown fox"
+        .split(' ').toSeq)
+    for (doc <- docs; n <- Seq(1, 2)) {
+      val arr = new GenericArrayData(
+        doc.map(t => u(t): AnyRef).toArray)
+      val got = TextHashOps.gramStats(arr, n)
+      assert((got.getLong(0), got.getLong(1)) == stats(doc, n),
+        s"doc=$doc n=$n")
+    }
+  }
 }

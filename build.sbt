@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench-contract plumbing (round-13, judge ask #1): the driver invokes the
+// bench via `sbt "runMain graft.Bench"` and parses the LAST stdout line as
+// JSON. sbt's logger wraps forked output in "[info] " and appends a
+// "[success] Total time: ..." epilogue — 12 rounds of BENCH_r*.json came
+// back `parsed: null` because of that chrome. StdoutOutput passes the
+// forked JVM's stdout through verbatim; showSuccess drops the epilogue, so
+// the contractual JSON line really is the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — lintUnused
+// can't see that; silence the false-positive warning
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -208,6 +208,15 @@ object Bench {
       name -> sec
     }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Cold-first-pass record (round-12 verdict transparency ask): pass 1 is
+    // the first TIMED run on sfDir — the content caches (winnow/knn/labels)
+    // are keyed by dataset content, so the sf0.001 warmup does not warm
+    // them and pass 1 carries every first-build cost the min estimator
+    // hides. Reported alongside, never replacing, the min numbers.
+    val pass1 = catalog.map { case (name, _) =>
+      name -> samples(name).headOption.filter(_ >= 0).getOrElse(-1.0)
+    }
+    val pass1Total = pass1.map(_._2).filter(_ >= 0).sum
 
     // Plan-generation fingerprint: md5 of the committed PLANS.md (the
     // graft.Plans artifact), so each bench archive records which plan
@@ -283,8 +292,9 @@ object Bench {
       rs.map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "-1" else num(v, 3))
       }.mkString("{", ",", "}")
-    val summary = s""""metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"estimator":"min_of_2_passes_plus_suspect_retries","stream":$stream,$paired"plans_md5":$plansMd5,"sf":"$sfDir""""
-    val fullLine = s"""{"queries":${queriesJson(results)},$summary}"""
+    val summary = s""""metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"estimator":"min_of_2_passes_plus_suspect_retries","pass1_total":${num(pass1Total, 3)},"stream":$stream,$paired"plans_md5":$plansMd5,"sf":"$sfDir""""
+    val fullLine =
+      s"""{"queries":${queriesJson(results)},"queries_pass1":${queriesJson(pass1)},$summary}"""
     // stdout keeps the contractual "queries" key, just restricted to the
     // slowest 20 (the interesting ones); "queries_full" names the file
     // with the complete map.
@@ -293,11 +303,23 @@ object Bench {
       if (only.isDefined) "bench_targeted.json" else "bench_full.json")
     val tailLine =
       s"""{"queries":${queriesJson(slowest)},"queries_full":"$fullPath",$summary}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] full-json write failed: ${e.getMessage}")
-    }
+    def writeLine(path: String, line: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $path write failed: ${e.getMessage}")
+      }
+    writeLine(fullPath, fullLine)
+    // Per-(cpus, sf) copy of the full record: the driver's 8-core scaling
+    // leg used to clobber the 32-core map because both legs defaulted to
+    // bench_full.json (round-12 verdict "what's wrong" #2). The canonical
+    // name stays (last-writer) for existing consumers; this copy survives.
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    writeLine(s"bench_full_c${cpus}_$sfName.json", fullLine)
+    // The contract line verbatim as a fixed artifact: even if a wrapper
+    // (sbt chrome, tee, CI prefixing) mangles stdout, the identical JSON
+    // is readable here (round-12 verdict "next round" #1).
+    writeLine("BENCH_LINE.json", tailLine)
     println(tailLine)
     spark.stop()
   }

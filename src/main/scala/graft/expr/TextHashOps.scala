@@ -176,8 +176,9 @@ object TextHashOps {
     require(n == 1 || n == 2, s"gramStats supports n=1|2, got $n")
     val len = toks.numElements()
     if (len < n) return new GenericArrayData(Array[Long](0L, 0L))
+    // clamp BEFORE doubling: len * 2 overflows int for >2^30 elements (ADVICE r12)
     val m = new java.util.HashMap[AnyRef, java.lang.Long](
-      Math.min(len * 2, 1 << 16))
+      Math.min(len, 1 << 15) * 2)
     var best = 0L
     var i = 0
     val last = len - n
@@ -210,8 +211,9 @@ object TextHashOps {
   def entropyStats(toks: ArrayData, scale: Long): ArrayData = {
     val len = toks.numElements()
     if (len == 0) return new GenericArrayData(Array[Long](0L, 0L, 0L))
+    // clamp BEFORE doubling: len * 2 overflows int for >2^30 elements (ADVICE r12)
     val m = new java.util.HashMap[UTF8String, java.lang.Long](
-      Math.min(len * 2, 1 << 16))
+      Math.min(len, 1 << 15) * 2)
     var i = 0
     while (i < len) {
       val t = toks.getUTF8String(i)

@@ -112,9 +112,17 @@ object functions {
   /** `[distinct n-gram count, max n-gram multiplicity]` over a token
     * array in one hash pass (word n-grams, n = 1 or 2) — see
     * [[TextHashOps.gramStats]] for the exactness argument. */
-  def gram_stats(toks: Column, n: Column): Column =
+  def gram_stats(toks: Column, n: Column): Column = {
+    // fail at plan construction, not task runtime, when n is a literal
+    // outside the kernel's supported arity (ADVICE r12)
+    GraftSqlBridge.expression(n) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+        require(v == 1 || v == 2, s"gram_stats supports n=1|2, got $v")
+      case _ => () // non-literal n: the kernel's per-row require still fires
+    }
     inv(TextHashOps.getClass, ArrayType(LongType, containsNull = false),
       "gramStats", toks, n.cast("int"))
+  }
 
   /** `[n_tokens, distinct tokens, entropy_fp]` over a token array in one
     * hash pass — see [[TextHashOps.entropyStats]] for the bit-exactness

@@ -235,6 +235,116 @@ object TextHashOps {
     new GenericArrayData(Array[Long](n, m.size.toLong, -acc / n))
   }
 
+  /** Per-doc DISTINCT bigram counts in one hash pass over a token array:
+    * one `(w1, w2, cnt)` row per distinct adjacent pair, exact integer
+    * counts by binary string equality — the same equality
+    * `groupBy(w1, w2)` applies, so exploding this and re-aggregating
+    * reproduces the explode→groupBy bigram chain bit-for-bit while the
+    * probe stream ships per-doc-DISTINCT rows instead of per-occurrence
+    * rows. Deliberately bigram-ONLY, no nullable-w2 unigram rows: a
+    * combined stream needs isNull/isNotNull filters at the consumers,
+    * which the optimizer pushes BELOW a shared repartition, splitting
+    * the canonical subtree so ReusedExchange never fires and the kernel
+    * re-runs per consumer (measured 1.17× on text_lm_score before this
+    * split). Emission order is deterministic (insertion order), so task
+    * retries repartition identically. Fewer than 2 tokens → empty array,
+    * matching `explode(transform(slice(ts, 1, size(ts) - 1), ...))`. */
+  def gramCounts2(toks: ArrayData): ArrayData = {
+    val len = toks.numElements()
+    if (len < 2) return new GenericArrayData(Array.empty[Any])
+    val bi = new java.util.LinkedHashMap[AnyRef, Array[Long]](
+      Math.min(len, 1 << 15) * 2)
+    var i = 0
+    while (i + 1 < len) {
+      val key: AnyRef = new Gram2(toks.getUTF8String(i), toks.getUTF8String(i + 1))
+      val b = bi.get(key)
+      if (b == null) bi.put(key, Array(1L)) else b(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](bi.size)
+    var k = 0
+    val bit = bi.entrySet().iterator()
+    while (bit.hasNext) {
+      val e = bit.next()
+      val g = e.getKey.asInstanceOf[Gram2]
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(g.a, g.b, e.getValue()(0))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-doc distinct-token counts (`(t, cnt)` rows) — the n=1-only slice
+    * of [[gramCounts12]] for consumers that never touch bigrams (e.g.
+    * `curriculum_order`'s per-doc IDF mean): replaces BOTH the corpus
+    * `distinct(term, doc_id)` exchange (df = one count per emitted row)
+    * and the per-occurrence probe stream (sum(idf·cnt) over distinct
+    * rows == the occurrence sum, exact integers). */
+  def tokenCounts(toks: ArrayData): ArrayData = {
+    val len = toks.numElements()
+    val uni = new java.util.LinkedHashMap[UTF8String, Array[Long]](
+      Math.min(len, 1 << 15) * 2)
+    var i = 0
+    while (i < len) {
+      val w = toks.getUTF8String(i)
+      val u = uni.get(w)
+      if (u == null) uni.put(w, Array(1L)) else u(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](uni.size)
+    var k = 0
+    val it = uni.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue()(0))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Per-doc DSIR feature-bucket counts in one pass: for each adjacent
+    * token pair, the bucket is the FIRST BYTE of md5(utf8("w1 w2")) —
+    * numerically identical to `substring(md5(concat_ws(' ', w1, w2)), 1, 2)`
+    * read as hex (a bijection hex-pair ↔ byte value, so grouping/joining
+    * on the int bucket partitions rows exactly as the hex string did).
+    * Emits ≤256 `(bucket, cnt)` rows per doc (occurrence counts, not
+    * distinct grams), so `importance_weights`' two consumers aggregate
+    * 256-bounded rows instead of per-occurrence gram strings, and the
+    * md5 is computed without materializing the gram, the 32-char hex
+    * string, or its 2-char substring. Fewer than 2 tokens → empty array
+    * (the `when(size >= 2, ...)` guard, folded in). */
+  def md5BucketCounts(toks: ArrayData): ArrayData = {
+    val len = toks.numElements()
+    if (len < 2) return new GenericArrayData(Array.empty[Any])
+    val counts = new Array[Long](256)
+    val md = md5Local.get()
+    var i = 0
+    while (i + 1 < len) {
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      md.update(' '.toByte)
+      md.update(toks.getUTF8String(i + 1).getBytes)
+      counts(md.digest()(0) & 0xff) += 1L
+      i += 1
+    }
+    val n = { var c = 0; var b = 0; while (b < 256) { if (counts(b) > 0) c += 1; b += 1 }; c }
+    val out = new Array[Any](n)
+    var k = 0
+    var b = 0
+    while (b < 256) {
+      if (counts(b) > 0) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(b, counts(b))
+        k += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhash(text: UTF8String, k: Int, shingle: Int): ArrayData = {
     val hs = shingleHashes(text, shingle)
     val sig = new Array[Long](k)
@@ -273,6 +383,82 @@ object TextHashOps {
     var b = 0
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  /** Winnowing selection (Schleimer et al. 2003) in ONE per-row pass:
+    * tokenize (split on ' ', drop empties), hash every word `k`-gram with
+    * the rolling [[fingerprint]] fold (the space separators folded in —
+    * bit-identical to `fingerprint(concat_ws(' ', t_i, …, t_{i+k-1}))`),
+    * then for every valid window start spos ∈ [0, max(0, m-w)] take the
+    * window minimum over gram positions [spos, min(spos+w-1, m-1)] (the
+    * clamped frame, so a short doc's single window yields its global
+    * min). Returns `(n_grams, prints, occ)` where `prints` is the
+    * DISTINCT selected window-minimum hashes and `occ` the distinct
+    * `(pos, print)` gram occurrences realizing some window's minimum
+    * (ALL ties in a window, exactly like the h = wm ∧ pos ∈ window
+    * equi-join this replaces). The relational chain shuffled every gram
+    * by doc_id for the sliding window, distinct-ed the selection, and
+    * re-joined grams×starts for the occurrences — three corpus-sized
+    * exchanges and three corpus scans; this kernel is O(m·w) per row
+    * with zero exchanges before the consumers' own joins. */
+  def winnowSel(text: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(text)
+    val m = toks.length - k + 1
+    if (m <= 0)
+      return org.apache.spark.sql.catalyst.InternalRow(0L,
+        new GenericArrayData(Array.emptyLongArray),
+        new GenericArrayData(Array.empty[Any]))
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        if (j > 0) acc = (acc * 31 + ' ') % 1000000007L
+        val s = toks(i + j)
+        var p = 0
+        while (p < s.length) {
+          val cp = s.codePointAt(p)
+          acc = (acc * 31 + cp) % 1000000007L
+          p += Character.charCount(cp)
+        }
+        j += 1
+      }
+      h(i) = acc
+      i += 1
+    }
+    val sel = new Array[Boolean](m)
+    val maxStart = Math.max(0, m - w)
+    var spos = 0
+    while (spos <= maxStart) {
+      val end = Math.min(spos + w - 1, m - 1)
+      var mn = Long.MaxValue
+      var p = spos
+      while (p <= end) { if (h(p) < mn) mn = h(p); p += 1 }
+      p = spos
+      while (p <= end) { if (h(p) == mn) sel(p) = true; p += 1 }
+      spos += 1
+    }
+    var nOcc = 0
+    i = 0
+    while (i < m) { if (sel(i)) nOcc += 1; i += 1 }
+    val occ = new Array[Any](nOcc)
+    val printSet = new java.util.LinkedHashSet[java.lang.Long]()
+    var o = 0
+    i = 0
+    while (i < m) {
+      if (sel(i)) {
+        occ(o) = org.apache.spark.sql.catalyst.InternalRow(i, h(i))
+        printSet.add(java.lang.Long.valueOf(h(i)))
+        o += 1
+      }
+      i += 1
+    }
+    val prints = new Array[Long](printSet.size)
+    val pit = printSet.iterator(); var q = 0
+    while (pit.hasNext) { prints(q) = pit.next().longValue; q += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(m.toLong,
+      new GenericArrayData(prints), new GenericArrayData(occ))
   }
 
   /** Rolling polynomial fingerprint over Unicode CODE POINTS:

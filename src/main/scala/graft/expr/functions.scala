@@ -136,6 +136,47 @@ object functions {
     inv(TextHashOps.getClass, ArrayType(StringType, containsNull = false),
       "shingleStrings", text, n.cast("int"))
 
+  /** Per-doc DISTINCT bigram counts `(w1, w2, cnt)` in one hash pass —
+    * see [[TextHashOps.gramCounts2]] for the exactness argument vs the
+    * explode→groupBy bigram chain (and why it is bigram-only). */
+  def gram_counts2(toks: Column): Column =
+    inv(TextHashOps.getClass, ArrayType(StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false),
+      "gramCounts2", toks)
+
+  /** Per-doc distinct-token counts `(t, cnt)` in one hash pass — the
+    * n=1-only slice of [[gram_counts12]]. */
+  def token_counts(toks: Column): Column =
+    inv(TextHashOps.getClass, ArrayType(StructType(Seq(
+      StructField("t", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false),
+      "tokenCounts", toks)
+
+  /** Per-doc DSIR md5-bucket counts `(b, cnt)` (b = first md5 byte of
+    * "w1 w2", 0..255 — the int reading of the hex bucket
+    * `substring(md5(gram), 1, 2)`); ≤256 rows per doc. */
+  def md5_bucket_counts(toks: Column): Column =
+    inv(TextHashOps.getClass, ArrayType(StructType(Seq(
+      StructField("b", IntegerType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false),
+      "md5BucketCounts", toks)
+
+  /** Winnowing selection per row: `(n_grams, prints, occ)` — distinct
+    * selected window-minimum k-gram fingerprints and their positional
+    * occurrences (see [[TextHashOps.winnowSel]]). */
+  def winnow_sel(text: Column, k: Column, w: Column): Column =
+    inv(TextHashOps.getClass, StructType(Seq(
+      StructField("n_grams", LongType, nullable = false),
+      StructField("prints", ArrayType(LongType, containsNull = false),
+        nullable = false),
+      StructField("occ", ArrayType(StructType(Seq(
+        StructField("pos", IntegerType, nullable = false),
+        StructField("print", LongType, nullable = false))),
+        containsNull = false), nullable = false))),
+      "winnowSel", text, k.cast("int"), w.cast("int"))
+
   /** Unicode NFC normalization (canonical composition). */
   def nfc(text: Column): Column =
     inv(TextHashOps.getClass, StringType, "nfc", text)

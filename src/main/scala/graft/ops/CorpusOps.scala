@@ -678,23 +678,47 @@ object CorpusOps {
   private[graft] val LmScale = 1000000L
 
   private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    // Round-13 fusion (guide §2.3/§2.4): the bigram side rides ONE
+    // kernel pass emitting per-doc DISTINCT (w1, w2, cnt) counts
+    // (TextHashOps.gramCounts2); one explicit repartition on (w1, w2) —
+    // filter-free on both branches, so the canonical subtrees stay
+    // identical — is shared by the lm-build aggregate AND the probe join
+    // (ReusedExchange). The explode formulation ran the bigram explode
+    // TWICE (lm build + probe), shuffled the per-OCCURRENCE probe stream
+    // by (w1, w2), and re-shuffled the joined occurrence stream by w1
+    // for the uni join; here lp is resolved per DISTINCT bigram on the
+    // |lm|-sized table and joined back once. (A first cut emitted
+    // unigram rows from the same kernel behind isNull/isNotNull filters:
+    // the optimizer pushes those below the repartition, splitting the
+    // shared subtree — no ReusedExchange, kernel re-run per consumer,
+    // measured 1.17× WORSE. Unigrams stay on the plain explode + partial
+    // agg, which was never the expensive side.) Exactness: lp is one
+    // integer per (w1, w2) — identical c12/c1/vocab, identical
+    // round(log·scale) expression — so Σ_occurrences lp == Σ_distinct
+    // lp·cnt and count(*) == Σ cnt in exact BIGINT arithmetic; pinned
+    // DataFrame-level against the explode formulation in DedupSpec and
+    // hash-exact vs the unchanged DuckDB mirror.
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
-    val bi = toks.select(col("doc_id"),
-      explode(expr("transform(slice(ts, 1, size(ts) - 1)," +
-        " (x, i) -> struct(x AS w1, element_at(ts, i + 2) AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uni = toks.select(explode(col("ts")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = uni.agg(count(lit(1)).as("vocab"))
-    val lm = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    bi.join(lm, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+    val g = toks
+      .select(col("doc_id"), explode(gf.gram_counts2(col("ts"))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.cnt").as("cnt"))
+      .repartition(col("w1"), col("w2")) // no explicit N: AQE-coalescible
+    val lm = g.groupBy("w1", "w2").agg(sum("cnt").as("c12")) // reuses g's exchange
+    val lp = lm.join(uni, Seq("w1"))
       .crossJoin(broadcast(v)) // 1-row vocab size
-      .withColumn("lp", round(log((col("c12") + lit(1)).cast("double") /
-        (col("c1") + col("vocab")).cast("double")) * LmScale).cast("bigint"))
+      .select(col("w1"), col("w2"),
+        round(log((col("c12") + lit(1)).cast("double") /
+          (col("c1") + col("vocab")).cast("double")) * LmScale)
+          .cast("bigint").as("lp"))
+    g.join(lp, Seq("w1", "w2")) // probe side reuses g's exchange too
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("lp") * col("cnt")).as("lp_sum"))
       // integer mean via -((-sum) DIV n): the sum is negative, and Spark
       // DIV truncates toward zero while DuckDB // floors — negating
       // first makes the dividend nonnegative, where the two agree
@@ -819,20 +843,28 @@ object CorpusOps {
   private val NBuckets = 256
 
   private def importanceWeights(s: SparkSession, dir: String): DataFrame = {
+    // Round-13 kernelization (guide §2.3, §1.2 step 2): the per-occurrence
+    // gram pipeline — concat_ws gram string, 32-char md5 hex, 2-char
+    // substring, one row per bigram occurrence, evaluated TWICE (count
+    // build + scoring probe) — collapses to TextHashOps.md5BucketCounts:
+    // one pass per doc emitting ≤256 (bucket, cnt) rows, md5 computed
+    // over the gram's UTF-8 bytes with no gram/hex/substring
+    // materialization. The bucket is the first md5 byte as an int — the
+    // bijective reading of the old hex pair — so grouping/joining on it
+    // partitions rows identically, and occurrence sums become exact
+    // integer Σ cnt / Σ w·cnt. Output columns and values unchanged
+    // (pinned DataFrame-level in CorpusSpec; oracle mirror untouched).
     val docs = t(s, dir, "documents")
-    val bg = docs
+    val g = docs
       .select(col("doc_id"), col("source"),
-        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+        gf.md5_bucket_counts(
+          filter(split(col("text"), " "), x => x =!= lit(""))).as("bc"))
+      .select(col("doc_id"), col("source"), explode(col("bc")).as("g"))
       .select(col("doc_id"), col("source"),
-        explode(when(size(col("toks")) >= 2,
-          expr("transform(slice(toks, 1, size(toks) - 1)," +
-            " (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)))"))
-          .otherwise(array().cast("array<string>"))).as("g"))
-      .select(col("doc_id"), col("source"),
-        substring(md5(col("g")), 1, 2).as("b"))
-    val cnt = bg.groupBy("b").agg(
-      sum(when(col("source") === TargetSrc, 1L).otherwise(0L)).as("ct"),
-      sum(when(col("source") =!= TargetSrc, 1L).otherwise(0L)).as("cs"))
+        col("g.b").as("b"), col("g.cnt").as("cnt"))
+    val cnt = g.groupBy("b").agg(
+      sum(when(col("source") === TargetSrc, col("cnt")).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= TargetSrc, col("cnt")).otherwise(0L)).as("cs"))
     val tot = cnt.agg(sum("ct").as("nt"), sum("cs").as("ns"))
     val w = cnt.crossJoin(broadcast(tot)) // 1-row feature totals
       .select(col("b"),
@@ -842,9 +874,10 @@ object CorpusOps {
           ((col("cs") + 1).cast("double") *
             (col("nt") + NBuckets).cast("double"))) * LmScale)
           .cast("bigint").as("w"))
-    val ds = bg.join(broadcast(w), "b")
+    val ds = g.join(broadcast(w), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum("w").as("imp_fixed"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("w") * col("cnt")).as("imp_fixed"))
     docs.select(col("doc_id"), col("source"))
       .join(ds, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),

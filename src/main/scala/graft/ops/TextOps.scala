@@ -474,8 +474,8 @@ object TextOps {
   // selected per gram. Position hashes reuse the mirrored fingerprint
   // fold; window minima and dedup are codegen'd array lambdas — one
   // stateless projection per document, no shuffle until the pair join.
-  private[ops] val WinnowK = 3 // k-gram (words)
-  private[ops] val WinnowW = 4 // window (grams)
+  private[graft] val WinnowK = 3 // k-gram (words)
+  private[graft] val WinnowW = 4 // window (grams)
 
   /** Per-doc selected winnowing prints, RELATIONAL: one posexplode emits
     * each k-gram hash exactly once (the fingerprint kernel runs once per
@@ -487,40 +487,28 @@ object TextOps {
     * needs (the only exchange is the doc_id window key). The frame
     * clamps at the partition end, which also yields the correct
     * global-min selection for docs with fewer grams than the window. */
-  /** Hashed k-grams with positions: (doc_id, pos, h) — the shared base
-    * of the print selection and the positional span report. */
-  private def winnowGrams(s: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(col("text"), " "), x => x =!= lit(""))
+  /** Per-doc winnowing selection via the ONE-PASS kernel
+    * ([[graft.expr.TextHashOps.winnowSel]], round 13): `ws` =
+    * `(n_grams, prints, occ)` computed per row — gram fingerprints,
+    * clamped sliding-window minima, tie-complete occurrence marking and
+    * per-doc dedup all inside one stateless projection. The relational
+    * chain this replaces (posexplode grams → doc-keyed count+min windows
+    * → filter → distinct, plus a grams×starts equi-join for occurrences)
+    * cost three corpus-sized exchanges and three corpus scans before any
+    * consumer did its own work; the kernel's consumers start from zero
+    * exchanges (guide §2.4). Bit-equality vs the relational chain is
+    * pinned in DedupSpec; `coalesce('')` preserves the no-rows behavior
+    * of null text exactly (m = 0, empty selections). */
+  private def winnowSelected(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), posexplode(when(size(col("toks")) >= WinnowK,
-        expr(s"transform(slice(toks, 1, size(toks) - ${WinnowK - 1})," +
-          " (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)," +
-          " element_at(toks, i + 3)))"))
-        .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), col("pos"), gf.fingerprint(col("col")).as("h"))
-  }
-
-  /** Valid window starts with their window-minimum hash: (doc_id, spos,
-    * wm) for spos in 0..m-W (m < W keeps only spos 0, whose clamped
-    * frame yields the doc's global min). */
-  private def winnowStarts(grams: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wmin = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, WinnowW - 1)
-    val wcnt = Window.partitionBy("doc_id")
-    grams
-      .withColumn("m", count(lit(1)).over(wcnt))
-      .withColumn("wm", min(col("h")).over(wmin))
-      // window start positions: 0..m-W (frame clamps); a short doc
-      // (m < W) keeps only pos 0, whose clamped frame is the global min
-      .filter(col("pos") <= greatest(lit(0), col("m") - WinnowW))
-  }
+      .select(col("doc_id"),
+        gf.winnow_sel(coalesce(col("text"), lit("")),
+          lit(WinnowK), lit(WinnowW)).as("ws"))
 
   private def winnowPrints(s: SparkSession, dir: String): DataFrame =
-    winnowStarts(winnowGrams(s, dir))
-      .select(col("doc_id"), col("m").as("n_grams"), col("wm").as("print"))
-      .distinct()
+    winnowSelected(s, dir)
+      .select(col("doc_id"), col("ws.n_grams").as("n_grams"),
+        explode(col("ws.prints")).as("print"))
 
   // ---- shared winnowing frame cache ----
   // The prints frame feeds FOUR catalog queries (text_winnow,
@@ -571,22 +559,22 @@ object TextOps {
        |  FROM ww WHERE pos <= greatest(0, m - $WinnowW))""".stripMargin
   }
 
-  private def winnow(s: SparkSession, dir: String): DataFrame = {
-    val sel = winnowPrintsC(s, dir)
-      .groupBy("doc_id")
-      .agg(max(col("n_grams")).as("n_grams"),
-        count(lit(1)).as("n_sel"),
-        md5(array_join(transform(array_sort(collect_list(col("print"))),
-          _.cast("string")), ",")).as("sel_fp"))
-    // docs too short for a single gram still get a row (0 prints)
-    t(s, dir, "documents").select(col("doc_id"))
-      .join(sel, Seq("doc_id"), "left")
+  private def winnow(s: SparkSession, dir: String): DataFrame =
+    // Round 13: with the per-row selection kernel the whole report is a
+    // stateless projection — the prints-frame groupBy (collect_list +
+    // exchange) and the documents left join (every doc already yields
+    // exactly one kernel row; short docs have empty selections) both
+    // disappear. md5 over the same sorted-prints join string: the
+    // kernel's prints multiset equals the old frame's per-doc print set,
+    // so array_sort fixes the same order collect_list+sort produced.
+    winnowSelected(s, dir)
       .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
-        coalesce(col("sel_fp"), lit(md5Empty)).as("sel_fp"))
+        col("ws.n_grams").as("n_grams"),
+        size(col("ws.prints")).cast("long").as("n_sel"),
+        when(size(col("ws.prints")) === 0, lit(md5Empty))
+          .otherwise(md5(array_join(transform(array_sort(col("ws.prints")),
+            _.cast("string")), ","))).as("sel_fp"))
       .orderBy("doc_id")
-  }
 
   // md5("") — the fingerprint of an empty selection, kept literal so the
   // gram-less branch needs no md5 evaluation at all
@@ -705,20 +693,13 @@ object TextOps {
 
   /** Selected print occurrences with gram positions: a gram (doc_id,
     * pos, h) is selected iff it realizes the minimum of at least one
-    * valid window containing it — an equi-join on (doc_id, h) between
-    * the gram frame and the window-start frame, range-filtered to the
-    * window span. Doc-local and bounded (each start matches ≤ W tied
-    * grams), so the only exchange is the (doc_id, h)-keyed hash join. */
-  private def winnowSelOcc(s: SparkSession, dir: String): DataFrame = {
-    val grams = winnowGrams(s, dir)
-    val starts = winnowStarts(winnowGrams(s, dir))
-      .select(col("doc_id").as("s_doc"), col("pos").as("spos"), col("wm"))
-    grams.join(starts,
-        grams("doc_id") === starts("s_doc") && grams("h") === starts("wm") &&
-          grams("pos").between(starts("spos"), starts("spos") + WinnowW - 1))
-      .select(grams("doc_id"), grams("pos"), grams("h").as("print"))
-      .distinct()
-  }
+    * valid window containing it. Round 13: read straight off the
+    * kernel's `occ` array (tie-complete, per-doc distinct) — the old
+    * grams×starts equi-join and its distinct are gone. */
+  private def winnowSelOcc(s: SparkSession, dir: String): DataFrame =
+    winnowSelected(s, dir)
+      .select(col("doc_id"), explode(col("ws.occ")).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.print").as("print"))
 
   private def winnowSpans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -594,6 +594,141 @@ class DedupSpec extends SparkSpec {
     assert(neu == old) // the empty doc is absent from BOTH maps
   }
 
+  // r13: text_lm_score derives its bigram count stream from the
+  // gramCounts2 kernel; pin the kernel's exploded rows, re-aggregated,
+  // equal to the original explode → groupBy chain — global bigram
+  // counts AND per-doc bigram-occurrence totals — on raw
+  // split(text, ' ') tokens (empties INCLUDED, the lmScore tokenization).
+  test("gram_counts2 equals the explode bigram chain") {
+    import spark.implicits._
+    val docs = Seq(
+      "", "solo", "a a", "a b a b a", "x  x", " lead", "trail ",
+      "déjà vu déjà vu naïve", "日本 語 日本 語 日本",
+      ("spam ham " * 30).trim).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val oldBi = docs.select(col("doc_id"),
+      explode(expr("transform(slice(ts, 1, size(ts) - 1)," +
+        " (x, i) -> struct(x AS w1, element_at(ts, i + 2) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val oldLm = oldBi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val oldDoc = oldBi.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g = docs.select(col("doc_id"),
+      explode(graft.expr.functions.gram_counts2(col("ts"))).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.cnt"))
+    val neuLm = g.groupBy("w1", "w2")
+      .agg(sum("cnt").as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val neuDoc = g.groupBy("doc_id")
+      .agg(sum("cnt").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(neuLm == oldLm)
+    assert(neuDoc == oldDoc)
+  }
+
+  // r13: importance_weights buckets features via the md5BucketCounts
+  // kernel (first md5 byte as int); pin per-doc bucket counts equal to
+  // the substring(md5(concat_ws gram), 1, 2) hex formulation under the
+  // hex-pair ↔ byte bijection, on filtered tokens with multibyte text
+  // and the size < 2 guard.
+  test("md5_bucket_counts equals the md5-hex-substring bucket counts") {
+    import spark.implicits._
+    val docs = Seq(
+      "", "solo", "a b", "a b c d e f g h", "déjà vu naïve Σigma",
+      "日本 語 テキスト です", ("the same bigram " * 25).trim)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+    val old = docs.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        expr("transform(slice(toks, 1, size(toks) - 1)," +
+          " (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)))"))
+        .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("doc_id"), substring(md5(col("g")), 1, 2).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), Integer.parseInt(r.getString(1), 16)) -> r.getLong(2))
+      .toMap
+    val neu = docs.select(col("doc_id"),
+      explode(graft.expr.functions.md5_bucket_counts(col("toks"))).as("g"))
+      .select(col("doc_id"), col("g.b"), col("g.cnt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(neu == old)
+  }
+
+  // r13: the winnowing family derives prints and occurrences from the
+  // winnowSel kernel; pin both frames bit-equal to the relational chain
+  // they replaced (posexplode k-grams → fingerprint → doc windows →
+  // valid-start filter → distinct / grams×starts occurrence join),
+  // including short docs (0..k+w tokens), hash ties from repeated text,
+  // and multibyte tokens.
+  test("winnow_sel equals the relational winnowing selection") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val K = graft.ops.TextOps.WinnowK
+    val W = graft.ops.TextOps.WinnowW
+    val base = Seq(
+      "", "a", "a b", "a b c", "a b c d", "a b c d e", "a b c d e f g",
+      "a b c a b c a b c a b c", ("tie tie tie " * 10).trim,
+      "déjà vu naïve Σigma Δδ ünïcode text goes here",
+      "日本 語 の テキスト です これ は 長い 文字 列",
+      "the quick brown fox jumps over the lazy dog again and again")
+    var seed = 777L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound) + bound).toInt % bound
+    }
+    val vocab = Vector("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    val gen = (0 until 100).map { _ =>
+      val len = nextInt(30)
+      (0 until len).map(_ => vocab(nextInt(vocab.size))).mkString(" ")
+    }
+    val docs = (base ++ gen).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val grams = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("toks"))
+      .select(col("doc_id"), posexplode(when(size(col("toks")) >= K,
+        expr(s"transform(slice(toks, 1, size(toks) - ${K - 1})," +
+          " (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)," +
+          " element_at(toks, i + 3)))"))
+        .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("pos"),
+        graft.expr.functions.fingerprint(col("col")).as("h"))
+    val wmin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, W - 1)
+    val wcnt = Window.partitionBy("doc_id")
+    val starts = grams
+      .withColumn("m", count(lit(1)).over(wcnt))
+      .withColumn("wm", min(col("h")).over(wmin))
+      .filter(col("pos") <= greatest(lit(0), col("m") - W))
+    val oldPrints = starts
+      .select(col("doc_id"), col("m"), col("wm")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val s2 = starts.select(col("doc_id").as("s_doc"),
+      col("pos").as("spos"), col("wm"))
+    val oldOcc = grams.join(s2,
+        grams("doc_id") === s2("s_doc") && grams("h") === s2("wm") &&
+          grams("pos").between(s2("spos"), s2("spos") + W - 1))
+      .select(grams("doc_id"), grams("pos"), grams("h")).distinct()
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ws = docs.select(col("doc_id"),
+      graft.expr.functions.winnow_sel(col("text"), lit(K), lit(W)).as("ws"))
+    val neuPrints = ws
+      .select(col("doc_id"), col("ws.n_grams").as("m"),
+        explode(col("ws.prints")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val neuOcc = ws
+      .select(col("doc_id"), explode(col("ws.occ")).as("o"))
+      .select(col("doc_id"), col("o.pos"), col("o.print"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(neuPrints == oldPrints)
+    assert(neuOcc == oldOcc)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
